@@ -1,0 +1,75 @@
+"""Benchmark harness — the driver runs this per-round → BENCH_r{N}.json.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing protocol: one warmup execution of a trivial job to absorb JVM/
+codegen startup, then each query timed as plan-build + execute-to-count
+(results are small; count forces full execution of every operator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_tpch_spark import registry  # noqa: E402
+from etl_tpch_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + representative heavy operators per family.
+HEADLINE = [
+    "flagship_unshipped_orders",
+    "topk_per_segment_window",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_waiting_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("etl_tpch_spark-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM
+
+    all_queries = registry.load_all()
+    names = [n for n in HEADLINE if n in all_queries]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in all_queries]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = all_queries[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Table catalog: parquet-directory tables + temp views.
+
+Reference equivalent: tables are directories of files under a root
+filesystem (reference pipeline/settings.py:14-34, SURVEY.md §1.1); the
+catalog scan is ``information_schema.tables`` (data.py:56-60).  Here a
+"database" is a directory containing one parquet file/dir per table;
+Spark's catalog handles listing.
+
+At scale the same API points at a lakehouse root (s3://…/processed) —
+`spark.read.parquet` on a directory of many files partition-prunes and
+pushes filters/projections into the scan, so nothing here needs to
+change for 100 TB beyond the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one table. Schema comes from parquet footers (exact);
+    explicit schemas in `schemas.py` are for JSON/streaming sources where
+    inference would scan data."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+class Tables:
+    """Namespace of lazily-loaded DataFrames for one scale-factor dir.
+
+    ``t = Tables(spark, sf_dir); t.lineitem.filter(...)`` — attribute
+    access reads the parquet lazily and caches the *DataFrame object*
+    (not the data) per instance.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}; have {TABLE_NAMES}")
+        if name not in self._cache:
+            self._cache[name] = load_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+    def available(self) -> list[str]:
+        return [
+            n for n in TABLE_NAMES if os.path.exists(table_path(self._sf_dir, n))
+        ]
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register each table as a temp view so `spark.sql` queries see the
+    same names the DuckDB oracle pre-registers (SURVEY.md §5)."""
+    for name in names:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)

@@ -1,0 +1,77 @@
+"""SparkSession bootstrap.
+
+The reference creates per-task Dask/Coiled clusters (reference
+pipeline/reduce.py:27-42, data.py:30-36); the Spark equivalent is one
+long-lived SparkSession whose cluster manager owns placement.  Locally we
+run ``local[N]`` (one JVM, N threads); the configs below are chosen so
+the *same* logical plans scale to a real multi-executor cluster:
+
+- AQE on → runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion/promotion at 100 TB without re-tuning.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescing makes the static number mostly irrelevant.
+- Arrow on → pandas-UDF boundary is columnar (vectorized), never
+  row-at-a-time pickle.
+- Session timezone pinned UTC so event-time semantics match the DuckDB
+  oracle and are stable across machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "etl_tpch_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local core count.  Safe to call when a
+    session already exists (returns the active one — configs then apply
+    only via ``spark.conf`` where runtime-settable).
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Settings that must hold on a *driver-provided* session for the
+    DuckDB-oracle comparison to be stable (timezone above all)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:  # runtime-settable in all recent Spark versions
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
