@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import TABLE_NAMES
 
@@ -30,8 +31,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table. Schema comes from parquet footers (exact);
     explicit schemas in `schemas.py` are for JSON/streaming sources where
-    inference would scan data."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    inference would scan data.
+
+    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader refuses; we read nanos as long (legacy conf) and
+    convert to a microsecond TimestampType — lossless for this data
+    (µs-precision values) and exact integer arithmetic (`div`, never
+    double division: ns epochs exceed 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 class Tables:

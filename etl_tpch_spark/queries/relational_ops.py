@@ -1,0 +1,532 @@
+"""Relational-operator coverage queries (SURVEY.md §2.3, §2.5-2.8).
+
+The reference's relational surface is tiny (filters, two inner joins,
+one grouped sum, a sort+head — reduce.py:43-78); this module registers
+the rest of the standard relational algebra the engine exposes, each
+with a DuckDB oracle:
+
+set ops (§2.6), distinct, rollup/cube/grouping-sets, pivot, analytic
+window functions (§2.7), scalar function showcase (§2.8 F4-F8), and the
+two time-series joins Spark lacks natively (as-of, range) built in
+operators/joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Tables, register_views
+from ..functions.agg import money
+from ..operators.joins import asof_join
+from ..registry import query
+
+# ---------------------------------------------------------------- set ops
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers active in 1996 ∪ high-balance ones.
+    Spark: union + distinct → one shuffle for the dedup."""
+    t = Tables(spark, sf_dir)
+    active = (
+        t.customer.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        ).select("c_custkey")
+    )
+    rich = t.customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return active.union(rich).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: parts sold in both 1996 and 1997."""
+    t = Tables(spark, sf_dir)
+
+    def sold_in(y: int) -> DataFrame:
+        return (
+            t.lineitem.filter(
+                (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("l_partkey")
+            .distinct()
+        )
+
+    return sold_in(1996).intersect(sold_in(1997))
+
+
+@query(
+    "setop_except",
+    oracle="""
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered in 1996 but not 1997 (churn)."""
+    t = Tables(spark, sf_dir)
+
+    def ordered_in(y: int) -> DataFrame:
+        return (
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return ordered_in(1996).exceptAll(ordered_in(1997)).distinct()
+
+
+# ------------------------------------------------- multi-dim aggregates
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_spend
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals status → status×priority → grand."""
+    t = Tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(money(F.col("o_totalprice"))), 2)
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations of returnflag × linestatus."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (engine exposes both DataFrame
+    and spark.sql paths; Catalyst expands to Expand + single agg)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT order status into columns per market segment.  Explicit
+    pivot values ⇒ single pass, no value-discovery job."""
+    t = Tables(spark, sf_dir)
+    j = t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_mktsegment", "o_orderstatus")
+    piv = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    # pivot yields nullable counts; align with oracle's 0-filled sums
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT): exact form.  (approx_count_distinct is the
+    constant-memory scale path but is engine-specific HLL — offered in
+    the API, not oracle-comparable.)"""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------- window functions
+
+
+@query(
+    "window_running_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend — cumulative window aggregate.
+    Decimal sum keeps the prefix sums bit-deterministic."""
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money(F.col("o_totalprice")))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lag(o_orderdate) OVER w AS prev_order_date,
+               lead(o_orderdate) OVER w AS next_order_date,
+               CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                    AS BIGINT) AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: inter-order gaps per customer."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_order_date"),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_orderdate,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderdate, o_orderkey)
+                    AS INTEGER) AS quartile
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-02-01'
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (ties on order date) + ntile quartiles."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    wt = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_orderdate",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+# ------------------------------------------------- as-of & range joins
+
+
+@query(
+    "join_asof_purchases",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts,
+                   max(value) AS asof_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ), c AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS asof_ts, p.asof_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's latest at-or-before
+    purchase (operators/joins.py asof_join — union+window, one shuffle).
+    Oracle: DuckDB's native ASOF JOIN."""
+    t = Tables(spark, sf_dir)
+    purchases = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )
+
+
+@query(
+    "join_range_clicks_before_error",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               count(c.event_id) AS clicks_5min_before
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') e
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts - INTERVAL 5 MINUTE
+         AND c.ts <  e.ts
+        GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within the 5 minutes before each error, per
+    user.  Equi key (user_id) drives the hash join; the time range is a
+    post-join filter — no O(n·m) explosion."""
+    t = Tables(spark, sf_dir)
+    errors = t.events.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id").alias("e_user"), F.col("ts")
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 5 MINUTE"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left_outer",
+    )
+    return (
+        j.groupBy("event_id", "e_user", "ts")
+        .agg(F.count("c_event_id").alias("clicks_5min_before"))
+        .select(
+            "event_id", F.col("e_user").alias("user_id"), "ts",
+            "clicks_5min_before",
+        )
+    )
+
+
+# ------------------------------------------------- scalar function showcase
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                       AS name_upper,
+               lower(p_brand)                      AS brand_lower,
+               printf('%09d', p_partkey)           AS key_padded,
+               concat(p_brand, '-', p_type)        AS brand_type,
+               replace(p_name, ' ', '_')           AS name_snake,
+               substr(p_type, 1, 3)                AS type_prefix,
+               CAST(length(p_name) AS INTEGER)     AS name_len,
+               CAST(round(CAST(p_retailprice AS DECIMAL(8,2)), 1) AS DOUBLE)
+                                                   AS price_rounded
+        FROM part WHERE p_partkey <= 100
+    """,
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math functions (SURVEY.md §2.8 F4-F6, F8):
+    upper/lower (reference reduce.py:59 segment.upper()), zero-pad
+    (dashboard.py:46 f\"{x:09}\" → format_string), round (dashboard.py:47),
+    concat/replace/substr/length."""
+    t = Tables(spark, sf_dir)
+    return t.part.filter(F.col("p_partkey") <= 100).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.format_string("%09d", F.col("p_partkey")).alias("key_padded"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.substring(F.col("p_type"), 1, 3).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.round(F.col("p_retailprice").cast("decimal(8,2)"), 1)
+        .cast("double")
+        .alias("price_rounded"),
+    )
+
+
+@query(
+    "scalar_datetime_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(extract(year  FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(extract(month FROM o_orderdate) AS INTEGER) AS o_month,
+               CAST(extract(day   FROM o_orderdate) AS INTEGER) AS o_day,
+               CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+               date_trunc('month', o_orderdate)   AS month_start,
+               o_orderdate + INTERVAL 90 DAY      AS due_date,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')
+                    AS INTEGER)                   AS days_to_cutoff,
+               strftime(o_orderdate, '%m/%d/%Y')  AS display_date
+        FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def scalar_datetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time functions (SURVEY.md §2.8 F7 + event-time
+    arithmetic): extract fields, truncate, interval add, datediff,
+    display formatting (reference dashboard.py:58-69 MM/DD/YYYY)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.datediff(
+            F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_cutoff"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("display_date"),
+    )
+
+
+@query(
+    "scalar_conditional_functions",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END             AS tier,
+               coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR')
+                                                   AS segment_relabeled,
+               CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS bal_floor,
+               CAST(least(c_acctbal, 5000.0) AS DOUBLE) AS bal_cap,
+               (c_acctbal > 1000 AND c_nationkey < 10) AS is_target
+        FROM customer
+    """,
+)
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalars: CASE/WHEN, coalesce/nullif, greatest/least,
+    boolean expressions."""
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")
+        ).alias("segment_relabeled"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        ((F.col("c_acctbal") > 1000) & (F.col("c_nationkey") < 10)).alias(
+            "is_target"
+        ),
+    )
