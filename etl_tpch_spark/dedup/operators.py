@@ -1,0 +1,198 @@
+"""Dedup operator implementations over a documents DataFrame.
+
+Each returns a DataFrame; the registry entries in queries/dedup.py bind
+them to DuckDB oracles.  Scale notes per operator — these are the
+components a 100 TB training-data pipeline runs daily, so every one is
+shuffle-budgeted:
+
+- exact:     1 shuffle (hash groupBy on digest).  O(n).
+- fingerprint dedup: 1 scan + 1 shuffle on a 64-bit int — cheapest
+  near-exact variant (whitespace-robust).
+- minhash-LSH: shingle+sign per row (no shuffle) → explode band keys
+  (×N_BANDS rows) → self-join on band bucket (1 shuffle of doc-id+key
+  pairs only) → verify candidates against shingle sets (broadcast or
+  shuffle join on the *small* candidate set).  Never all-pairs.
+- simhash:   explode tokens (1 shuffle to per-doc bit votes) → 64/32-bit
+  int per doc → near-dup pairs via banding or all-pairs on the small
+  signature table.
+- n-gram jaccard (brute): shared-shingle join — quadratic in docs per
+  shingle bucket; the exact baseline for recall measurement, not the
+  scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_hash, tokens
+from .hashing import band_keys, minhash_signature
+
+NGRAM = 3
+
+
+def word_shingles(text: F.Column, n: int = NGRAM) -> F.Column:
+    """Distinct word n-gram shingle array (empty if < n tokens).
+    Guarded: Spark's sequence(1, 0) yields a *descending* [1, 0], so the
+    short-document case must return an explicit empty array."""
+    toks = tokens(text)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: md5 digest → canonical (min) doc_id +
+    copy count."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+
+
+def jaccard_pairs_brute(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle join.
+    Pairs share ≥1 shingle ⇒ the candidate join never enumerates
+    disjoint pairs, but hot shingles still fan out — the LSH variant is
+    the scale path; this is the exact baseline."""
+    sh = shingle_sets(docs)
+    sizes = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    )
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    shingle → 16 md5-derived minhashes → 8 band keys → self-join on
+    band bucket → distinct candidates → exact Jaccard filter.  Output is
+    *deterministic* (candidates are a function of content, verification
+    is exact) — so the DuckDB oracle replicates it bit-for-bit.
+    """
+    sh = shingle_sets(docs).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        band_keys(minhash_signature(F.col("shingles"))).alias("bands"),
+    )
+    banded = sig.select("doc_id", F.explode("bands").alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                * 1.0
+                / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash: explode tokens, vote per bit of the 32-bit
+    md5-derived token hash (duplicates weigh), assemble the signature
+    int.  One shuffle (groupBy doc_id)."""
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", token_hash(F.col("tok")))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  All-pairs on the
+    tiny (doc_id, simhash) table — at true scale, band the signature
+    (4×8-bit chunks) and join on chunk equality first."""
+    sig = simhash_signatures(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,73 @@
+"""Batch-inference UDF surface (SURVEY.md §1.4).
+
+The reference ships a vestigial XGBoost classifier (model.json — a
+gbtree multi:softprob over [p_partkey, s_acctbal]) that no code loads;
+its implied capability is *vectorized batch inference over a feature
+DataFrame*.  The Spark-native form is an Arrow-batched pandas UDF: the
+model broadcast once per executor, each Arrow batch scored in C, no
+per-row Python.
+
+A real deployment drops an ``xgb.Booster.predict`` (or torch forward)
+into :func:`make_scorer_udf`'s body.  The built-in demo model is a
+deterministic logistic scorer whose weights derive from an LCG — chosen
+so the DuckDB oracle can recompute the same scores in SQL and
+hash-verify the whole UDF path (the only engine-specific op is exp(),
+identical IEEE libm here; scores rounded to 6).
+
+Determinism detail: the accumulation loops over dimensions
+*sequentially* (vectorized across rows) so the float addition order
+matches the SQL oracle's sequential fold exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+BIAS = 0.1
+# LCG weights in [-0.5, 0.5), exactly representable /1000
+WEIGHTS: list[float] = [
+    (((j + 1) * 48271) % 1000 - 500) / 1000.0 for j in range(EMB_DIM)
+]
+
+
+def _score_batch(emb: pd.Series) -> pd.Series:
+    """sigmoid(w·x + b) per row, Arrow-vectorized.  Sequential over
+    dims / vectorized over rows to keep fold order oracle-identical."""
+    import numpy as np
+
+    X = np.stack(emb.to_numpy())  # (batch, 64) float32
+    acc = np.zeros(len(X), dtype="float64")
+    for j in range(EMB_DIM):  # sequential dim order = SQL fold order
+        acc = acc + X[:, j].astype("float64") * WEIGHTS[j]
+    z = acc + BIAS
+    return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+
+def logistic_score(emb: Column) -> Column:
+    """Apply the scorer as an Arrow-batched pandas UDF.  The UDF object
+    is built lazily — pandas_udf parses its return-type DDL against the
+    active SparkSession, so creating it at import time would require a
+    session before any query runs."""
+    return F.pandas_udf(_score_batch, "double")(emb)
+
+
+def sql_logistic_score(emb_expr: str) -> str:
+    """DuckDB twin: same sequential fold, same weights, same sigmoid."""
+    warr = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in WEIGHTS) + "]"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), "
+        f"j -> CAST({emb_expr}[j] AS DOUBLE) * ({warr})[j])), "
+        f"(a, b) -> a + b)"
+    )
+    return f"(1.0 / (1.0 + exp(-({fold} + {BIAS!r}))))"
+
+
+def predicted_label(score: Column, threshold: float = 0.5) -> Column:
+    return (score > threshold).cast("int")

@@ -1,0 +1,192 @@
+"""Dedup query registrations with DuckDB oracles (north-star operators).
+
+The md5-derived hashing (dedup/hashing.py) makes even the MinHash-LSH
+pipeline fully oracle-checkable — the SQL replicates shingling, the 16
+minhash permutations, the 8 band keys, the candidate join and the exact
+Jaccard verification, and must agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..dedup.hashing import sql_band_keys, sql_minhash_signature
+from ..dedup.operators import (
+    exact_duplicates,
+    jaccard_pairs_brute,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..functions.text import HASH_MOD, fingerprint, sql_fingerprint, tokens
+from ..registry import query
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(W) - 1), "
+    "i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2]))"
+)
+_SQL_SH_CTE = f"""
+        sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS shingles
+            FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents)
+        )"""
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 8
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS digest,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: one hash-groupBy, O(n), the first
+    pass of any dedup cascade."""
+    t = Tables(spark, sf_dir)
+    return exact_duplicates(t.documents)
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+        SELECT {sql_fingerprint(_SQL_TOKS)} AS fp,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the rolling token fingerprint — same
+    plan shape as exact dedup but whitespace/token-normalized."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            fingerprint(tokens(F.col("text"))).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SQL_SH_CTE},
+        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(shared * 1.0 /
+                     (len(sa.shingles) + len(sb.shingles) - shared), 6)
+                 AS jaccard
+        FROM shared
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
+        WHERE shared * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) - shared)
+              >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (brute shared-shingle join) —
+    the recall baseline for the LSH variant."""
+    t = Tables(spark, sf_dir)
+    return jaccard_pairs_brute(t.documents, JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_SQL_SH_CTE},
+        sig AS (
+            SELECT doc_id, shingles,
+                   {sql_minhash_signature('shingles')} AS mh
+            FROM sh WHERE len(shingles) > 0
+        ),
+        withbands AS (
+            SELECT doc_id, shingles, unnest({sql_band_keys('mh')}) AS band
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM withbands x JOIN withbands y
+              ON x.band = y.band AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                     (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                 AS jaccard
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (dedup/operators.py).
+    The 100 TB path: band-bucket join instead of all-pairs; verification
+    touches only candidates."""
+    t = Tables(spark, sf_dir)
+    return minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
+
+
+def _sql_simhash_votes(bits: int = 32) -> str:
+    vote_cols = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        ex AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {vote_cols}
+            FROM ex GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
+        )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_sql_simhash_votes()}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                 AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit token-vote signature, Hamming ≤ 8.
+    Signature build is one shuffle; the pair scan runs on the tiny
+    signature table (band it at true scale)."""
+    t = Tables(spark, sf_dir)
+    return simhash_pairs(t.documents, SIMHASH_MAX_HAMMING)

@@ -1,0 +1,199 @@
+"""Event-stream queries over the ``events`` table (SURVEY.md §2.9).
+
+The reference emulates streaming by cron re-execution over files
+(workflow.py:12-31); Spark gives true event-time semantics.  These are
+the *batch* forms of the streaming operators — identical logical plans
+run under Structured Streaming in etl_tpch_spark/streaming/ (same
+window()/session_window() calls with withWatermark); batch form is what
+the DuckDB oracle can check.
+
+Determinism notes: events.value is an exact 2-decimal double → decimal
+sums (functions/agg.py); window starts are epoch-aligned in both Spark
+``window()`` and DuckDB ``time_bucket`` for sub-day intervals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions.agg import money
+from ..registry import query
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the string ``props`` column (SURVEY.md §2.8
+    north-star row): get_json_object → typed aggregation.  At scale
+    prefer ``from_json`` with an explicit schema once per pipeline stage
+    (single parse, typed struct) — exposed in functions/json.py."""
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               event_type,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (T1/T2 — the reference's 15-min
+    micro-batch cadence generalized).  Same groupBy(window(...)) runs
+    under readStream + withWatermark for the streaming form."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(money(F.col("value"))), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_id
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE
+                     AS w_start,
+                   event_id
+            FROM events
+        )
+        SELECT w_start, count(*) AS n
+        FROM assigned
+        GROUP BY w_start
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute length, 5-minute slide — each event
+    lands in exactly two windows.  Spark plans this as an Expand (×2
+    rows) + single hash agg; the oracle replicates via UNION ALL of the
+    two shifted bucket assignments."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_value
+        FROM sessions
+        GROUP BY user_id, sess_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute gap) per user — Spark's native
+    ``session_window`` (merges adjacent events server-side; in streaming
+    the same expression is a stateful operator with watermark eviction).
+    Oracle: classic gaps-and-islands (lag + running flag sum).
+    Spark session end = last event + gap, matching max(ts)+gap."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money(F.col("value"))), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_type_share_by_day",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors,
+               count(*) AS total,
+               round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS error_rate
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate: conditional count ratio (exact int / int —
+    single IEEE division, deterministic)."""
+    t = Tables(spark, sf_dir)
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        t.events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(err).alias("errors"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(F.col("errors") * 1.0 / F.col("total"), 6),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Similarity-search query registrations (embeddings table).
+
+Oracles compute the identical sequential-fold cosine in DuckDB SQL
+(dedup/hashing.py sql twins) — results must match bit-for-bit, so even
+the LSH-bucketed ANN is hash-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Tables
+from ..dedup.hashing import sql_cosine_fold, sql_hyperplane_signature
+from ..registry import query
+from ..similarity.ann import (
+    cosine_pairs_threshold,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+TOP_K = 10
+PAIR_THRESHOLD = 0.4
+BUCKET_BITS = 8
+
+_IDS = ", ".join(str(i) for i in QUERY_IDS)
+_COS = sql_cosine_fold("q.q_emb", "c.embedding")
+
+
+@query(
+    "sim_ann_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({_IDS})
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   round({_COS}, 6) AS cosine
+            FROM q CROSS JOIN embeddings c
+            WHERE q.query_id <> c.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — the ANN baseline
+    (broadcast queries × corpus scan, no shuffle of the corpus)."""
+    t = Tables(spark, sf_dir)
+    return cosine_topk_bruteforce(t.embeddings, QUERY_IDS, TOP_K)
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({sql_cosine_fold('a.embedding', 'b.embedding')}, 6)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({sql_cosine_fold('a.embedding', 'b.embedding')}, 6)
+              >= {PAIR_THRESHOLD}
+    """,
+)
+def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.4
+    (the recall baseline for LSH near-dup)."""
+    t = Tables(spark, sf_dir)
+    return cosine_pairs_threshold(t.embeddings, PAIR_THRESHOLD)
+
+
+_SIG = sql_hyperplane_signature("embedding")
+
+
+@query(
+    "sim_ann_topk_lsh",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   ({_SIG}) & {(1 << BUCKET_BITS) - 1} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, bucket
+            FROM sig WHERE vec_id IN ({_IDS})
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   round({_COS}, 6) AS cosine
+            FROM q JOIN sig c ON q.bucket = c.bucket
+            WHERE q.query_id <> c.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (8-bit hyperplane bucket, probe own bucket):
+    the n/256-per-query scale path.  Deterministic integer hyperplanes ⇒
+    the oracle rebuilds identical buckets."""
+    t = Tables(spark, sf_dir)
+    return cosine_topk_lsh(t.embeddings, QUERY_IDS, TOP_K, BUCKET_BITS)

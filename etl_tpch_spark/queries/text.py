@@ -1,0 +1,193 @@
+"""Text-analysis queries over ``documents`` (north-star LLM-data ops).
+
+Each is a deterministic column-expression pipeline (functions/text.py)
+with a DuckDB oracle — including the hash-based fingerprint, thanks to
+the cross-engine md5 hash recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions.text import (
+    CJK_PATTERN,
+    STOPWORDS,
+    fingerprint,
+    sql_fingerprint,
+    stopword_count,
+    tokens,
+)
+from ..registry import query
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT)            AS n_chars_measured,
+               CAST(len({_SQL_TOKS}) AS BIGINT)        AS n_words,
+               CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT)
+                                                       AS n_unique_words,
+               round(len(list_distinct({_SQL_TOKS})) * 1.0
+                     / len({_SQL_TOKS}), 6)            AS ttr,
+               round((length(text) - length(replace(text, ' ', ''))) * 1.0
+                     / length(text), 6)                AS space_ratio
+        FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics: char/word counts, type-token
+    ratio (vocabulary diversity), whitespace ratio.  Pure column
+    expressions — scans once, no shuffle."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    return t.documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        n_uniq.alias("n_unique_words"),
+        F.round(n_uniq * 1.0 / n_words, 6).alias("ttr"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+            * 1.0
+            / F.length("text"),
+            6,
+        ).alias("space_ratio"),
+    )
+
+
+def _sql_stop(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKS}, x -> x IN ({lst})))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_stop('en')} AS c_en,
+                   {_sql_stop('es')} AS c_es,
+                   {_sql_stop('de')} AS c_de,
+                   {_sql_stop('fr')} AS c_fr,
+                   regexp_matches(text, '{CJK_PATTERN}') AS has_cjk
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN has_cjk THEN 'zh'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr
+                      THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK charset detection + per-language
+    stopword hit counts, deterministic fixed tie-break order.  (A real
+    deployment swaps in fastText/CLD3 via a pandas UDF — this keeps the
+    operator shape JVM-side and oracle-checkable.)"""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    c = {lang: stopword_count(toks, ws) for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when(F.col("text").rlike(CJK_PATTERN), "zh")
+        .when(
+            (c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]),
+            "en",
+        )
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
+        .when(c["de"] >= c["fr"], "de")
+        .otherwise("fr")
+    )
+    return t.documents.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               CAST((length(text) BETWEEN 100 AND 5000) AS BOOLEAN)
+                 AS len_ok,
+               round(least(len({_SQL_TOKS}) / 50.0, 1.0)
+                     * (len(list_distinct({_SQL_TOKS})) * 1.0
+                        / len({_SQL_TOKS})), 6) AS quality
+        FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: length gate ×
+    (capped length factor × vocabulary diversity).  Exact int ratios →
+    deterministic doubles."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return t.documents.select(
+        "doc_id",
+        F.length("text").between(100, 5000).alias("len_ok"),
+        F.round(
+            F.least(n_words / 50.0, F.lit(1.0)) * (n_uniq * 1.0 / n_words), 6
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                 AS bpe_ish_tokens
+        FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single other glyphs) — the standard
+    cheap proxy for LLM token budgeting."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"),
+                F.lit(0),  # whole-match (Spark defaults to group 1)
+            )
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               {sql_fingerprint(_SQL_TOKS)} AS fp,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (fold over
+    token hashes mod p).  Cross-engine-exact because the hash is
+    md5-derived (functions/text.py); grouping equal fingerprints is the
+    O(n) exact-sequence-dup detector."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        fingerprint(toks).alias("fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor operators over an ``array<float>``
+embedding column.
+
+Two tiers (north star: "brute-force cosine top-k as the baseline; an
+IVF or LSH-bucketed variant as the scale path"):
+
+- brute-force: broadcast the (small) query set against the full corpus,
+  exact-fold cosine, window top-k.  O(|Q|·n) — right whenever |Q| is
+  small or the corpus fits a scan budget.
+- LSH-bucketed: random-hyperplane signatures partition the corpus into
+  2^b buckets; probe only the query's bucket.  O(|Q|·n/2^b) expected;
+  recall tunable by bucket bits / multiple tables.  Signatures use
+  integer hyperplanes + sequential folds → deterministic across engines
+  (dedup/hashing.py).
+
+All cosines are sequential-fold doubles (bit-identical to the DuckDB
+oracle); never NaN for nonzero vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..dedup.hashing import cosine_fold, hyperplane_signature
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame, query_ids: list[int], k: int
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (excluding itself)."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    j = F.broadcast(q).crossJoin(
+        embeddings.select("vec_id", "embedding")
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    scored = j.withColumn(
+        "cosine", F.round(cosine_fold(F.col("q_emb"), F.col("embedding")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def cosine_pairs_threshold(
+    embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, all-pairs — the recall
+    baseline; use LSH buckets at scale)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine", F.round(cosine_fold(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame, query_ids: list[int], k: int, bucket_bits: int = 8
+) -> DataFrame:
+    """LSH-bucketed top-k: only candidates in the query's hyperplane
+    bucket are scored.  The bucket id is the low ``bucket_bits`` bits of
+    the 16-bit signature.  Join is an equi-join on bucket (shuffle by
+    bucket — no cross join), making the probe cost n/2^bits per query."""
+    mask = (1 << bucket_bits) - 1
+    sig = embeddings.withColumn(
+        "bucket", hyperplane_signature(F.col("embedding")).bitwiseAND(F.lit(mask))
+    )
+    q = sig.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    cand = F.broadcast(q).join(
+        sig.select("vec_id", "embedding", "bucket"), "bucket"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_fold(F.col("q_emb"), F.col("embedding")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
