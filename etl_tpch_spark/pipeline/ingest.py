@@ -1,0 +1,90 @@
+"""Batch ingest: staging JSON-lines → processed parquet tables.
+
+Reference semantics (pipeline/preprocess.py:35-59): discover every staged
+JSON file (rglob, preprocess.py:49-50), fan out one task per file, each
+reading with pandas and appending to a Delta table, then deleting the
+source file (consume-and-delete, preprocess.py:45; SURVEY.md S5/S6/S10/
+S11/T4).  Exactly-once is approximated with file locks + retries.
+
+Spark-first deltas:
+
+- one ``spark.read.schema(s).json(paths)`` job replaces the per-file
+  fan-out — Spark parallelizes by input split, so a 10k-file backlog is
+  one job, not 10k orchestrated tasks (SURVEY.md T4);
+- the explicit schema (schemas.LIVE / schemas.TESTDATA) replaces
+  pandas per-file inference — no inference scan, stable types at 100 TB
+  (SURVEY.md §1.3);
+- append target is a parquet directory (Delta when delta-spark jars are
+  available — the write is format-pluggable, SURVEY.md §7 risk b);
+- delete-after-write is optional; the checkpointed Structured Streaming
+  ingest in ``streaming/ingest.py`` is the exactly-once replacement for
+  the reference's locks (SURVEY.md T3).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from . import generate as _gen
+from ..schemas import LIVE
+
+ALL_TABLES = _gen.STATIC_TABLES + _gen.DYNAMIC_TABLES
+
+
+def list_staged_files(staging_dir: str, table: str) -> list[str]:
+    """Staged batch dirs for one table — "new data" is simply whatever
+    exists, as in the reference (preprocess.py:49-50)."""
+    return sorted(glob.glob(os.path.join(staging_dir, table, f"{table}_*.json")))
+
+
+def ingest_table(
+    spark: SparkSession,
+    staging_dir: str,
+    processed_dir: str,
+    table: str,
+    *,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+    delete_after: bool = False,
+) -> int:
+    """Append every staged batch of ``table`` into
+    ``<processed>/<table>/``.  Returns the number of batch dirs ingested.
+    """
+    batches = list_staged_files(staging_dir, table)
+    if not batches:
+        return 0
+    s = schema or LIVE[table]
+    df = spark.read.schema(s).json(batches)
+    (
+        df.write.format(fmt)
+        .mode("append")
+        .save(os.path.join(processed_dir, table))
+    )
+    if delete_after:  # reference's consume-and-delete (preprocess.py:45)
+        for b in batches:
+            shutil.rmtree(b, ignore_errors=True)
+    return len(batches)
+
+
+def ingest_all(
+    spark: SparkSession,
+    staging_dir: str,
+    processed_dir: str,
+    *,
+    tables: tuple[str, ...] = ALL_TABLES,
+    delete_after: bool = False,
+) -> dict[str, int]:
+    """Ingest every table with staged data (flow ``json_to_parquet``,
+    preprocess.py:53-59)."""
+    return {
+        t: ingest_table(
+            spark, staging_dir, processed_dir, t, delete_after=delete_after
+        )
+        for t in tables
+        if list_staged_files(staging_dir, t)
+    }
