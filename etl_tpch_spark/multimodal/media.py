@@ -1,0 +1,190 @@
+"""Media data model + the deterministic stand-in codec.
+
+A media row is ``(media_id, kind, content: binary, meta: struct)`` —
+the content bytes are opaque to the engine (never parsed JVM-side;
+only sliced, hashed, filtered, shuffled), and every interpretation
+happens in Python workers via Arrow batches.
+
+The stand-in codec ("RAWM" format) is a real, self-describing byte
+format — 16-byte header ``magic, kind, h, w, c, sr, n_frames`` + raw
+uint8 samples — so decode genuinely parses bytes it didn't generate,
+exactly the code path a JPEG/FLAC decode would take.  REAL codecs slot
+in at ops._decode_payload (import-try for PIL etc.).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_f = T.StructField
+
+_MAGIC = b"RAWM"
+_KINDS = ("image", "audio", "video")
+_HEADER = struct.Struct("<4sBHHBIH")  # magic kind h w c sample_rate n_frames
+
+META_SCHEMA = T.StructType(
+    [
+        _f("height", T.IntegerType()),
+        _f("width", T.IntegerType()),
+        _f("channels", T.IntegerType()),
+        _f("sample_rate", T.IntegerType()),
+        _f("n_frames", T.IntegerType()),
+        _f("format", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        _f("media_id", T.LongType()),
+        _f("kind", T.StringType()),
+        _f("content", T.BinaryType()),
+        _f("meta", META_SCHEMA),
+    ]
+)
+
+
+def encode_payload(
+    kind: str,
+    samples: np.ndarray,
+    *,
+    height: int = 0,
+    width: int = 0,
+    channels: int = 0,
+    sample_rate: int = 0,
+    n_frames: int = 0,
+) -> bytes:
+    """Pack uint8 samples into the RAWM container."""
+    return _HEADER.pack(
+        _MAGIC, _KINDS.index(kind), height, width, channels,
+        sample_rate, n_frames,
+    ) + samples.astype(np.uint8).tobytes()
+
+
+def decode_payload(content: bytes) -> tuple[str, dict, np.ndarray]:
+    """Parse a RAWM payload → (kind, meta dict, uint8 sample array).
+
+    image → (h, w, c); audio → (n_samples,); video → (f, h, w, c).
+    """
+    magic, k, h, w, c, sr, nf = _HEADER.unpack_from(content)
+    if magic != _MAGIC:
+        raise ValueError("not a RAWM payload")
+    kind = _KINDS[k]
+    raw = np.frombuffer(content, np.uint8, offset=_HEADER.size)
+    if kind == "image":
+        arr = raw[: h * w * c].reshape(h, w, c)
+    elif kind == "audio":
+        arr = raw
+    else:
+        arr = raw[: nf * h * w * c].reshape(nf, h, w, c)
+    meta = dict(
+        height=h, width=w, channels=c, sample_rate=sr, n_frames=nf,
+        format="rawm",
+    )
+    return kind, meta, arr
+
+
+def _payload_udf():
+    """Arrow-batched encoder: derives each row's pixels/samples from a
+    per-row seed so content is deterministic and ~unique per id."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(media_id: pd.Series, kind: pd.Series, seed: pd.Series) -> pd.Series:
+        out = []
+        for mid, k, s in zip(media_id, kind, seed):
+            rng = np.random.default_rng(int(s) ^ int(mid))
+            if k == "image":
+                h, w, c = int(rng.integers(8, 33)), int(rng.integers(8, 33)), 3
+                out.append(encode_payload(
+                    k, rng.integers(0, 256, h * w * c),
+                    height=h, width=w, channels=c,
+                ))
+            elif k == "audio":
+                n = int(rng.integers(256, 2049))
+                out.append(encode_payload(
+                    k, rng.integers(0, 256, n), sample_rate=16000,
+                ))
+            else:
+                f, h, w, c = int(rng.integers(4, 17)), 16, 16, 3
+                out.append(encode_payload(
+                    k, rng.integers(0, 256, f * h * w * c),
+                    height=h, width=w, channels=c, n_frames=f,
+                ))
+        return pd.Series(out)
+
+    return make
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 300, *, seed: int = 42
+) -> DataFrame:
+    """Deterministic media table: ``spark.range`` + an encoder pandas
+    UDF — generated distributed (no driver-side rows), so ``n`` can be
+    millions on a cluster."""
+    make = _payload_udf()
+    kinds = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+    df = (
+        spark.range(n)
+        .withColumn("kind", kinds)
+        .withColumn("content", make(F.col("id"), F.col("kind"), F.lit(seed)))
+    )
+    return df.select(
+        F.col("id").alias("media_id"),
+        "kind",
+        "content",
+        _meta_from_content_expr(),
+    )
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge the testdata ``documents`` table into the media model:
+    text bytes become an 'audio' payload (1 byte = 1 sample).  Gives
+    multimodal ops a driver-provided, deterministic input."""
+    from ..catalog import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    content = F.concat(
+        # header: magic, kind=audio(1), h=0, w=0, c=0, sr=16000, nf=0
+        F.lit(_MAGIC + struct.pack("<BHHBIH", 1, 0, 0, 0, 16000, 0)),
+        F.encode(F.col("text"), "utf-8"),
+    ).cast("binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        content.alias("content"),
+        _meta_from_content_expr(),
+    )
+
+
+def _meta_from_content_expr():
+    """Metadata struct parsed JVM-side from the binary header — no
+    Python roundtrip for the fields the planner might filter on
+    (little-endian byte slicing with built-in functions only)."""
+    def _le(offset: int, nbytes: int):
+        b = [
+            F.conv(F.hex(F.substring("content", offset + i, 1)), 16, 10)
+            .cast("int") * (256 ** i)
+            for i in range(nbytes)
+        ]
+        out = b[0]
+        for x in b[1:]:
+            out = out + x
+        return out
+
+    return F.struct(
+        _le(6, 2).alias("height"),
+        _le(8, 2).alias("width"),
+        _le(10, 1).alias("channels"),
+        _le(11, 4).alias("sample_rate"),
+        _le(15, 2).alias("n_frames"),
+        F.lit("rawm").alias("format"),
+    ).alias("meta")

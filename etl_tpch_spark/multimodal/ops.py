@@ -1,0 +1,202 @@
+"""Multimodal transforms: decode / resize / featurize / frame-sample.
+
+Every operator is ``mapInPandas`` over the media schema — the pattern
+for any "Python kernel over binary columns" stage at 100 TB:
+
+- Arrow ships each partition to Python as an iterator of pandas
+  batches (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+  batch memory — decoded media is much larger than its payload, so
+  batches must stay small: set ~256 for 1 MB payloads);
+- the transform yields batches too, so peak memory is one batch, not
+  one partition;
+- output schemas are explicit StructTypes — Catalyst sees real columns
+  and can prune/filter downstream;
+- partition-level parallelism is Spark's: repartition upstream to
+  spread decode cost; no driver involvement.
+
+Real codecs: `_decode_payload` tries PIL first for images — absent in
+this container, so the RAWM stand-in (media.py) decodes instead; the
+Spark-side plumbing is identical either way.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .media import decode_payload
+
+_f = T.StructField
+
+try:  # real image codec if available (not in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_payload(content: bytes) -> tuple[str, dict, np.ndarray]:
+    # PIL path would be: Image.open(io.BytesIO(content)) → np.asarray
+    # for JPEG/PNG payloads; RAWM payloads always use the stand-in.
+    return decode_payload(content)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        _f("media_id", T.LongType()),
+        _f("kind", T.StringType()),
+        _f("height", T.IntegerType()),
+        _f("width", T.IntegerType()),
+        _f("channels", T.IntegerType()),
+        _f("n_samples", T.LongType()),
+        _f("samples", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_media(media: DataFrame, *, keep_samples: bool = True) -> DataFrame:
+    """binary content → decoded sample array + shape columns."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                k, meta, arr = _decode_payload(bytes(content))
+                rows.append(
+                    (
+                        mid,
+                        k,
+                        meta["height"],
+                        meta["width"],
+                        meta["channels"],
+                        arr.size,
+                        arr.ravel().tolist() if keep_samples else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(fn, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        _f("media_id", T.LongType()),
+        _f("height", T.IntegerType()),
+        _f("width", T.IntegerType()),
+        _f("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def resize_images(media: DataFrame, *, height: int, width: int) -> DataFrame:
+    """Nearest-neighbor resize to (height, width); images only.
+
+    The kind filter stays a Catalyst filter (pushed to the scan);
+    only matching rows cross the Arrow boundary."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, meta, arr = _decode_payload(bytes(content))
+                h, w = meta["height"], meta["width"]
+                yi = (np.arange(height) * h // height)
+                xi = (np.arange(width) * w // width)
+                out = arr[np.ix_(yi, xi)]  # (height, width, c)
+                rows.append((mid, height, width, out.ravel().tolist()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.filter(media.kind == "image").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        _f("media_id", T.LongType()),
+        _f("kind", T.StringType()),
+        _f("mean", T.DoubleType()),
+        _f("std", T.DoubleType()),
+        _f("p50", T.DoubleType()),
+        _f("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def image_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
+    """Per-item summary stats + a normalized byte-histogram feature
+    vector (the shape a CLIP/wav2vec embedding UDF would produce; the
+    kernel is the only thing to swap)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                _, _, arr = _decode_payload(bytes(content))
+                flat = arr.ravel().astype(np.float64)
+                hist = np.histogram(flat, bins=bins, range=(0, 256))[0]
+                feat = (hist / max(flat.size, 1)).astype(np.float32)
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        round(float(flat.mean()), 6),
+                        round(float(flat.std()), 6),
+                        float(np.median(flat)),
+                        feat.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        _f("media_id", T.LongType()),
+        _f("frame_idx", T.IntegerType()),
+        _f("height", T.IntegerType()),
+        _f("width", T.IntegerType()),
+        _f("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """Video → one output row per sampled frame (a flat-map: row count
+    grows, which mapInPandas expresses naturally)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, meta, arr = _decode_payload(bytes(content))
+                for i in range(0, meta["n_frames"], every_n):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            meta["height"],
+                            meta["width"],
+                            arr[i].ravel().tolist(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return media.filter(media.kind == "video").mapInPandas(fn, FRAMES_SCHEMA)

@@ -1,0 +1,44 @@
+"""Driver-registered multimodal queries (rows+hash where the oracle can
+express the semantics; rows-only where decode is Python-side).
+
+The media input derives deterministically from the driver ``documents``
+table (multimodal/media.py:media_from_documents), so sf_dir remains the
+single data root.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal import decode_media, image_features, media_from_documents
+from ..registry import query
+
+
+@query(
+    "multimodal_decode_lengths",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+        FROM documents
+    """,
+)
+def multimodal_decode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary plumbing check the oracle CAN express: encode
+    text → RAWM container (JVM-side) → mapInPandas decode → sample
+    count must equal the utf-8 byte length DuckDB computes."""
+    media = media_from_documents(spark, sf_dir)
+    return decode_media(media, keep_samples=False).select(
+        "media_id", "n_samples"
+    )
+
+
+@query("multimodal_feature_extract", tags=("rows-only",))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors over document-derived media —
+    decode + featurize is Python-side (no SQL oracle); the driver's
+    rows-only check applies."""
+    media = media_from_documents(spark, sf_dir)
+    return image_features(media, bins=16).select(
+        "media_id", "mean", "std", F.size("feature").alias("feature_dim")
+    )

@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.dedup",
     "etl_tpch_spark.queries.similarity",
     "etl_tpch_spark.queries.inference",
+    "etl_tpch_spark.queries.multimodal",
 )
 
 _loaded = False
