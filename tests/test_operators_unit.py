@@ -1,0 +1,194 @@
+"""Per-operator unit tests on tiny literal DataFrames (SURVEY.md §5
+item 3): boundary semantics the sf-level oracle diff can't isolate —
+as-of at equal timestamps / missing matches, top-k ties, dedup kernels
+on crafted near-duplicates, revenue expression edges.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_tpch_spark.dedup.operators import (
+    exact_duplicates,
+    jaccard_pairs_brute,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from etl_tpch_spark.functions.agg import rev_dec
+from etl_tpch_spark.operators.joins import asof_join, range_join
+from etl_tpch_spark.operators.topk import topk, topk_per_group
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- as-of
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01T10:00:00"), 100.0),
+            (1, _ts("2026-01-01T10:05:00"), 101.0),
+            (2, _ts("2026-01-01T10:03:00"), 50.0),
+        ],
+        "key int, qts timestamp, price double",
+    )
+
+
+def test_asof_basic_and_equal_ts(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01T10:04:59")),  # before 2nd quote → 100
+            (1, _ts("2026-01-01T10:05:00")),  # equal ts → inclusive, 101
+            (2, _ts("2026-01-01T10:02:59")),  # no quote yet → NULL
+            (3, _ts("2026-01-01T10:10:00")),  # key never quoted → NULL
+        ],
+        "key int, tts timestamp",
+    )
+    out = {
+        (r.key, r.tts): r.asof_price
+        for r in asof_join(
+            trades, quotes, "key", "tts", "qts", ["price"]
+        ).collect()
+    }
+    assert out[(1, _ts("2026-01-01T10:04:59"))] == 100.0
+    assert out[(1, _ts("2026-01-01T10:05:00"))] == 101.0  # <= not <
+    assert out[(2, _ts("2026-01-01T10:02:59"))] is None
+    assert out[(3, _ts("2026-01-01T10:10:00"))] is None
+
+
+def test_asof_preserves_left_rowcount(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts("2026-01-01T11:00:00"))] * 5, "key int, tts timestamp"
+    )
+    assert (
+        asof_join(trades, quotes, "key", "tts", "qts", ["price"]).count() == 5
+    )
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "k int, lo int"
+    )
+    right = spark.createDataFrame(
+        [(1, 15), (1, 25), (2, 40)], "k int, v int"
+    )
+    cond = (right.v > left.lo) & (right.v <= left.lo + 10)
+    got = sorted(
+        (r.lo, r.v)
+        for r in range_join(left, right, "k", cond).select(left.lo, right.v).collect()
+    )
+    assert got == [(10, 15), (20, 25)]  # (2,40) out of range
+
+
+# ---------------------------------------------------------------- top-k
+
+
+def test_topk_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("d", 4)], "id string, score int"
+    )
+    got = [
+        r.id
+        for r in topk(
+            df, [F.col("score").desc(), F.col("id")], 2
+        ).collect()
+    ]
+    assert got == ["a", "b"]  # tie broken by id, stable across runs
+
+
+def test_topk_per_group_exact_k(spark):
+    df = spark.createDataFrame(
+        [(g, i, g * 10 + i) for g in (1, 2) for i in range(5)],
+        "grp int, i int, score int",
+    )
+    out = topk_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("i")], 3
+    )
+    pdf = out.toPandas()
+    assert (pdf.groupby("grp").size() == 3).all()
+    assert set(pdf[pdf.grp == 1].score) == {14, 13, 12}
+
+
+def test_topk_k_larger_than_group(spark):
+    df = spark.createDataFrame([(1, 1)], "grp int, score int")
+    assert topk_per_group(df, ["grp"], [F.col("score")], 10).count() == 1
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    near = base.replace("tonight", "today")  # one-token change
+    far = "completely different text about spark query engines and scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 3  # base×2 collapse to one digest
+    dups = [g for g in groups if g.n_copies > 1]
+    assert len(dups) == 1
+    assert dups[0].canonical_id == 1 and dups[0].n_copies == 2
+
+
+def test_jaccard_brute_finds_near_pair(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_brute(docs, 0.5).collect()
+    }
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs and (2, 3) in pairs  # near
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_recalls_exact_dup(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    # identical docs collide in every band — guaranteed recall
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_pair(docs):
+    pairs = {
+        (r.doc_a, r.doc_b) for r in simhash_pairs(docs, 3).collect()
+    }
+    assert (1, 2) in pairs  # hamming 0
+    assert not any(4 in p for p in pairs)
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("sh")).first()
+    assert out.sh == []  # shorter than n → empty set, not error
+
+
+# ------------------------------------------------------------- scalars
+
+
+def test_revenue_expression_edges(spark):
+    df = spark.createDataFrame(
+        [(100.0, 0.0), (100.0, 1.0), (0.0, 0.5)],
+        "l_extendedprice double, l_discount double",
+    )
+    got = [r.rev for r in df.select(rev_dec().alias("rev")).collect()]
+    assert got == [100.0, 0.0, 0.0]
