@@ -16,7 +16,6 @@ while remaining oracle-checkable on the fixtures:
 - Q8  market share           → conditional aggregation over a join
 - Q9  product-type profit    → LIKE filter + multi-fact join
 - Q10 returned items         → group-by + top-k
-- Q11 important stock        → HAVING over scalar subquery (global agg)
 - Q12 priority shipping      → conditional (CASE) aggregation
 - Q13 customer distribution  → outer join + two-level aggregate
 - Q14 promo revenue          → ratio of conditional sums
@@ -28,6 +27,10 @@ while remaining oracle-checkable on the fixtures:
 - Q20 part promo suppliers   → nested semi joins
 - Q21 waiting orders         → semi + anti join combination
 - Q22 global sales opportunity → anti join + scalar subquery
+
+Q2/Q11 (the partsupp-dependent shapes) live in ``tpch_partsupp.py``
+over a deterministically derived partsupp; Q3 is the flagship
+(``flagship.py``) — together the full 22-query surface.
 
 Scale notes: each query's join order puts dimensions (region/nation/
 customer/supplier/part at ≤1/150 of lineitem) on the broadcast side;

@@ -91,10 +91,17 @@ def test_stream_equals_batch(spark, events_dir, ckpt, op, kwargs):
     ).toPandas()
     cols = sorted(batch.columns)
     assert sorted(stream.columns) == cols
-    b = batch[cols].sort_values(cols).reset_index(drop=True)
-    s = stream[cols].sort_values(cols).reset_index(drop=True)
-    assert len(b) > 0
-    assert b.equals(s)
+    # float aggregates (avg/sum) accumulate in a different order across
+    # micro-batches than in one batch pass → compare those within 1e-3
+    # (they are rounded to 4 decimals), everything else exactly
+    float_cols = [c for c in cols if batch[c].dtype.kind == "f"]
+    key_cols = [c for c in cols if c not in float_cols]
+    b = batch.sort_values(key_cols).reset_index(drop=True)
+    s = stream.sort_values(key_cols).reset_index(drop=True)
+    assert len(b) > 0 and len(b) == len(s)
+    assert b[key_cols].equals(s[key_cols])
+    for c in float_cols:
+        assert (b[c] - s[c]).abs().max() <= 1e-3
 
 
 def test_stateful_running_user_stats(spark, events_dir, ckpt):
