@@ -10,6 +10,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from ..functions.udaf import (
+    count_agg,
+    geometric_mean,
+    root_mean_square,
+    sql_geometric_mean,
+    sql_root_mean_square,
+)
 from ..functions.inference import (
     logistic_score,
     predicted_label,
@@ -43,4 +50,38 @@ def batch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "score",
         predicted_label(F.col("score")).alias("predicted"),
+    )
+
+
+@query(
+    "udaf_grouped_price_stats",
+    oracle=f"""
+        SELECT l_returnflag,
+               round({sql_geometric_mean('l_extendedprice')}, 4)
+                 AS geomean_price,
+               round({sql_root_mean_square('l_discount')}, 6) AS rms_discount,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas-UDAF surface (SURVEY.md §2.10): custom
+    reductions inside groupBy().agg() — geometric-mean price + RMS
+    discount per return flag, hash-verified against the closed-form SQL
+    rewrite.  3 groups × ~600k rows at sf0.1: small group count is fine
+    for a demo, but note GROUPED_AGG shuffles raw values (no partial
+    agg) — see functions/udaf.py for when to prefer built-ins."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(geometric_mean(F.col("l_extendedprice")), 4).alias(
+                "geomean_price"
+            ),
+            F.round(root_mean_square(F.col("l_discount")), 6).alias(
+                "rms_discount"
+            ),
+            count_agg(F.col("l_extendedprice")).alias("n"),
+        )
     )

@@ -15,6 +15,7 @@ from ..registry import query
 from ..similarity.ann import (
     cosine_pairs_threshold,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 
@@ -109,3 +110,64 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle rebuilds identical buckets."""
     t = Tables(spark, sf_dir)
     return cosine_topk_lsh(t.embeddings, QUERY_IDS, TOP_K, BUCKET_BITS)
+
+
+N_CELLS = 16
+N_PROBE = 4
+_CCOS = sql_cosine_fold("v.embedding", "c.c_emb")
+_QCOS = sql_cosine_fold("q.q_emb", "c.c_emb")
+
+
+@query(
+    "sim_ann_topk_ivf",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ), assign AS (
+            SELECT v.vec_id, v.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({_CCOS}, 6) DESC, c.cent_id
+                   ) AS arn
+            FROM embeddings v CROSS JOIN cent c
+        ), cells AS (
+            SELECT vec_id, embedding, cent_id AS cell
+            FROM assign WHERE arn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM cells WHERE vec_id IN ({_IDS})
+        ), qcells AS (
+            SELECT query_id, q_emb, cell FROM (
+                SELECT q.query_id, q.q_emb, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round({_QCOS}, 6) DESC, c.cent_id
+                       ) AS prn
+                FROM q CROSS JOIN cent c
+            ) WHERE prn <= {N_PROBE}
+        ), scored AS (
+            SELECT qc.query_id, v.vec_id,
+                   round({sql_cosine_fold('qc.q_emb', 'v.embedding')}, 6)
+                     AS cosine
+            FROM qcells qc JOIN cells v ON qc.cell = v.cell
+            WHERE qc.query_id <> v.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 cells from deterministic centroids, probe 4): the
+    partition-pruned scale path — a query scans ~n_probe/n_cells of the
+    corpus.  Identical cell assignment in the oracle ⇒ hash-checked."""
+    t = Tables(spark, sf_dir)
+    return cosine_topk_ivf(
+        t.embeddings, QUERY_IDS, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE
+    )

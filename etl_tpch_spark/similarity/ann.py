@@ -101,3 +101,80 @@ def cosine_topk_lsh(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_cells``
+    Voronoi cells, probe only the ``n_probe`` cells nearest each query.
+
+    Centroid choice is deterministic — the corpus vectors with the
+    ``n_cells`` lowest ids (a real IVF trains k-means; the *index
+    structure and probe path* are identical, and swapping in trained
+    centroids is a one-line change that sacrifices oracle checkability).
+
+    Cost shape: assignment is corpus × n_cells (a broadcast of the tiny
+    centroid set — no corpus shuffle), probe is |Q| · n_probe/n_cells of
+    the corpus.  Recall < 1 by design (cross-cell neighbors are missed);
+    the bruteforce twin is the recall baseline.
+    """
+    cent = F.broadcast(
+        embeddings.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    # nearest centroid per corpus vector (ties → lowest cent_id)
+    scored_assign = embeddings.select("vec_id", "embedding").crossJoin(
+        cent
+    ).withColumn(
+        "c_cos", F.round(cosine_fold(F.col("embedding"), F.col("c_emb")), 6)
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id")
+    )
+    cells = (
+        scored_assign.withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    # each query probes its n_probe nearest cells
+    q = cells.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        F.broadcast(q)
+        .crossJoin(cent)
+        .withColumn(
+            "c_cos", F.round(cosine_fold(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("c_cos").desc(), F.col("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+    cand = F.broadcast(q_cells).join(cells, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_fold(F.col("q_emb"), F.col("embedding")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
