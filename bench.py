@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_tpch_spark import registry  # noqa: E402
 from etl_tpch_spark.session import get_spark  # noqa: E402
 
-# Headline set: the flagship + representative heavy operators per family.
+# Headline set: the flagship + representative heavy operators per family,
+# including the LLM-data-pipeline ops (dedup/similarity/inference) so the
+# bench tracks the whole engine, not just the relational core.
 HEADLINE = [
     "flagship_unshipped_orders",
     "topk_per_segment_window",
@@ -38,6 +40,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "q18_large_orders",
     "q21_waiting_orders",
+    "dedup_minhash_lsh",
+    "sim_ann_topk_ivf",
+    "text_quality_score",
+    "events_session_window",
+    "inference_batch_scores",
+    "multimodal_decode_lengths",
 ]
 
 

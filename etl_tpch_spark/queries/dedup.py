@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
-from ..dedup.hashing import sql_band_keys, sql_minhash_signature
+from ..dedup.hashing import (
+    sql_band_keys,
+    sql_minhash_signature,
+    sql_shingle_hashes,
+)
 from ..dedup.operators import (
     exact_duplicates,
     jaccard_pairs_brute,
@@ -113,10 +117,15 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
         WITH {_SQL_SH_CTE},
+        hashed AS (
+            SELECT doc_id, shingles,
+                   {sql_shingle_hashes('shingles')} AS hs
+            FROM sh WHERE len(shingles) > 0
+        ),
         sig AS (
             SELECT doc_id, shingles,
-                   {sql_minhash_signature('shingles')} AS mh
-            FROM sh WHERE len(shingles) > 0
+                   {sql_minhash_signature('hs')} AS mh
+            FROM hashed
         ),
         withbands AS (
             SELECT doc_id, shingles, unnest({sql_band_keys('mh')}) AS band

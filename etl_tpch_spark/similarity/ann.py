@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..dedup.hashing import cosine_fold, hyperplane_signature
+from ..dedup.hashing import (
+    _as_double_array,
+    cosine_fold,
+    dot_fold,
+    hyperplane_signature,
+)
 
 
 def cosine_topk_bruteforce(
@@ -53,18 +58,37 @@ def cosine_pairs_threshold(
     embeddings: DataFrame, threshold: float
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact, all-pairs — the recall
-    baseline; use LSH buckets at scale)."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    baseline; use LSH buckets at scale).
+
+    Per-vector work (double-cast + self-dot norm) is projected *before*
+    the O(n²) cross join — each pair then pays only the one dot-product
+    fold instead of three.  Values are identical to the naive form
+    (cosine = dot/sqrt(na·nb); the per-vector folds are the same math),
+    so the oracle is unchanged."""
+    prepped = embeddings.select(
+        "vec_id",
+        _as_double_array(F.col("embedding")).alias("demb"),
+    ).withColumn("norm2", dot_fold(F.col("demb"), F.col("demb")))
+    a = prepped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("demb").alias("emb_a"),
+        F.col("norm2").alias("na"),
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    b = prepped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("demb").alias("emb_b"),
+        F.col("norm2").alias("nb"),
     )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
-            "cosine", F.round(cosine_fold(F.col("emb_a"), F.col("emb_b")), 6)
+            "cosine",
+            F.round(
+                dot_fold(F.col("emb_a"), F.col("emb_b"))
+                / F.sqrt(F.col("na") * F.col("nb")),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
