@@ -31,18 +31,39 @@ from ..dedup.hashing import (
 )
 
 
+
+
+def _with_norm(df: DataFrame, id_alias: str, emb_alias: str, norm_alias: str):
+    """Project (id, double-cast embedding, self-dot norm) — per-vector
+    work hoisted out of per-pair scoring; cosine then costs one fold per
+    pair (dot / sqrt(na·nb)), value-identical to cosine_fold."""
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        _as_double_array(F.col("embedding")).alias(emb_alias),
+    ).withColumn(norm_alias, dot_fold(F.col(emb_alias), F.col(emb_alias)))
+
+
+def _pair_cosine(q_emb: str, c_emb: str, q_norm: str, c_norm: str):
+    return F.round(
+        dot_fold(F.col(q_emb), F.col(c_emb))
+        / F.sqrt(F.col(q_norm) * F.col(c_norm)),
+        6,
+    )
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, query_ids: list[int], k: int
 ) -> DataFrame:
     """Exact top-k neighbors for each query id (excluding itself)."""
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    corpus = _with_norm(embeddings, "vec_id", "c_emb", "c_norm")
+    q = _with_norm(
+        embeddings.filter(F.col("vec_id").isin(query_ids)),
+        "query_id", "q_emb", "q_norm",
     )
-    j = F.broadcast(q).crossJoin(
-        embeddings.select("vec_id", "embedding")
-    ).filter(F.col("query_id") != F.col("vec_id"))
+    j = F.broadcast(q).crossJoin(corpus).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
     scored = j.withColumn(
-        "cosine", F.round(cosine_fold(F.col("q_emb"), F.col("embedding")), 6)
+        "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -103,19 +124,24 @@ def cosine_topk_lsh(
     the 16-bit signature.  Join is an equi-join on bucket (shuffle by
     bucket — no cross join), making the probe cost n/2^bits per query."""
     mask = (1 << bucket_bits) - 1
-    sig = embeddings.withColumn(
-        "bucket", hyperplane_signature(F.col("embedding")).bitwiseAND(F.lit(mask))
+    sig = _with_norm(embeddings, "vec_id", "c_emb", "c_norm").withColumn(
+        "bucket",
+        hyperplane_signature(F.col("c_emb")).bitwiseAND(F.lit(mask)),
     )
+    # sig feeds both sides of the bucket join — persist so the 16-fold
+    # signature isn't computed twice over the corpus.
+    sig = sig.cache()
     q = sig.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("c_emb").alias("q_emb"),
+        F.col("c_norm").alias("q_norm"),
         F.col("bucket"),
     )
-    cand = F.broadcast(q).join(
-        sig.select("vec_id", "embedding", "bucket"), "bucket"
-    ).filter(F.col("query_id") != F.col("vec_id"))
+    cand = F.broadcast(q).join(sig, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
     scored = cand.withColumn(
-        "cosine", F.round(cosine_fold(F.col("q_emb"), F.col("embedding")), 6)
+        "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -147,17 +173,17 @@ def cosine_topk_ivf(
     the corpus.  Recall < 1 by design (cross-cell neighbors are missed);
     the bruteforce twin is the recall baseline.
     """
+    corpus = _with_norm(embeddings, "vec_id", "v_emb", "v_norm")
     cent = F.broadcast(
-        embeddings.filter(F.col("vec_id") < n_cells).select(
+        corpus.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("c_emb"),
+            F.col("v_emb").alias("ct_emb"),
+            F.col("v_norm").alias("ct_norm"),
         )
     )
     # nearest centroid per corpus vector (ties → lowest cent_id)
-    scored_assign = embeddings.select("vec_id", "embedding").crossJoin(
-        cent
-    ).withColumn(
-        "c_cos", F.round(cosine_fold(F.col("embedding"), F.col("c_emb")), 6)
+    scored_assign = corpus.crossJoin(cent).withColumn(
+        "c_cos", _pair_cosine("v_emb", "ct_emb", "v_norm", "ct_norm")
     )
     w_assign = W.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("cent_id")
@@ -165,17 +191,19 @@ def cosine_topk_ivf(
     cells = (
         scored_assign.withColumn("arn", F.row_number().over(w_assign))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+        .select("vec_id", "v_emb", "v_norm", F.col("cent_id").alias("cell"))
     )
     # each query probes its n_probe nearest cells
     q = cells.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v_emb").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
     )
     q_cells = (
         F.broadcast(q)
         .crossJoin(cent)
         .withColumn(
-            "c_cos", F.round(cosine_fold(F.col("q_emb"), F.col("c_emb")), 6)
+            "c_cos", _pair_cosine("q_emb", "ct_emb", "q_norm", "ct_norm")
         )
         .withColumn(
             "prn",
@@ -186,13 +214,13 @@ def cosine_topk_ivf(
             ),
         )
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+        .select("query_id", "q_emb", "q_norm", F.col("cent_id").alias("cell"))
     )
     cand = F.broadcast(q_cells).join(cells, "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.withColumn(
-        "cosine", F.round(cosine_fold(F.col("q_emb"), F.col("embedding")), 6)
+        "cosine", _pair_cosine("q_emb", "v_emb", "q_norm", "v_norm")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")

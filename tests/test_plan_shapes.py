@@ -1,0 +1,78 @@
+"""Physical-plan regression tests (SURVEY.md §4 discipline).
+
+Correctness tests can't catch a plan regression — a flagship that
+silently loses its broadcast hint or its parquet filter pushdown still
+returns the right rows, just 100× slower at scale.  These tests pin the
+plan properties the engine's scale story depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_tpch_spark import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = registry.load_all()
+
+    def get(name: str) -> str:
+        df = qs[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    return get
+
+
+def test_flagship_plan(plans):
+    p = plans("flagship_unshipped_orders")
+    # dims broadcast, facts pre-filtered at the scan, true top-k operator
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p
+    assert "LessThan(o_orderdate" in p  # date predicate reached parquet
+    assert "GreaterThan(l_shipdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_column_pruning(plans):
+    p = plans("flagship_unshipped_orders")
+    # lineitem scan must read only the 4 needed columns
+    for line in p.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_quantity" not in line and "l_returnflag" not in line
+
+
+def test_q1_partial_aggregation(plans):
+    p = plans("q1_pricing_summary")
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topk_window_single_shuffle_per_stage(plans):
+    p = plans("topk_per_segment_window")
+    # window top-k: no TakeOrdered (global), but a single window sort
+    assert "RunningWindowFunction" in p or "Window" in p
+    assert "BroadcastHashJoin" in p  # customer dim broadcast
+
+
+def test_q9_dims_broadcast(plans):
+    p = plans("q9_product_type_profit")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters" in p
+
+
+def test_ann_ivf_no_corpus_shuffle_for_assignment(plans):
+    p = plans("sim_ann_topk_ivf")
+    # centroid set must broadcast; corpus assignment is map-side
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_minhash_no_cartesian(plans):
+    p = plans("dedup_minhash_lsh")
+    assert "CartesianProduct" not in p  # band equi-join, never all-pairs
