@@ -28,6 +28,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import generate as _gen
@@ -51,20 +52,32 @@ def ingest_table(
     schema: T.StructType | None = None,
     fmt: str = "parquet",
     delete_after: bool = False,
+    partition_by: tuple[str, ...] = (),
+    derive: dict[str, str] | None = None,
 ) -> int:
     """Append every staged batch of ``table`` into
     ``<processed>/<table>/``.  Returns the number of batch dirs ingested.
+
+    ``partition_by`` hive-partitions the sink (``col=value/`` dirs);
+    ``derive`` adds computed columns first (SQL exprs, e.g.
+    ``{"o_order_date": "date(o_order_time)"}``) so event tables can be
+    laid out by day.  At 100 TB this is the difference between a
+    full-table scan and reading one day's directory: any query filter on
+    a partition column becomes a PartitionFilter (pruned at *planning*,
+    no file even listed).  Keep partition cardinality moderate (days,
+    regions — not user ids): each value is a directory of files.
     """
     batches = list_staged_files(staging_dir, table)
     if not batches:
         return 0
     s = schema or LIVE[table]
     df = spark.read.schema(s).json(batches)
-    (
-        df.write.format(fmt)
-        .mode("append")
-        .save(os.path.join(processed_dir, table))
-    )
+    for col, expr in (derive or {}).items():
+        df = df.withColumn(col, F.expr(expr))
+    writer = df.write.format(fmt).mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(os.path.join(processed_dir, table))
     if delete_after:  # reference's consume-and-delete (preprocess.py:45)
         for b in batches:
             shutil.rmtree(b, ignore_errors=True)
