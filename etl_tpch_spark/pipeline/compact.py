@@ -51,6 +51,15 @@ def compact_table(
     path = os.path.join(processed_dir, table)
     if not os.path.exists(path):
         return 0
+    if os.path.exists(os.path.join(path, "_spark_metadata")):
+        # Directory is managed by a Structured Streaming sink: its
+        # _spark_metadata log IS the exactly-once guarantee, and it
+        # indexes files by name — an external rewrite would orphan the
+        # log and break both readers and the next streaming append.
+        # Compacting a streamed table needs a log-aware format (Delta
+        # OPTIMIZE) or a stop-the-stream rewrite that also resets the
+        # checkpoint; refusing here keeps exactly-once intact.
+        return 0
     n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb * 2**20)))
 
     tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"

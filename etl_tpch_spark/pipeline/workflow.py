@@ -1,0 +1,78 @@
+"""One-call pipeline cycle — the engine-side equivalent of the
+reference's Prefect deployment set (workflow.py:12-39).
+
+The reference schedules five flows at fixed intervals (generate 15 min,
+ingest 15 min, compact 6 h, reduce 24 h, dashboard 5 min).  Scheduling
+belongs to the caller's orchestrator (cron/Airflow/Prefect — all can
+call a Python function); what the engine owes is the *stage graph* with
+correct ordering and idempotence.  ``run_cycle`` executes one tick of
+every stage; per-stage booleans reproduce the differing cadences
+(e.g. ``compact=`` every 24th call ≙ 6 h vs 15 min).
+
+The streaming variant of ingest (exactly-once, no consume-and-delete)
+is used when a checkpoint dir is supplied; otherwise the batch path
+mirrors the reference's delete-after-write.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .compact import compact_all
+from .generate import incrementalize
+from .ingest import ingest_all
+from .reduce import query_reduce
+
+
+def run_cycle(
+    spark: SparkSession,
+    source_dir: str,
+    root_dir: str,
+    *,
+    now: datetime,
+    generate: bool = True,
+    ingest: bool = True,
+    compact: bool = False,
+    reduce: bool = False,
+    checkpoint: bool = True,
+    key_fn: str = "hash",
+    k: int = 50,
+) -> dict[str, Any]:
+    """Run one micro-batch tick over the medallion zones rooted at
+    ``root_dir`` (staging/ processed/ results/ checkpoints/).  Returns a
+    stage → outcome summary."""
+    staging = os.path.join(root_dir, "staging")
+    processed = os.path.join(root_dir, "processed")
+    results = os.path.join(root_dir, "results")
+    out: dict[str, Any] = {}
+
+    if generate:
+        out["generate"] = incrementalize(
+            spark, source_dir, staging, now=now, key_fn=key_fn
+        )
+    if ingest:
+        if checkpoint:
+            from ..streaming.ingest import stream_ingest_all
+
+            qmap = stream_ingest_all(
+                spark,
+                staging,
+                processed,
+                os.path.join(root_dir, "checkpoints"),
+            )
+            out["ingest"] = sorted(qmap)
+        else:
+            out["ingest"] = ingest_all(
+                spark, staging, processed, delete_after=True
+            )
+    if compact:
+        out["compact"] = compact_all(spark, processed)
+    if reduce:
+        out["reduce"] = query_reduce(
+            spark, processed, results, cutoff=now, k=k
+        )
+    return out

@@ -169,3 +169,27 @@ def test_reduce_accepts_testdata_naming(spark):
     assert out.columns == [
         "l_orderkey", "revenue", "o_orderdate", "o_orderpriority",
     ]
+
+
+def test_run_cycle_full_tick(spark, tmp_path_factory):
+    """workflow.run_cycle: two ticks with streaming ingest — second tick
+    ingests only its own new batch (checkpoint), reduce sees both."""
+    from etl_tpch_spark.pipeline.workflow import run_cycle
+
+    root = str(tmp_path_factory.mktemp("cycle"))
+    r1 = run_cycle(
+        spark, TEST_SF_DIR, root, now=NOW, compact=True, reduce=True, k=5
+    )
+    assert set(r1) == {"generate", "ingest", "compact", "reduce"}
+    assert len(r1["generate"]) == 7 and len(r1["reduce"]) == 5
+    # every table was stream-ingested → sink-managed (_spark_metadata)
+    # → compaction must skip all of them to keep exactly-once intact
+    assert all(v == 0 for v in r1["compact"].values())
+
+    orders_dir = os.path.join(root, "processed", "orders")
+    n1 = spark.read.parquet(orders_dir).count()
+    r2 = run_cycle(
+        spark, TEST_SF_DIR, root, now=NOW + timedelta(minutes=15)
+    )
+    assert len(r2["generate"]) == 2  # static tables skipped
+    assert spark.read.parquet(orders_dir).count() == 2 * n1
