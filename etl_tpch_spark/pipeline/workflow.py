@@ -76,3 +76,21 @@ def run_cycle(
             spark, processed, results, cutoff=now, k=k
         )
     return out
+
+
+def results_ready(
+    results_dir: str,
+    segments: tuple[str, ...] = (
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    ),
+) -> bool:
+    """Health check ≙ the reference's dashboard flow (dashboard.py:24-32
+    waits until all 5 segment result files exist): True once every
+    segment's gold parquet is present and non-empty."""
+    for seg in segments:
+        path = os.path.join(results_dir, f"{seg.lower()}.snappy.parquet")
+        if not os.path.isdir(path):
+            return False
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            return False
+    return True
