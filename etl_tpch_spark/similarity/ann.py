@@ -28,6 +28,7 @@ from ..dedup.hashing import (
     cosine_fold,
     dot_fold,
     hyperplane_signature,
+    hyperplane_signature_udf,
 )
 
 
@@ -126,10 +127,10 @@ def cosine_topk_lsh(
     mask = (1 << bucket_bits) - 1
     sig = _with_norm(embeddings, "vec_id", "c_emb", "c_norm").withColumn(
         "bucket",
-        hyperplane_signature(F.col("c_emb")).bitwiseAND(F.lit(mask)),
+        hyperplane_signature_udf()(F.col("c_emb")).bitwiseAND(F.lit(mask)),
     )
-    # sig feeds both sides of the bucket join — persist so the 16-fold
-    # signature isn't computed twice over the corpus.
+    # sig feeds both sides of the bucket join — persist so the corpus
+    # signature isn't computed twice.
     sig = sig.cache()
     q = sig.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
