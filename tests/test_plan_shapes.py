@@ -76,3 +76,40 @@ def test_ann_ivf_no_corpus_shuffle_for_assignment(plans):
 def test_minhash_no_cartesian(plans):
     p = plans("dedup_minhash_lsh")
     assert "CartesianProduct" not in p  # band equi-join, never all-pairs
+
+
+# Queries where a nested-loop/cartesian join is *by design*: one-row
+# scalar broadcasts (q11/q22), the derived-partsupp non-equi build (q2),
+# and the documented all-pairs baselines (simhash, brute cosine, and the
+# tiny centroid/query broadcasts of IVF/bruteforce ANN).
+NLJ_ALLOWED = {
+    "dedup_simhash",
+    "q11_important_stock",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "sim_ann_topk_bruteforce",
+    "sim_ann_topk_ivf",
+    "sim_cosine_pairs",
+}
+
+
+def test_no_unexpected_nested_loop_joins(spark, sf_dir):
+    """Every registered query's plan is free of CartesianProduct /
+    BroadcastNestedLoopJoin unless explicitly allowlisted — catches an
+    accidentally-dropped equi-join condition anywhere in the engine."""
+    qs = registry.load_all()
+    offenders = {}
+    for name, q in qs.items():
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        marks = [
+            m
+            for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if m in plan
+        ]
+        if marks and name not in NLJ_ALLOWED:
+            offenders[name] = marks
+    assert not offenders, offenders
