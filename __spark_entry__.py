@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (registered alongside
-    each Spark implementation). Queries absent here are the genuinely
-    non-SQL-expressible ones (hash-dependent LSH etc.) → rows-only check."""
+    each Spark implementation).  Even the LSH/minhash/IVF operators are
+    hash-checked (deterministic md5/LCG randomness, sequential float
+    folds — dedup/hashing.py); the only rows-only entry is the
+    Python-side multimodal featurization."""
     return registry.oracle_sql()
