@@ -75,8 +75,8 @@ class Tables:
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view so `spark.sql` queries see the
-    same names the DuckDB oracle pre-registers (SURVEY.md §5)."""
+    same names the DuckDB oracle pre-registers (SURVEY.md §5).  Goes
+    through load_table for the events nanos-timestamp handling."""
     for name in names:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+        if os.path.exists(table_path(sf_dir, name)):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,91 @@
+"""SQL-API surface: the SAME ANSI string runs on spark.sql AND DuckDB.
+
+Everything else in the engine is DataFrame-first with a DuckDB oracle
+as an independent re-implementation.  These entries close the loop on
+the ``spark.sql`` entry point (SURVEY.md §7 Milestone 3): the query IS
+its own oracle — one ANSI-compatible string executed by both engines
+over identically-named views, so any SQL-surface divergence (parser,
+type coercion, function semantics) fails the hash check directly.
+
+Restricted to the ANSI intersection: no DuckDB list_* functions, no
+Spark-only syntax.  Timestamp literals, CASE, CTEs, window functions
+and decimal casts are all in the common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+_SQL_REVENUE_BY_STATUS = """
+    SELECT l_linestatus,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_linestatus
+"""
+
+
+@query("sql_api_revenue_by_status", oracle=_SQL_REVENUE_BY_STATUS)
+def sql_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql aggregate — the registered SQL string is executed
+    verbatim by both engines."""
+    return _run(spark, sf_dir, _SQL_REVENUE_BY_STATUS)
+
+
+_SQL_TOP_CUSTOMERS = """
+    WITH order_totals AS (
+        SELECT o_custkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS total_spent,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, c_mktsegment, total_spent, n_orders
+    FROM customer
+    JOIN order_totals ON c_custkey = o_custkey
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 25
+"""
+
+
+@query("sql_api_top_customers", oracle=_SQL_TOP_CUSTOMERS)
+def sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql CTE + join + top-k, shared string with the oracle."""
+    return _run(spark, sf_dir, _SQL_TOP_CUSTOMERS)
+
+
+_SQL_PRIORITY_WINDOW = """
+    SELECT o_orderpriority,
+           o_orderkey,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT o_orderpriority,
+               o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    ) t
+    WHERE rnk <= 5
+"""
+
+
+@query("sql_api_priority_window", oracle=_SQL_PRIORITY_WINDOW)
+def sql_priority_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql window function, shared string with the oracle."""
+    return _run(spark, sf_dir, _SQL_PRIORITY_WINDOW)

@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.flagship",
     "etl_tpch_spark.queries.tpch",
     "etl_tpch_spark.queries.tpch_partsupp",
+    "etl_tpch_spark.queries.sql_api",
     "etl_tpch_spark.queries.relational_ops",
     "etl_tpch_spark.queries.events",
     "etl_tpch_spark.queries.text",
