@@ -89,3 +89,32 @@ _SQL_PRIORITY_WINDOW = """
 def sql_priority_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.sql window function, shared string with the oracle."""
     return _run(spark, sf_dir, _SQL_PRIORITY_WINDOW)
+
+
+@query(
+    "catalog_list_tables",
+    oracle="""
+        SELECT table_name
+        FROM information_schema.tables
+        WHERE table_name IN
+            ('region','nation','customer','supplier','part',
+             'orders','lineitem','events','documents','embeddings')
+        ORDER BY table_name
+    """,
+)
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog scan (SURVEY.md S2 — reference data.py:56-60 lists
+    information_schema.tables): register the sf_dir tables as views,
+    then read them back from spark.catalog.listTables — hash-matched
+    against DuckDB's information_schema over the same views."""
+    from ..schemas import TABLE_NAMES
+
+    register_views(spark, sf_dir)
+    names = sorted(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.isTemporary and t.name in TABLE_NAMES
+    )
+    return spark.createDataFrame(
+        [(n,) for n in names], "table_name string"
+    )
