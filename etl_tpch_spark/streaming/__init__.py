@@ -17,6 +17,7 @@ T1-T6).  Spark replaces that machinery natively:
 """
 
 from .ingest import stream_ingest_all, stream_ingest_table
+from .joins import stream_orders_lineitem_join
 from .stateful import running_user_stats
 from .windows import (
     session_window_stats,
@@ -28,6 +29,7 @@ from .windows import (
 __all__ = [
     "stream_ingest_table",
     "stream_ingest_all",
+    "stream_orders_lineitem_join",
     "streaming_events_source",
     "tumbling_window_counts",
     "sliding_window_avg",

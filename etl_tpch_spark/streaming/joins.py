@@ -1,0 +1,62 @@
+"""Stream-stream joins: the live form of the flagship's orders⋈lineitem.
+
+The reference never joins two live feeds — its daily query reads fully
+materialized Delta tables (reduce.py:43-64).  Spark can join the two
+micro-batch streams directly: each side buffers rows in the state store
+until the other side's matches arrive, with watermarks + a time-range
+join condition bounding how long state is kept.
+
+State-size contract (the thing to get right at 100 TB/day):
+
+- both inputs carry a watermark (``withWatermark``);
+- the join condition includes an event-time range tying the two sides
+  (here: a lineitem ships within ``horizon`` of its order) — Spark
+  derives each side's state eviction from watermark + range;
+- without the range bound the state store grows unboundedly and the
+  join is still *allowed* — it just never evicts; always give one.
+
+Inner joins emit in append mode as soon as a match lands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_orders_lineitem_join(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    watermark: str = "30 days",
+    horizon_days: int = 4,
+) -> DataFrame:
+    """Join live orders and lineitem streams on order key with an
+    event-time range bound (LIVE schema: string uuid keys,
+    ``o_order_time``/``l_ship_time``; ship within ``horizon_days`` of
+    order time, per the generator's semantics data.py:96-108)."""
+    o = orders.withWatermark("o_order_time", watermark).select(
+        "o_orderkey", "o_custkey", "o_order_time", "o_orderpriority"
+    )
+    l = lineitem.withWatermark("l_ship_time", watermark).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_ship_time"
+    )
+    return o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_ship_time") >= F.col("o_order_time"))
+        & (
+            F.col("l_ship_time")
+            <= F.col("o_order_time") + F.expr(f"INTERVAL {horizon_days} DAYS")
+        ),
+        "inner",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_order_time",
+        "l_ship_time",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

@@ -144,3 +144,58 @@ def test_stateful_running_user_stats(spark, events_dir, ckpt):
         exp[["user_id", "n_events", "last_seen"]],
     )
     assert (got.total_value - exp.total_value).abs().max() < 1e-6
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path_factory):
+    """Stream-stream orders⋈lineitem (watermarked, time-range-bounded)
+    must produce exactly the batch join of the same data."""
+    from etl_tpch_spark.pipeline import incrementalize, list_staged_files
+    from etl_tpch_spark.schemas import LIVE
+    from etl_tpch_spark.streaming import stream_orders_lineitem_join
+
+    root = tmp_path_factory.mktemp("ssj")
+    staging = str(root / "staging")
+    incrementalize(spark, TEST_SF_DIR, staging, now=NOW, key_fn="hash")
+    o_dir = os.path.dirname(list_staged_files(staging, "orders")[0])
+    l_dir = os.path.dirname(list_staged_files(staging, "lineitem")[0])
+
+    def src(d, table):
+        return (
+            spark.readStream.schema(LIVE[table])
+            .option("pathGlobFilter", "*.json")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "2")
+            .json(d)
+        )
+
+    joined = stream_orders_lineitem_join(
+        src(o_dir, "orders"), src(l_dir, "lineitem")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssj_out").toPandas()
+
+    def batch_src(d, table):
+        return (
+            spark.read.schema(LIVE[table])
+            .option("pathGlobFilter", "*.json")
+            .option("recursiveFileLookup", "true")
+            .json(d)
+        )
+
+    bo = batch_src(o_dir, "orders")
+    bl = batch_src(l_dir, "lineitem")
+    exp = stream_orders_lineitem_join(bo, bl).toPandas()
+
+    assert len(got) == len(exp) > 0
+    cols = ["o_orderkey", "l_ship_time", "revenue"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(x)
