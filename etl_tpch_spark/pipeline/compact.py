@@ -30,6 +30,24 @@ from pyspark.sql import SparkSession
 from .ingest import ALL_TABLES
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Walk down the first directory chain collecting hive partition
+    column names (``col=value`` dirs), outermost first."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = [
+            d
+            for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d
+        ]
+        if not subs:
+            return cols
+        name = subs[0].split("=", 1)[0]
+        cols.append(name)
+        cur = os.path.join(cur, subs[0])
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -62,11 +80,18 @@ def compact_table(
         return 0
     n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb * 2**20)))
 
+    # hive-partitioned layout (col=value dirs) must survive compaction —
+    # a flat rewrite would fold partition columns back into data files
+    # and silently lose partition pruning for every later reader.
+    part_cols = _partition_columns(path)
+
     tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    spark.read.format(fmt).load(path).coalesce(n_files).write.format(
-        fmt
-    ).mode("overwrite").save(tmp)
+    df = spark.read.format(fmt).load(path)
+    writer = df.coalesce(n_files).write.format(fmt).mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(tmp)
     # atomic-ish swap: two renames; readers resolve the directory at scan
     # planning time, so they see either the old or the new listing
     # (reference holds lock_compact instead, preprocess.py:89).

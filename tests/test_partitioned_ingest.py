@@ -68,3 +68,25 @@ def test_partition_pruning_in_plan(spark, partitioned):
         .count()
     )
     assert pruned == exact > 0
+
+
+def test_compact_preserves_partition_layout(spark, partitioned):
+    """Compaction must keep the hive layout (and thus pruning) intact."""
+    from etl_tpch_spark.pipeline import compact_all
+
+    parent = os.path.dirname(partitioned)
+    pre_rows = spark.read.parquet(partitioned).count()
+    pre_dirs = sorted(
+        d for d in os.listdir(partitioned) if d.startswith("ship_date=")
+    )
+    compact_all(spark, parent, tables=("lineitem",))
+    post_dirs = sorted(
+        d for d in os.listdir(partitioned) if d.startswith("ship_date=")
+    )
+    assert post_dirs == pre_dirs
+    df = spark.read.parquet(partitioned)
+    assert df.count() == pre_rows
+    plan = df.filter(F.col("ship_date") == "2026-03-02")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "PartitionFilters" in plan
