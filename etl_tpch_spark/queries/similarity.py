@@ -17,6 +17,7 @@ from ..similarity.ann import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_lsh_multiprobe,
 )
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -170,4 +171,47 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return cosine_topk_ivf(
         t.embeddings, QUERY_IDS, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE
+    )
+
+
+_PROBE_LIST = "[sig0.bucket, " + ", ".join(
+    f"xor(sig0.bucket, {1 << i})" for i in range(BUCKET_BITS)
+) + "]"
+
+
+@query(
+    "sim_ann_topk_lsh_multiprobe",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   ({_SIG}) & {(1 << BUCKET_BITS) - 1} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT sig0.vec_id AS query_id, sig0.embedding AS q_emb,
+                   unnest({_PROBE_LIST}) AS bucket
+            FROM sig sig0 WHERE sig0.vec_id IN ({_IDS})
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   round({_COS}, 6) AS cosine
+            FROM q JOIN sig c ON q.bucket = c.bucket
+            WHERE q.query_id <> c.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: own bucket + all Hamming-1 neighbor buckets
+    (similarity/ann.py) — the recall knob between single-probe LSH and
+    the brute-force scan; probe set is deterministic so the oracle
+    rebuilds it exactly."""
+    t = Tables(spark, sf_dir)
+    return cosine_topk_lsh_multiprobe(
+        t.embeddings, QUERY_IDS, TOP_K, BUCKET_BITS
     )

@@ -231,3 +231,56 @@ def cosine_topk_ivf(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+def cosine_topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket plus every
+    bucket at Hamming distance 1 in signature space (flip one of the
+    ``bucket_bits`` sign bits).  Near-misses — neighbors falling just
+    across one hyperplane — are recovered, trading (1 + bits)× probe
+    cost for recall; still n·(1+b)/2^b of the corpus per query vs the
+    brute-force scan.  Deterministic probe set ⇒ oracle-checkable."""
+    mask = (1 << bucket_bits) - 1
+    sig = _with_norm(embeddings, "vec_id", "c_emb", "c_norm").withColumn(
+        "bucket",
+        hyperplane_signature_udf()(F.col("c_emb")).bitwiseAND(F.lit(mask)),
+    )
+    sig = sig.cache()
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(bucket_bits)
+        ],
+    )
+    q = (
+        sig.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("c_emb").alias("q_emb"),
+            F.col("c_norm").alias("q_norm"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(sig, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "q_emb", "q_norm", "vec_id", "c_emb", "c_norm")
+    )
+    scored = cand.withColumn(
+        "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
