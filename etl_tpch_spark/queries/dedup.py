@@ -17,6 +17,7 @@ from ..dedup.hashing import (
     sql_minhash_signature,
     sql_shingle_hashes,
 )
+from ..dedup.clusters import connected_components
 from ..dedup.operators import (
     exact_duplicates,
     jaccard_pairs_brute,
@@ -24,7 +25,7 @@ from ..dedup.operators import (
     simhash_pairs,
 )
 from ..functions.text import HASH_MOD, fingerprint, sql_fingerprint, tokens
-from ..registry import query
+from ..registry import REGISTRY, query
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _SQL_SHINGLES = (
@@ -199,3 +200,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table (band it at true scale)."""
     t = Tables(spark, sf_dir)
     return simhash_pairs(t.documents, SIMHASH_MAX_HAMMING)
+
+
+_MINHASH_PAIRS_SQL = REGISTRY["dedup_minhash_lsh"].oracle
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        )
+        SELECT s AS doc_id,
+               least(s, min(d)) AS cluster_id
+        FROM reach
+        GROUP BY s
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: minhash-LSH pairs → connected components via
+    iterative min-label propagation (dedup/clusters.py — the one
+    genuinely iterative operator in the engine).  The DuckDB oracle
+    replicates it with a recursive CTE (transitive closure + min),
+    so even this is hash-checked, not rows-only."""
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
+    return connected_components(pairs)

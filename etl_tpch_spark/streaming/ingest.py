@@ -94,3 +94,22 @@ def stream_ingest_all(
                 spark, staging_dir, processed_dir, checkpoint_dir, t
             )
     return out
+
+
+def dedup_stream(
+    events,
+    *,
+    keys: list[str] | None = None,
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: drop duplicate events within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of ``dedup.exact_duplicates``.  State holds only
+    keys newer than the watermark, so memory is bounded by (distinct
+    keys per horizon), not stream length; the reference's pipeline has
+    no dedup at all (duplicate appends on retry are accepted,
+    preprocess.py:22-27)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark(event_time, watermark)\
+        .dropDuplicatesWithinWatermark(keys)

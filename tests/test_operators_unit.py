@@ -192,3 +192,32 @@ def test_revenue_expression_edges(spark):
     )
     got = [r.rev for r in df.select(rev_dec().alias("rev")).collect()]
     assert got == [100.0, 0.0, 0.0]
+
+
+# -------------------------------------------------------- components
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3 + pair (10,11) + isolated via edge (20,20)? → chain
+    collapses to min 1, pair to 10; transitivity across hops."""
+    from etl_tpch_spark.dedup.clusters import (
+        canonical_documents,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in canonical_documents(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 99]  # canonicals + untouched singleton

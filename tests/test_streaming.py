@@ -199,3 +199,34 @@ def test_stream_stream_join_equals_batch(spark, tmp_path_factory):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     x = exp[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(x)
+
+
+def test_streaming_dedup(spark, events_dir, ckpt, tmp_path_factory):
+    """dropDuplicatesWithinWatermark over a replayed stream with
+    duplicated input files must emit each event_id once."""
+    from etl_tpch_spark.streaming.ingest import dedup_stream
+
+    # duplicate the events dir: same rows twice → 2× input, 1× output
+    dup_dir = str(tmp_path_factory.mktemp("dup") / "events")
+    base = spark.read.parquet(events_dir)
+    base.write.parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    src = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(dup_dir)
+    )
+    out = dedup_stream(src, watermark="365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ck")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_out").toPandas()
+    assert len(got) == base.count()
+    assert got.event_id.is_unique
