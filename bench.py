@@ -46,6 +46,7 @@ HEADLINE = [
     "events_session_window",
     "inference_batch_scores",
     "multimodal_decode_lengths",
+    "corpus_curation",
 ]
 
 

@@ -191,3 +191,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(toks).alias("fp"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+        WITH canonical AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(text)
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   round(least(len({_SQL_TOKS}) / 50.0, 1.0)
+                         * (len(list_distinct({_SQL_TOKS})) * 1.0
+                            / len({_SQL_TOKS})), 6) AS quality,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens
+            FROM documents d
+            JOIN canonical c ON d.doc_id = c.doc_id
+            WHERE length(d.text) BETWEEN 100 AND 5000
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_quality
+        FROM scored
+        WHERE quality >= 0.3
+        GROUP BY lang, source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in one plan: exact-dedup to
+    canonical docs → length gate → quality score ≥ 0.3 → per-(lang,
+    source) corpus statistics.  The composition every LLM data pipeline
+    runs nightly, expressed as pure Catalyst operators (dedup semi-join
+    + filters + one aggregation — two shuffles total)."""
+    t = Tables(spark, sf_dir)
+    canonical = (
+        t.documents.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    scored = (
+        t.documents.join(canonical, "doc_id", "left_semi")
+        .filter(F.length("text").between(100, 5000))
+        .select(
+            "lang",
+            "source",
+            F.round(
+                F.least(n_words / 50.0, F.lit(1.0))
+                * (n_uniq * 1.0 / n_words),
+                6,
+            ).alias("quality"),
+            F.size(toks).cast("long").alias("ws_tokens"),
+        )
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.3)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            # exact decimal sum → one double division: summation-order
+            # independent, unlike avg(double) (functions/agg.py davg)
+            F.round(
+                F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+    )

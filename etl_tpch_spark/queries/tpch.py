@@ -647,7 +647,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#11'
           AND l_quantity < (
-              SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+              SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                                 AS DOUBLE) / count(l_quantity))
+              FROM lineitem l2
               WHERE l2.l_partkey = lineitem.l_partkey
           )
     """,
@@ -657,8 +659,14 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average once and join it back (the classic decorrelation;
     Catalyst does the same rewrite for the SQL form)."""
     t = Tables(spark, sf_dir)
+    # threshold via exact decimal sum / count: avg(double) folds in
+    # partition order and can flip a boundary row between runs/engines
     part_avg = t.lineitem.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+        (
+            F.lit(0.5)
+            * (F.sum(qty(F.col("l_quantity"))).cast("double")
+               / F.count("l_quantity"))
+        ).alias("qty_threshold")
     )
     j = (
         t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
@@ -895,7 +903,9 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
         FROM customer
         WHERE c_acctbal > (
-            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer WHERE c_acctbal > 0.0
         )
         AND NOT EXISTS (
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -909,7 +919,10 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     avg_bal = (
         t.customer.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("ab"))
+        .agg(
+            (F.sum(money(F.col("c_acctbal"))).cast("double")
+             / F.count(F.lit(1))).alias("ab")
+        )
     )
     rich = t.customer.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("ab")
