@@ -221,3 +221,58 @@ def test_connected_components_chain_and_islands(spark):
         r.doc_id for r in canonical_documents(docs, pairs).collect()
     )
     assert kept == [1, 10, 99]  # canonicals + untouched singleton
+
+
+# ---------------------------------------------------------- text fns
+
+
+def test_text_function_edges(spark):
+    """tokens/stopword_count/fingerprint on edge inputs: empty string,
+    repeated whitespace, unicode — no crashes, sensible values."""
+    from etl_tpch_spark.functions.text import (
+        STOPWORDS,
+        fingerprint,
+        stopword_count,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "the the THE of and"),
+            (4, "naïve café 旅行 emoji \U0001F600 ok"),
+        ],
+        "id long, text string",
+    )
+    toks = tokens(F.col("text"))
+    out = {
+        r.id: (r.n, r.sw, r.fp)
+        for r in df.select(
+            "id",
+            F.size(toks).alias("n"),
+            stopword_count(toks, STOPWORDS["en"]).alias("sw"),
+            fingerprint(toks).alias("fp"),
+        ).collect()
+    }
+    assert out[1][0] == 0 and out[2][0] == 0  # empty/space → no tokens
+    assert out[3][0] == 5
+    assert out[3][1] == 4  # case-sensitive hits: the, the, of, and (THE excluded)
+    assert out[4][0] == 6  # unicode tokens intact
+    assert isinstance(out[1][2], int)  # fingerprint total on empty
+
+
+def test_cjk_detection(spark):
+    from etl_tpch_spark.functions.text import CJK_PATTERN
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "你好 世界"), (3, "mixed 漢字 text")],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.cjk
+        for r in df.select(
+            "id", F.col("text").rlike(CJK_PATTERN).alias("cjk")
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
