@@ -197,3 +197,53 @@ def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("errors") * 1.0 / F.col("total"), 6),
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                     AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS viewed,
+            CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after,
+            CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                          THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after
+        FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first
+    click precedes their first purchase — one conditional-min aggregate
+    per user then one global roll-up (two shuffles, no joins, no
+    windows; the idiomatic funnel at any scale)."""
+    t = Tables(spark, sf_dir)
+
+    def first_ts(ev: str):
+        return F.min(
+            F.when(F.col("event_type") == ev, F.col("ts"))
+        ).alias(f"t_{ev}")
+
+    firsts = t.events.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).alias("viewed"),
+        F.sum(clicked.cast("int")).alias("clicked_after"),
+        F.sum(purchased.cast("int")).alias("purchased_after"),
+    )
