@@ -83,6 +83,7 @@ def test_minhash_no_cartesian(plans):
 # and the documented all-pairs baselines (simhash, brute cosine, and the
 # tiny centroid/query broadcasts of IVF/bruteforce ANN).
 NLJ_ALLOWED = {
+    "dedup_embedding_clusters",  # pair stage = sim_cosine_pairs baseline
     "dedup_simhash",
     "q11_important_stock",
     "q22_sales_opportunity",
