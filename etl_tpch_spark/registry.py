@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.tpch_partsupp",
     "etl_tpch_spark.queries.sql_api",
     "etl_tpch_spark.queries.relational_ops",
+    "etl_tpch_spark.queries.profiling",
     "etl_tpch_spark.queries.events",
     "etl_tpch_spark.queries.text",
     "etl_tpch_spark.queries.dedup",
