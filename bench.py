@@ -47,6 +47,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_ann_topk_ivf",
     "text_quality_score",
+    "sample_hash_split",
+    "text_chunking",
+    "text_contamination",
     "events_session_window",
     "inference_batch_scores",
     "multimodal_decode_lengths",

@@ -26,7 +26,20 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """One row per key: highest ``order_col`` wins.  ``order_col`` must
+    be a total order per key (version / source timestamp), otherwise
+    ties resolve arbitrarily."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def upsert_table(
@@ -36,16 +49,27 @@ def upsert_table(
     updates: DataFrame,
     *,
     key: str,
+    order_col: str | None = None,
     fmt: str = "parquet",
 ) -> int:
     """Merge ``updates`` into ``<processed>/<table>/`` by ``key``.
     Returns the resulting row count.  Creates the table if absent.
     Refuses streaming-sink-managed dirs (same reason as compaction:
-    an external rewrite orphans the sink's exactly-once log)."""
+    an external rewrite orphans the sink's exactly-once log).
+
+    Without ``order_col``: unconditional replace (update rows win) —
+    the plain MERGE.  With ``order_col``: latest-wins merge across
+    target ∪ updates — *replay-safe*: re-applying an old update batch
+    after newer versions landed is a no-op, which is what makes the
+    streaming foreachBatch sink (streaming/sink.py) exactly-once by
+    idempotence."""
     path = os.path.join(processed_dir, table)
     if not os.path.exists(path):
-        updates.write.format(fmt).save(path)
-        return updates.count()
+        first = (
+            latest_per_key(updates, key, order_col) if order_col else updates
+        )
+        first.write.format(fmt).save(path)
+        return spark.read.format(fmt).load(path).count()
     if os.path.exists(os.path.join(path, "_spark_metadata")):
         raise ValueError(
             f"{path} is managed by a streaming sink; upsert via the "
@@ -53,9 +77,14 @@ def upsert_table(
         )
 
     target = spark.read.format(fmt).load(path)
-    merged = target.join(
-        updates.select(key), key, "left_anti"
-    ).unionByName(updates)
+    if order_col:
+        merged = latest_per_key(
+            target.unionByName(updates), key, order_col
+        )
+    else:
+        merged = target.join(
+            updates.select(key), key, "left_anti"
+        ).unionByName(updates)
 
     tmp = f"{path}.upsert-{uuid.uuid4().hex[:8]}"
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
