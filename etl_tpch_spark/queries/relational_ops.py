@@ -530,3 +530,32 @@ def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_target"
         ),
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5)  AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               CAST(count(*) AS BIGINT)        AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median + quartiles) per group —
+    the distribution-profiling aggregate missing from plain TPC-H.
+    Exactly cross-engine because the probes are binary fractions
+    (0.25/0.5/0.75 ⇒ exact interpolation weights) over integer-valued
+    quantities: every interpolation is exact double arithmetic.  At
+    100 TB swap in approx_percentile (t-digest sketch, mergeable,
+    one pass) — same API shape, engine-specific values."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )

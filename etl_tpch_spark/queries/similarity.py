@@ -19,6 +19,7 @@ from ..similarity.ann import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     cosine_topk_lsh_multiprobe,
+    quantized_cosine_pairs,
 )
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -230,3 +231,47 @@ def cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5× faster at sf0.1; the pattern scales O(n²/B²) work per group."""
     t = Tables(spark, sf_dir)
     return cosine_pairs_threshold_blocked(t.embeddings, PAIR_THRESHOLD)
+
+
+_SQL_QV = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * (127.0 / list_max(list_transform(embedding,"
+    " y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT))"
+)
+
+
+@query(
+    "sim_quantized_cosine_pairs",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, {_SQL_QV} AS qv FROM embeddings
+        ), n AS (
+            SELECT vec_id, qv,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(qv, x -> x * x)),
+                       (a, b) -> a + b) AS qn
+            FROM q
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 65),
+                             j -> a.qv[j] * b.qv[j])),
+                         (x, y) -> x + y)
+                     / sqrt(CAST(a.qn * b.qn AS DOUBLE)), 6) AS qcosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, 65),
+                            j -> a.qv[j] * b.qv[j])),
+                        (x, y) -> x + y)
+                    / sqrt(CAST(a.qn * b.qn AS DOUBLE)), 6)
+              >= {PAIR_THRESHOLD}
+    """,
+)
+def quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine pairs (similarity/ann.py): the 4×-storage
+    scale path for embedding indexes — integer dot products are exact,
+    so the quantized scores are bit-deterministic with NO fold-order
+    discipline needed.  Quantization uses floor(x+0.5), identical
+    across engines, keeping even the compressed index hash-checkable."""
+    t = Tables(spark, sf_dir)
+    return quantized_cosine_pairs(t.embeddings, PAIR_THRESHOLD)

@@ -365,3 +365,69 @@ def cosine_pairs_threshold_blocked(
     return exploded.groupBy("pk.p", "pk.q").applyInPandas(
         score_block, dim_schema
     )
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization per vector: q_i = floor(x_i · 127 /
+    max|x| + 0.5) — the 4× storage-compression path for ANN indexes at
+    100 TB (float32→int8; dot products then run on integers).
+
+    floor(x+0.5) instead of round(): round-half rules differ across
+    engines, floor is identical everywhere, so the quantized vectors
+    (and everything derived) stay oracle-checkable.  Output: (vec_id,
+    qv array<long>, qn = exact integer self-dot)."""
+    demb = _as_double_array(F.col("embedding"))
+    maxabs = F.array_max(F.transform(demb, F.abs))
+    qv = F.transform(
+        demb,
+        lambda x: F.floor(x * (F.lit(127.0) / maxabs) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return embeddings.select(
+        "vec_id", qv.alias("qv")
+    ).withColumn(
+        "qn",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+
+
+def quantized_cosine_pairs(
+    embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    """All pairs with int8-quantized cosine ≥ threshold.  The integer
+    dot products and norms are exact (|q|≤127, 64 dims ⇒ sums < 2^21,
+    products < 2^41 — exact in long AND double), so the only float ops
+    are one sqrt and one division per pair: bit-deterministic without
+    any fold-order care, unlike the float path."""
+    prepped = quantize_embeddings(embeddings)
+    a = prepped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("qn").alias("na"),
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("qn").alias("nb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "qcosine",
+            F.round(
+                qdot
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ),
+        )
+        .filter(F.col("qcosine") >= threshold)
+        .select("vec_a", "vec_b", "qcosine")
+    )

@@ -91,6 +91,7 @@ NLJ_ALLOWED = {
     "sim_ann_topk_bruteforce",
     "sim_ann_topk_ivf",
     "sim_cosine_pairs",
+    "sim_quantized_cosine_pairs",  # documented all-pairs baseline
 }
 
 
