@@ -27,7 +27,7 @@ import glob
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,6 +82,85 @@ def ingest_table(
         for b in batches:
             shutil.rmtree(b, ignore_errors=True)
     return len(batches)
+
+
+def ingest_table_tolerant(
+    spark: SparkSession,
+    staging_dir: str,
+    processed_dir: str,
+    table: str,
+    *,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+    quarantine_dir: str | None = None,
+) -> tuple[int, int]:
+    """Corrupt-tolerant ingest: malformed JSON lines are *quarantined*,
+    never dropped silently and never fatal.  Returns (rows_ingested,
+    rows_quarantined).
+
+    The reference dies on the first bad line (pandas read_json raises;
+    Prefect retries the same file 10× then gives up, preprocess.py:
+    22-27) — at 100 TB one truncated upload must not stall the feed.
+    Spark's PERMISSIVE mode routes unparseable lines into a
+    ``_corrupt_record`` column in the same pass: good rows continue to
+    the table, bad raw lines land in a quarantine table keyed by source
+    file for replay/debugging.  One scan, no second parse."""
+    batches = list_staged_files(staging_dir, table)
+    if not batches:
+        return (0, 0)
+    s = schema or LIVE[table]
+    with_corrupt = T.StructType(
+        s.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(batches)
+        # input_file_name() must bind to the file scan, BEFORE the
+        # cache boundary (an InMemoryTableScan has no file to name)
+        .withColumn("source_file", F.input_file_name())
+        # the corrupt column is only populated after materialization of
+        # the raw line; cache so good/bad split shares one parse
+        .cache()
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line"), "source_file"
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record", "source_file"
+    )
+    n_bad = bad.count()
+    if n_bad and quarantine_dir:
+        bad.write.mode("append").json(
+            os.path.join(quarantine_dir, table)
+        )
+    good.write.format(fmt).mode("append").save(
+        os.path.join(processed_dir, table)
+    )
+    n_good = good.count()
+    df.unpersist()
+    return (n_good, n_bad)
+
+
+def read_processed(
+    spark: SparkSession,
+    processed_dir: str,
+    table: str,
+    *,
+    fmt: str = "parquet",
+    merge_schema: bool = True,
+) -> "DataFrame":
+    """Read a processed table with schema evolution: batches appended
+    with extra columns (a producer added a field) unify into one schema,
+    old rows null-filled — ``mergeSchema`` reads every file's footer
+    instead of one.  At 100 TB turn this into a table-property (set
+    once at evolution time) rather than paying footer-merge per read."""
+    return (
+        spark.read.format(fmt)
+        .option("mergeSchema", str(merge_schema).lower())
+        .load(os.path.join(processed_dir, table))
+    )
 
 
 def ingest_all(

@@ -38,3 +38,75 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     COLUMNS feeds the CBO; the oracle recomputes them per column."""
     t = Tables(spark, sf_dir)
     return column_profile(t.orders, _COLS)
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+        SELECT 'not_null:o_custkey' AS check_name,
+               CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                    AS BIGINT) AS n_violations,
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+                 AS passed
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               CAST((SELECT count(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT),
+               (SELECT count(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+        UNION ALL
+        SELECT 'in_range:l_quantity[1.0,30.0]',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_quantity IS NOT NULL
+                       AND l_quantity NOT BETWEEN 1 AND 30) AS BIGINT),
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_quantity NOT BETWEEN 1 AND 30) = 0
+        UNION ALL
+        SELECT 'accepted:l_returnflag',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+               (SELECT count(*) FROM lineitem
+                WHERE l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A', 'N', 'R')) = 0
+        UNION ALL
+        SELECT 'fk:l_orderkey',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) = 0
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (pipeline/quality.py) over the
+    fact tables: null / uniqueness / range / accepted-set / referential
+    -integrity checks, unioned into one report.  The range check on
+    l_quantity is deliberately tighter than the data (real violations
+    reported), the rest hold — proving both outcomes flow through."""
+    from ..pipeline.quality import (
+        check_accepted_values,
+        check_foreign_key,
+        check_in_range,
+        check_not_null,
+        check_unique,
+        run_expectations,
+    )
+
+    t = Tables(spark, sf_dir)
+    return run_expectations(
+        [
+            check_not_null(t.orders, "o_custkey"),
+            check_unique(t.orders, "o_orderkey"),
+            check_in_range(t.lineitem, "l_quantity", 1.0, 30.0),
+            check_accepted_values(t.lineitem, "l_returnflag", ["A", "N", "R"]),
+            check_foreign_key(
+                t.lineitem, "l_orderkey", t.orders, "o_orderkey"
+            ),
+        ]
+    )
