@@ -247,3 +247,73 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).alias("clicked_after"),
         F.sum(purchased.cast("int")).alias("purchased_after"),
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+        WITH firstw AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+            FROM events
+        ),
+        csize AS (
+            SELECT cohort_week, count(*) AS n_cohort
+            FROM firstw GROUP BY cohort_week
+        ),
+        r AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.activity_week) // 7
+                        AS INTEGER) AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM act a JOIN firstw f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT r.cohort_week, r.week_offset,
+               CAST(r.n_active AS BIGINT) AS n_active,
+               CAST(c.n_cohort AS BIGINT) AS n_cohort,
+               round(r.n_active * 1.0 / c.n_cohort, 6) AS retention
+        FROM r JOIN csize c USING (cohort_week)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for each
+    cohort × week-offset, the share still active.  The canonical product
+    -analytics rollup — two aggregations plus one join on user_id, all
+    equi-shuffles; week truncation commutes with min so the cohort pass
+    is a plain groupBy.  Exact int ratios → deterministic doubles."""
+    t = Tables(spark, sf_dir)
+    firstw = t.events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = t.events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    csize = firstw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    r = (
+        act.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return r.join(csize, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias(
+            "retention"
+        ),
+    )

@@ -118,3 +118,40 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n,) for n in names], "table_name string"
     )
+
+
+_SQL_QUARTILES = """
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+             AS median_qty,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)
+             AS p75_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("sql_api_quartiles", oracle=_SQL_QUARTILES)
+def sql_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql ordered-set aggregate (percentile_cont WITHIN GROUP),
+    shared string with the oracle — exact because the probes are binary
+    fractions over integer-valued quantities (see agg_percentiles)."""
+    return _run(spark, sf_dir, _SQL_QUARTILES)
+
+
+_SQL_EXISTS = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+"""
+
+
+@query("sql_api_exists_subquery", oracle=_SQL_EXISTS)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql correlated EXISTS subquery, shared string with the
+    oracle — Catalyst decorrelates to a left-semi hash join (the same
+    rewrite q4 hand-writes in the DataFrame API)."""
+    return _run(spark, sf_dir, _SQL_EXISTS)
