@@ -60,3 +60,25 @@ def stream_orders_lineitem_join(
             "revenue"
         ),
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live stream (user → account, product → category, …).
+
+    Stateless — unlike stream-stream joins there is no buffering: each
+    micro-batch joins against the *current* snapshot of the static side,
+    so dimension updates are picked up on the next batch (slowly-
+    changing dims come for free at batch granularity).  Broadcasting
+    the dim keeps the stream side shuffle-free — at 100 TB/day of
+    events with a GB-scale dim table, this is the only plan that keeps
+    up; set ``broadcast_dim=False`` only when the dim is fact-sized."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

@@ -11,6 +11,8 @@ from datetime import datetime
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_tpch_spark.catalog import load_table
 from etl_tpch_spark.pipeline import incrementalize, list_staged_files
 from etl_tpch_spark.streaming import (
@@ -230,3 +232,34 @@ def test_streaming_dedup(spark, events_dir, ckpt, tmp_path_factory):
     got = spark.table("dedup_out").toPandas()
     assert len(got) == base.count()
     assert got.event_id.is_unique
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir, ckpt):
+    """Stream-static dim join: streaming events enriched with the
+    customer dimension must equal the batch join, and the streaming
+    side must not shuffle (broadcast dim)."""
+    from etl_tpch_spark.streaming.joins import enrich_stream
+
+    dim = load_table(spark, TEST_SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    src = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+
+    enriched = enrich_stream(src, dim, on="user_id").groupBy(
+        "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = run_to_memory_sink(
+        enriched, "enriched_events", checkpoint_dir=ckpt
+    )
+
+    want = (
+        spark.read.parquet(events_dir)
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.c_mktsegment, r.n) for r in got.collect()} == {
+        (r.c_mktsegment, r.n) for r in want.collect()
+    }
