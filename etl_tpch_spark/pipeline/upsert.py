@@ -94,3 +94,69 @@ def upsert_table(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    processed_dir: str,
+    table: str,
+    updates: DataFrame,
+    *,
+    key: str,
+    partition_col: str,
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> list:
+    """Partition-scoped MERGE into a hive-partitioned table: only the
+    partitions present in ``updates`` are rewritten (``replaceWhere``
+    semantics) — the 100 TB answer to copy-on-write's full rewrite.
+
+    Merge cost becomes O(affected partitions), not O(table): a daily
+    correction feed touching 3 of 3,650 day-partitions rewrites 0.1%
+    of the data.  Caller contract: an update must carry the SAME
+    partition value as the target row it replaces — a key moving
+    across partitions needs delete+insert (partition-local merges
+    cannot see the other partition and would duplicate the key).
+    Returns the list of rewritten partition values.
+
+    Each affected partition is merged then swapped atomically
+    (write-then-rename, same discipline as compact.py) — readers see
+    the old or new partition, never a mix; unaffected partitions are
+    untouched bytes."""
+    path = os.path.join(processed_dir, table)
+    affected = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if not os.path.exists(path):
+        w = (
+            latest_per_key(updates, key, order_col) if order_col else updates
+        ).write.format(fmt).partitionBy(partition_col)
+        w.save(path)
+        return sorted(affected)
+
+    for pv in affected:
+        pdir = os.path.join(path, f"{partition_col}={pv}")
+        up = updates.filter(F.col(partition_col) == pv).drop(partition_col)
+        if os.path.exists(pdir):
+            target = spark.read.format(fmt).load(pdir)
+            if order_col:
+                merged = latest_per_key(
+                    target.unionByName(up), key, order_col
+                )
+            else:
+                merged = target.join(
+                    up.select(key), key, "left_anti"
+                ).unionByName(up)
+        else:
+            merged = latest_per_key(up, key, order_col) if order_col else up
+        # dot-prefixed siblings: hidden from Spark's file listing, so a
+        # concurrent table read never sees a half-written partition dir
+        tag = uuid.uuid4().hex[:8]
+        tmp = os.path.join(path, f".upsert-{partition_col}-{pv}-{tag}")
+        old = os.path.join(path, f".old-{partition_col}-{pv}-{tag}")
+        merged.write.format(fmt).save(tmp)
+        if os.path.exists(pdir):
+            os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+    return sorted(affected)
