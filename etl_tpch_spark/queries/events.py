@@ -317,3 +317,37 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@query(
+    "events_json_typed",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(count(*) FILTER (
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+                    AS BIGINT) AS n_high_k
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON path (functions/json.py): ONE ``from_json`` parse
+    into a struct, then plain column projections — vs
+    ``events_json_extract``'s per-path ``get_json_object``, this
+    parses each payload once no matter how many fields are read (the
+    100 TB semi-structured pattern)."""
+    from ..functions.json import parse_props
+
+    t = Tables(spark, sf_dir)
+    p = parse_props(F.col("props")).alias("p")
+    typed = t.events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), p
+    ).select("day", F.col("p.k").alias("k"))
+    return typed.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+    )

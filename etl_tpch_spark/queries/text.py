@@ -265,3 +265,36 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "udtf_tokenize_positions",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i - 1 AS INTEGER)  AS pos,
+               W[i]                    AS token,
+               CAST(length(W[i]) AS INTEGER) AS token_len
+        FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents
+              WHERE doc_id < 50),
+             unnest(range(1, len(W) + 1)) AS t(i)
+    """,
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.10; functions/udtf.py): a
+    LATERAL table function exploding each document into positioned
+    tokens — registered with ``spark.udtf.register`` and invoked from
+    SQL.  Row-at-a-time Python is the flexibility tier (the vectorized
+    row-expander is explode/mapInPandas — see text_chunking); scoped to
+    50 docs to keep the API demo honest about its cost."""
+    from ..catalog import register_views
+    from ..functions.udtf import register_udtfs
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+             LATERAL tokenize(d.text) t
+        """
+    )
