@@ -28,21 +28,36 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """(src, dst) edge list → (doc_id, cluster_id) where cluster_id is
     the minimum doc id reachable.  Only ids appearing in an edge are
-    returned (singletons are trivially their own cluster)."""
+    returned (singletons are trivially their own cluster).
+
+    Lineage control: every ``checkpoint_interval`` rounds the label
+    relation is ``localCheckpoint``-ed (eager) — caching alone does NOT
+    truncate the logical plan, so without this each round's plan embeds
+    every previous round (the per-query plan report showed ~90 recorded
+    shuffles for the 20-round form).  Unbounded lineage is the classic
+    iterative-algorithm failure at scale: planning time grows
+    quadratically and stack overflows kill the job around iteration
+    50-100.  With truncation, plan size is O(interval), not O(rounds).
+    On a production cluster prefer ``spark.sparkContext.setCheckpointDir``
+    + ``checkpoint()`` (survives executor loss; localCheckpoint trades
+    that durability for zero-setup speed, which is right for a
+    handful-of-rounds dedup graph)."""
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        .localCheckpoint(eager=True)  # edges feed every round
     )
     labels = (
         edges.select(F.col("s").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.d == labels.doc_id)
             .select(F.col("s").alias("doc_id"), "cluster_id")
@@ -52,8 +67,11 @@ def connected_components(
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        # fixpoint test costs one job; cache both sides of the compare
-        new_labels = new_labels.cache()
+        if (i + 1) % checkpoint_interval == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            # fixpoint test costs one job; cache both sides of the compare
+            new_labels = new_labels.cache()
         changed = (
             new_labels.join(labels.withColumnRenamed("cluster_id", "old"),
                             "doc_id")
@@ -61,7 +79,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = new_labels
         if changed == 0:
             break
