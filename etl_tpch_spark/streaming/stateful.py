@@ -79,3 +79,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 stateful-processor API
+# (successor to applyInPandasWithState): typed state variables
+# (ValueState/ListState/MapState) managed by a StatefulProcessor class,
+# per-key timers, and state readable across processors.  Keeping both
+# forms: applyInPandasWithState is the widely-deployed surface, this is
+# where stateful pipelines are heading.
+#
+# Runtime dependency: the TWS state-server protocol speaks protobuf;
+# in environments without `google.protobuf` (like this test container)
+# the query fails at initialization — the operator itself imports fine,
+# so it is test-gated on protobuf presence, not stubbed.
+# ---------------------------------------------------------------------
+
+try:  # Spark ≥ 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        """Per-user running (count, total value) via a typed ValueState
+        — state is two scalars per key, O(distinct users) total."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_v2(events: DataFrame) -> DataFrame:
+        """transformWithStateInPandas form of running_user_stats
+        (count + total only; the timer/TTL surface hangs off the same
+        handle when eviction is needed)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            UserStatsProcessor(),
+            outputStructType=T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("n_events", T.LongType()),
+                    T.StructField("total_value", T.DoubleType()),
+                ]
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover — pre-4.0 PySpark
+    UserStatsProcessor = None
+
+    def running_user_stats_v2(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0"
+        )

@@ -263,3 +263,43 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir, ckpt):
     assert {(r.c_mktsegment, r.n) for r in got.collect()} == {
         (r.c_mktsegment, r.n) for r in want.collect()
     }
+
+
+@pytest.mark.skipif(
+    not __import__("importlib").util.find_spec("google"),
+    reason="transformWithStateInPandas state protocol needs protobuf "
+    "(absent in this container; the operator is import-gated)",
+)
+def test_transform_with_state_running_stats(spark, events_dir, ckpt):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas): final
+    per-user stats must equal the batch aggregation — same contract as
+    the applyInPandasWithState form."""
+    from etl_tpch_spark.streaming.stateful import running_user_stats_v2
+
+    src = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+    got = run_to_memory_sink(
+        running_user_stats_v2(src),
+        "tws_user_stats",
+        checkpoint_dir=ckpt,
+        output_mode="update",
+    )
+    # update mode: keep the LAST emission per user
+    latest = {
+        r.user_id: (r.n_events, r.total_value) for r in got.collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        .collect()
+    }
+    assert {u: latest[u][0] for u in latest} == {
+        u: want[u][0] for u in want
+    }
+    for u in want:
+        assert abs(latest[u][1] - want[u][1]) < 1e-6
