@@ -46,6 +46,7 @@ HEADLINE = [
     "q21_waiting_orders",
     "dedup_minhash_lsh",
     "sim_ann_topk_ivf",
+    "sim_kmeans_clusters",
     "text_quality_score",
     "sample_hash_split",
     "text_chunking",

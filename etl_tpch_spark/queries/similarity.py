@@ -275,3 +275,75 @@ def quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, keeping even the compressed index hash-checkable."""
     t = Tables(spark, sf_dir)
     return quantized_cosine_pairs(t.embeddings, PAIR_THRESHOLD)
+
+
+def _km_d2(qv: str, cv: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, 65), "
+        f"j -> ({qv}[j] - {cv}[j]) * ({qv}[j] - {cv}[j]))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _km_assign(src_q: str, src_c: str, out: str) -> str:
+    return f"""
+        {out} AS (
+            SELECT vec_id, qv, cent_id AS cluster, d2 FROM (
+                SELECT q.vec_id, q.qv, c.cent_id,
+                       {_km_d2('q.qv', 'c.cv')} AS d2,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_km_d2('q.qv', 'c.cv')}, c.cent_id
+                       ) AS rn
+                FROM {src_q} q CROSS JOIN {src_c} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _km_update(src_a: str, out: str) -> str:
+    return f"""
+        {out} AS (
+            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv FROM (
+                SELECT cluster, dim,
+                       CAST(sum(qv[dim]) // count(*) AS BIGINT) AS m
+                FROM {src_a}, unnest(range(1, 65)) AS t(dim)
+                GROUP BY cluster, dim
+            ) GROUP BY cluster
+        )"""
+
+
+@query(
+    "sim_kmeans_clusters",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000
+                                       + 0.5) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id < 8
+        ),
+        {_km_assign('q', 'c0', 'a1')},
+        {_km_update('a1', 'c1')},
+        {_km_assign('q', 'c1', 'a2')},
+        {_km_update('a2', 'c2')},
+        {_km_assign('q', 'c2', 'afinal')}
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(d2 AS BIGINT) AS d2
+        FROM afinal
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means (similarity/kmeans.py): 2 Lloyd
+    rounds, k=8, deterministic init — iterative ML as DataFrame passes
+    with integer-exact arithmetic, so even the *trained* assignment is
+    hash-checked against the oracle's unrolled-CTE replica.  Per round:
+    broadcast K centroids, map-side argmin (corpus never shuffles),
+    64·K-cell re-aggregation."""
+    from ..similarity.kmeans import kmeans_assignments
+
+    t = Tables(spark, sf_dir)
+    return kmeans_assignments(t.embeddings)

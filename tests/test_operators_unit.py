@@ -294,3 +294,17 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
             .first()
         )
         assert abs(approx - exact) / exact < 0.15, (col, exact, approx)
+
+
+def test_kmeans_numpy_equals_expression_form(spark, sf_dir):
+    """The vectorized Lloyd kernel and the pure-Catalyst fold form must
+    be bit-identical (integer arithmetic both ways — the property that
+    makes quantized k-means reproducible at cluster scale)."""
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.similarity.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assignments(emb, use_numpy=True)
+    b = kmeans_assignments(emb, use_numpy=False)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

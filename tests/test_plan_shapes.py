@@ -92,6 +92,7 @@ NLJ_ALLOWED = {
     "sim_ann_topk_ivf",
     "sim_cosine_pairs",
     "sim_quantized_cosine_pairs",  # documented all-pairs baseline
+    "sim_kmeans_clusters",  # K-centroid broadcast per Lloyd round
 }
 
 
