@@ -39,6 +39,7 @@ def run_cycle(
     compact: bool = False,
     reduce: bool = False,
     checkpoint: bool = True,
+    quality_gate: bool = False,
     key_fn: str = "hash",
     k: int = 50,
 ) -> dict[str, Any]:
@@ -69,6 +70,24 @@ def run_cycle(
             out["ingest"] = ingest_all(
                 spark, staging, processed, delete_after=True
             )
+    if quality_gate:
+        # post-ingest expectations on the dynamic tables (DLT-style:
+        # a failed expectation is reported, the caller decides policy)
+        from .quality import check_not_null, check_unique, run_expectations
+
+        orders_path = os.path.join(processed, "orders")
+        if os.path.exists(orders_path):
+            odf = spark.read.parquet(orders_path)
+            report = run_expectations(
+                [
+                    check_not_null(odf, "o_orderkey"),
+                    check_not_null(odf, "o_custkey"),
+                    check_unique(odf, "o_orderkey"),
+                ]
+            ).collect()
+            out["quality"] = {
+                r.check_name: (r.n_violations, r.passed) for r in report
+            }
     if compact:
         out["compact"] = compact_all(spark, processed)
     if reduce:

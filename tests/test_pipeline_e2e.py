@@ -189,7 +189,11 @@ def test_run_cycle_full_tick(spark, tmp_path_factory):
     orders_dir = os.path.join(root, "processed", "orders")
     n1 = spark.read.parquet(orders_dir).count()
     r2 = run_cycle(
-        spark, TEST_SF_DIR, root, now=NOW + timedelta(minutes=15)
+        spark, TEST_SF_DIR, root, now=NOW + timedelta(minutes=15),
+        quality_gate=True,
     )
     assert len(r2["generate"]) == 2  # static tables skipped
     assert spark.read.parquet(orders_dir).count() == 2 * n1
+    # post-ingest expectations ran and the feed is clean
+    assert all(passed for _, passed in r2["quality"].values())
+    assert "unique:o_orderkey" in r2["quality"]
