@@ -42,3 +42,43 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, bins=16).select(
         "media_id", "mean", "std", F.size("feature").alias("feature_dim")
     )
+
+
+@query("multimodal_resize", tags=("rows-only",))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize to 8×8 over the deterministic
+    synthetic media table (multimodal/ops.py resize_images) — the
+    Python-decode path has no SQL oracle; rows-only.  The pixel
+    checksum makes the result order-insensitive but content-sensitive."""
+    from ..multimodal.media import synthetic_media
+    from ..multimodal.ops import resize_images
+
+    media = synthetic_media(spark, n=120)
+    resized = resize_images(media, height=8, width=8)
+    return resized.select(
+        "media_id",
+        "height",
+        "width",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("pixel_sum"),
+    )
+
+
+@query("multimodal_frame_sample", tags=("rows-only",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame) over synthetic media —
+    a flat-map that grows row count (multimodal/ops.py sample_frames);
+    rows-only like all Python-decode paths."""
+    from ..multimodal.media import synthetic_media
+    from ..multimodal.ops import sample_frames
+
+    media = synthetic_media(spark, n=120)
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("pixel_sum"),
+    )
