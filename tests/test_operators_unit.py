@@ -308,3 +308,18 @@ def test_kmeans_numpy_equals_expression_form(spark, sf_dir):
     b = kmeans_assignments(emb, use_numpy=False)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """approx_percentile (t-digest-style sketch) is the one-pass
+    mergeable quantile path at scale; pin its accuracy against the
+    exact percentile (rank error ≤ accuracy parameter ⇒ value drift
+    small on this distribution)."""
+    from etl_tpch_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact, approx = li.selectExpr(
+        "percentile(l_extendedprice, 0.5)",
+        "approx_percentile(l_extendedprice, 0.5, 1000)",
+    ).first()
+    assert abs(approx - exact) / exact < 0.05, (exact, approx)
