@@ -234,3 +234,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
     return connected_components(pairs)
+
+
+@query(
+    "dedup_canonical_documents",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        losers AS (
+            SELECT s AS doc_id FROM reach
+            GROUP BY s
+            HAVING least(s, min(d)) <> s
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(d.doc_id) AS BIGINT) AS min_doc_id
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY d.lang
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup payoff: the SURVIVING corpus after near-dup canonical
+    selection (dedup/clusters.py canonical_documents — minhash-LSH
+    pairs → connected components → drop every doc whose cluster has a
+    smaller id), summarized per language.  This is the operator a
+    training pipeline actually ships: pairs and clusters are
+    intermediates, the deduped corpus is the product."""
+    from ..dedup.clusters import canonical_documents
+
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
+    kept = canonical_documents(t.documents, pairs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
