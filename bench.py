@@ -13,7 +13,7 @@ execute-to-count (results are small; count forces full execution of
 every operator).  This isolates per-query execution cost — the number
 that scales with data — from fixed session startup, which at 100 TB is
 amortized over hours of queries.  Each query then reports its best of
-SPARK_GRAFT_BENCH_REPEAT (default 2) executions — the standard warm-run
+SPARK_GRAFT_BENCH_REPEAT (default 3) executions — the standard warm-run
 protocol, robust to background load (queries that cache an internal
 relation, e.g. LSH signatures, report their warm-cache cost, which is
 their steady-state cost in a long-lived session).
@@ -80,7 +80,7 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     for name in names:
         fn = all_queries[name].fn

@@ -559,3 +559,48 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "join_full_outer_nation_activity",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY c_nationkey
+        ),
+        supp AS (
+            SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT coalesce(cust.nk, supp.nk)      AS nationkey,
+               coalesce(n_cust, 0)             AS n_customers,
+               coalesce(n_supp, 0)             AS n_suppliers,
+               (cust.nk IS NULL)               AS suppliers_only,
+               (supp.nk IS NULL)               AS customers_only
+        FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the rest of the surface
+    doesn't exercise): per-nation customer vs supplier presence —
+    rows survive from EITHER side, nulls mark the absent one.  Spark
+    plans full-outer as sort-merge (no broadcast variant exists);
+    both inputs pre-aggregate to nation cardinality first, so the
+    join is dimension-sized regardless of fact volume."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.groupBy(
+        F.col("c_nationkey").alias("nk")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    supp = t.supplier.groupBy(
+        F.col("s_nationkey").alias("nk")
+    ).agg(F.count(F.lit(1)).alias("n_supp"))
+    j = cust.alias("c").join(
+        supp.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_suppliers"),
+        F.col("c.nk").isNull().alias("suppliers_only"),
+        F.col("s.nk").isNull().alias("customers_only"),
+    )
