@@ -351,3 +351,38 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
     )
+
+
+@query(
+    "events_map_type",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(count(*) AS BIGINT) AS n_with_k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def events_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: props parsed as ``map<string,long>`` (schema-
+    free variant of the typed-struct path — right when payload keys
+    vary per event), then element_at/map_keys drive the aggregation.
+    The oracle recomputes the same values by JSON path; the map
+    machinery is the Spark-side subject under test."""
+    t = Tables(spark, sf_dir)
+    m = F.from_json(
+        F.col("props"), "map<string,bigint>"
+    ).alias("m")
+    typed = t.events.select("event_type", m).select(
+        "event_type", F.element_at("m", "k").alias("k")
+    )
+    return (
+        typed.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_with_k"),
+        )
+    )

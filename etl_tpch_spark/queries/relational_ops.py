@@ -604,3 +604,40 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.nk").isNull().alias("suppliers_only"),
         F.col("s.nk").isNull().alias("customers_only"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               CAST(floor(o_totalprice / 50000.0) * 50000 AS DOUBLE)
+                 AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS bucket_total
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket shape, emulated with floor
+    division so both engines compute identical bucket ids — a single
+    IEEE division each).  One scan + one shuffle over ≤ #buckets
+    groups; the distribution-profiling aggregate behind every data
+    dashboard."""
+    from ..functions.agg import dsum, money
+
+    t = Tables(spark, sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 50000.0)
+    return (
+        t.orders.select(
+            bucket.alias("bucket"),
+            (bucket * 50000).cast("double").alias("bucket_lo"),
+            money(F.col("o_totalprice")).alias("price_dec"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("price_dec"), "bucket_total"),
+        )
+    )
