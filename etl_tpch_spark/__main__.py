@@ -1,0 +1,88 @@
+"""CLI: ``python -m etl_tpch_spark <command>``.
+
+The engine's operational entry points without writing a script:
+
+    python -m etl_tpch_spark list
+    python -m etl_tpch_spark run q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m etl_tpch_spark explain flagship_unshipped_orders
+    python -m etl_tpch_spark cycle --root /tmp/lake --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timezone
+
+from . import registry
+from .catalog import DEFAULT_SF_DIR
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_tpch_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    run = sub.add_parser("run", help="run one query, print the result")
+    run.add_argument("query")
+    run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    run.add_argument("--limit", type=int, default=20)
+
+    ex = sub.add_parser("explain", help="print a query's physical plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
+    cyc = sub.add_parser("cycle", help="run one pipeline tick")
+    cyc.add_argument("--root", required=True)
+    cyc.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    cyc.add_argument("--compact", action="store_true")
+    cyc.add_argument("--reduce", action="store_true")
+
+    args = p.parse_args(argv)
+    qs = registry.load_all()
+
+    if args.cmd == "list":
+        for name in sorted(qs):
+            kind = "hash " if qs[name].oracle else "rows "
+            print(f"{kind} {name}")
+        return 0
+
+    if args.cmd in ("run", "explain"):
+        if args.query not in qs:
+            print(f"unknown query {args.query!r}; try: list", file=sys.stderr)
+            return 2
+        spark = get_spark("etl_tpch_spark-cli")
+        df = qs[args.query].fn(spark, args.sf_dir)
+        if args.cmd == "explain":
+            from .plans import explain_text
+
+            print(explain_text(df))
+        else:
+            df.show(args.limit, truncate=False)
+            print(f"({df.count()} rows total)")
+        return 0
+
+    if args.cmd == "cycle":
+        from .pipeline.workflow import run_cycle
+
+        spark = get_spark("etl_tpch_spark-cli")
+        out = run_cycle(
+            spark,
+            args.sf_dir,
+            args.root,
+            now=datetime.now(timezone.utc).replace(tzinfo=None),
+            compact=args.compact,
+            reduce=args.reduce,
+            quality_gate=True,
+        )
+        for stage, result in out.items():
+            print(f"{stage}: {result}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

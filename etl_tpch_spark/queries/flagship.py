@@ -171,3 +171,30 @@ def top_unshipped_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("c_mktsegment", "l_orderkey", "revenue", "rnk")
     )
+
+
+@query(
+    "serving_top_orders_display",
+    oracle=f"""
+        SELECT printf('%09d', l_orderkey) AS order_id,
+               '$' || format('{{:,}}', CAST(floor(revenue) AS BIGINT))
+                   || '.'
+                   || lpad(CAST(CAST(round((revenue - floor(revenue))
+                                           * 100) AS BIGINT) AS VARCHAR),
+                           2, '0') AS revenue_display,
+               strftime(o_orderdate, '%m/%d/%Y') AS order_date,
+               o_orderpriority AS priority
+        FROM ({_flagship_oracle("BUILDING")})
+    """,
+)
+def serving_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dashboard display layer (dashboard.py:40-69) as
+    a hash-checked transform over the flagship result: zero-padded ids,
+    $-grouped 2-decimal revenue, MM/DD/YYYY dates — every format
+    string computed JVM-side (pipeline/serving.py), proven equal to
+    DuckDB's printf/format/strftime."""
+    from ..pipeline.serving import format_for_display
+
+    return format_for_display(
+        unshipped_orders_by_revenue(spark, sf_dir, "BUILDING")
+    )
