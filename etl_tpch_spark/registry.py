@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.relational_ops",
     "etl_tpch_spark.queries.profiling",
     "etl_tpch_spark.queries.events",
+    "etl_tpch_spark.queries.timeseries",
     "etl_tpch_spark.queries.text",
     "etl_tpch_spark.queries.dedup",
     "etl_tpch_spark.queries.similarity",
