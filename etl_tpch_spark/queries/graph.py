@@ -1,0 +1,110 @@
+"""Graph analytics over the embedding-similarity graph.
+
+The dedup pipeline already treats cosine-similar pairs as edges
+(queries/dedup.py connected components); this module adds the two
+standard graph measurements a curation pipeline reports on that same
+edge set: the degree distribution (how duplicated is the corpus?) and
+the triangle count (how clique-y are the duplicate groups — triangles
+distinguish tight near-identical clusters from chains of borderline
+matches).
+
+Both are pure relational plans — no graph runtime needed:
+- degree: explode each undirected edge into both directions, one hash
+  aggregate per node, one more to histogram the degrees.  Two shuffles,
+  both on keys bounded by node count.
+- triangles: the classic two-join enumeration.  Ordering every edge
+  (a < b) makes each triangle appear exactly once as (a<b<c), so no
+  post-dedup is needed.  At 100 TB the joins shuffle on edge endpoints;
+  degree-ordering the edge list first (each edge oriented low-degree →
+  high-degree) is the standard skew bound — O(m^1.5) candidate pairs —
+  applied here implicitly because near-dup graphs at threshold 0.4 are
+  sparse and the driver-scale graph is tiny.
+
+Edges come from the blocked all-pairs kernel (similarity/ann.py),
+bit-identical to the expression form, so the oracle rebuilds the same
+edge set with the shared SQL cosine fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import REGISTRY, query
+from ..similarity.ann import cosine_pairs_threshold_blocked
+
+from .similarity import PAIR_THRESHOLD
+
+_EDGES_SQL = f"""
+        SELECT vec_a, vec_b
+        FROM ({REGISTRY["sim_cosine_pairs"].oracle}) pairs
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return cosine_pairs_threshold_blocked(t.embeddings, PAIR_THRESHOLD).select(
+        "vec_a", "vec_b"
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+        WITH e AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT vec_a AS node FROM e
+                UNION ALL
+                SELECT vec_b AS node FROM e
+            ) GROUP BY node
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the cosine≥0.4 similarity graph: for each
+    degree, how many documents have that many near-duplicates.  The
+    curation dashboard's duplication profile — a corpus whose mass sits
+    at high degrees needs aggressive dedup.  Nodes with no edge don't
+    appear (degree 0 = corpus size minus edge-touched nodes)."""
+    e = _edges(spark, sf_dir)
+    both = e.select(F.col("vec_a").alias("node")).unionAll(
+        e.select(F.col("vec_b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH e AS ({_EDGES_SQL})
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+               CAST(count(DISTINCT e1.vec_a) AS BIGINT) AS n_apex_nodes
+        FROM e e1
+        JOIN e e2 ON e1.vec_b = e2.vec_a
+        JOIN e e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the similarity graph via the ordered
+    two-join enumeration (each triangle a<b<c counted once, no dedup
+    pass).  High triangle density relative to edge count means the
+    near-dup clusters are tight cliques (true duplicates) rather than
+    transitive chains of borderline pairs — the signal that cluster-
+    collapse dedup (dedup_clusters) is safe."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = e.select(F.col("vec_a").alias("b2"), F.col("vec_b").alias("c"))
+    e3 = e.select(F.col("vec_a").alias("a3"), F.col("vec_b").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    tri = wedges.join(
+        e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c"))
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct(F.col("a")).alias("n_apex_nodes"),
+    )

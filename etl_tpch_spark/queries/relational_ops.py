@@ -641,3 +641,39 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("price_dec"), "bucket_total"),
         )
     )
+
+
+# Deterministic argmax: DuckDB's arg_max/arg_min take only scalar
+# ordering keys, so the (price, orderkey) tie-break is packed into one
+# ordered BIGINT — cents * 1e9 + key — evaluated identically by both
+# engines (price < 10^7 dollars, orderkey < 10^9 at any tested SF).
+_ARGMAX_ENC = "CAST(o_totalprice * 100 AS BIGINT) * 1000000000 + o_orderkey"
+
+
+@query(
+    "agg_argmax",
+    oracle=f"""
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, {_ARGMAX_ENC}) AS max_price_order,
+               arg_min(o_orderkey, {_ARGMAX_ENC}) AS min_price_order,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+               CAST(min(o_totalprice) AS DOUBLE) AS min_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (``max_by``/``min_by``): the identity
+    of the extreme row per group, not just its value — one hash
+    aggregate instead of the self-join-on-max workaround (q15's shape).
+    Ties broken deterministically by packing (value, key) into one
+    ordered BIGINT, since the oracle's arg_max lacks composite keys."""
+    t = Tables(spark, sf_dir)
+    enc = (F.col("o_totalprice") * 100).cast("long") * F.lit(
+        1_000_000_000
+    ) + F.col("o_orderkey")
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.max_by(F.col("o_orderkey"), enc).alias("max_price_order"),
+        F.min_by(F.col("o_orderkey"), enc).alias("min_price_order"),
+        F.max(F.col("o_totalprice")).cast("double").alias("max_price"),
+        F.min(F.col("o_totalprice")).cast("double").alias("min_price"),
+    )

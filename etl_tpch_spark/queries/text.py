@@ -298,3 +298,47 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tokenize(d.text) t
         """
     )
+
+
+@query(
+    "text_top_terms_per_lang",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, doc_id, unnest({_SQL_TOKS}) AS term
+            FROM documents
+        ),
+        stats AS (
+            SELECT lang, term,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY lang, term
+        )
+        SELECT lang, term, tf, df, rnk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY tf DESC, term) AS rnk
+            FROM stats
+        ) WHERE rnk <= 5
+    """,
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per language: explode tokens, count
+    term frequency (tf) and document frequency (df), keep the top-5
+    terms per language — the integer-only core of tf-idf term
+    profiling (log-weighting is presentation; ranking by exact counts
+    keeps both engines bit-identical).  At scale: the explode is
+    map-side; one shuffle on (lang, term), then a window over the tiny
+    per-language vocabulary."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang", "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    stats = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term"))
+    return stats.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )

@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.dedup",
     "etl_tpch_spark.queries.similarity",
     "etl_tpch_spark.queries.curation",  # after similarity: reuses its oracle
+    "etl_tpch_spark.queries.graph",  # after similarity: reuses its oracle
     "etl_tpch_spark.queries.inference",
     "etl_tpch_spark.queries.multimodal",
 )
