@@ -45,6 +45,7 @@ HEADLINE = [
     "q18_large_orders",
     "q21_waiting_orders",
     "dedup_minhash_lsh",
+    "graph_pagerank",
     "sim_ann_topk_ivf",
     "sim_kmeans_clusters",
     "text_quality_score",

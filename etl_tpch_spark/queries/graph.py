@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from ..operators.graph import SCALE, pagerank
 from ..registry import REGISTRY, query
 from ..similarity.ann import cosine_pairs_threshold_blocked
 
@@ -108,3 +109,52 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"),
         F.countDistinct(F.col("a")).alias("n_apex_nodes"),
     )
+
+
+def _pr_iteration_sql(prev: str, this: str) -> str:
+    """One unrolled PageRank round (oracle twin of operators/graph.py)."""
+    return f"""
+        c{this} AS (
+            SELECT bi.d AS node,
+                   CAST(sum(r{prev}.pr // r{prev}.deg) AS BIGINT) AS contrib
+            FROM bi JOIN r{prev} ON bi.s = r{prev}.node GROUP BY 1
+        ),
+        r{this} AS (
+            SELECT deg.node, deg.deg,
+                   CAST((15 * {SCALE}) // (100 * nn.n_nodes)
+                        + (85 * c{this}.contrib) // 100 AS BIGINT) AS pr
+            FROM deg CROSS JOIN nn JOIN c{this} ON c{this}.node = deg.node
+        )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+        WITH e AS ({_EDGES_SQL}),
+        bi AS (
+            SELECT vec_a AS s, vec_b AS d FROM e
+            UNION ALL
+            SELECT vec_b AS s, vec_a AS d FROM e
+        ),
+        deg AS (SELECT s AS node, count(*) AS deg FROM bi GROUP BY 1),
+        nn AS (SELECT count(*) AS n_nodes FROM deg),
+        r0 AS (
+            SELECT node, deg, CAST({SCALE} // nn.n_nodes AS BIGINT) AS pr
+            FROM deg CROSS JOIN nn
+        ),
+        {_pr_iteration_sql("0", "1")},
+        {_pr_iteration_sql("1", "2")},
+        {_pr_iteration_sql("2", "3")}
+        SELECT node, pr AS pr_scaled FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the similarity graph (3 rounds,
+    damping 0.85) — scores each document by how centrally it sits in
+    its near-duplicate neighborhood; the canonical-pick signal that
+    beats min-id when clusters are star-shaped.  Scaled-integer
+    arithmetic end to end (operators/graph.py), so the unrolled-CTE
+    oracle matches bit-for-bit — the same recipe that makes kmeans and
+    connected components hash-checkable.  Per round: one shuffle join
+    edges⋈ranks + one aggregate."""
+    return pagerank(_edges(spark, sf_dir), iterations=3)

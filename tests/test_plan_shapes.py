@@ -95,6 +95,7 @@ NLJ_ALLOWED = {
     "sim_kmeans_clusters",  # K-centroid broadcast per Lloyd round
     "ts_gapfill_hourly",  # dense grid = hours × event_types, both tiny
     "ts_locf_hourly",  # same data-size-independent grid cross join
+    "graph_pagerank",  # one-row node-count broadcast per round
 }
 
 
