@@ -44,9 +44,15 @@ _EDGES_SQL = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list, localCheckpoint-ed (lazily): every consumer references
+    it 2-3 times in one plan (both directions, wedge+closing joins),
+    and without truncation each reference re-runs the applyInPandas
+    cosine kernel — the checkpoint makes it one kernel run per query."""
     t = Tables(spark, sf_dir)
-    return cosine_pairs_threshold_blocked(t.embeddings, PAIR_THRESHOLD).select(
-        "vec_a", "vec_b"
+    return (
+        cosine_pairs_threshold_blocked(t.embeddings, PAIR_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
     )
 
 
