@@ -199,3 +199,52 @@ def ts_moving_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value_3h"
         ),
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        win AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                        CAST(day AS TIMESTAMP) + INTERVAL '6 days',
+                        INTERVAL '1 day')) AS DATE) AS wday
+            FROM ud
+        ),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS wday FROM events)
+        SELECT win.wday, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        FROM win JOIN days ON win.wday = days.wday
+        GROUP BY 1
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the metric every product
+    dashboard needs and no window frame can give (COUNT DISTINCT does
+    not decompose over sliding frames).  The scalable decomposition:
+    dedup to (user, day), explode each activity onto the ≤7 window-days
+    it contributes to, count distinct per window-day.  Data expansion
+    is bounded ×7 of the *deduped daily* relation (tiny vs raw events);
+    two shuffles (dedup, final count-distinct).  Trailing windows past
+    the last observed day are pruned by the semi-join against real
+    days."""
+    t = Tables(spark, sf_dir)
+    ud = t.events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("interval 1 day")
+            )
+        ).alias("wday"),
+    )
+    days = t.events.select(F.to_date("ts").alias("wday")).distinct()
+    return (
+        win.join(days, "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
