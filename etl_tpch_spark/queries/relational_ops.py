@@ -647,7 +647,13 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordering keys, so the (price, orderkey) tie-break is packed into one
 # ordered BIGINT — cents * 1e9 + key — evaluated identically by both
 # engines (price < 10^7 dollars, orderkey < 10^9 at any tested SF).
-_ARGMAX_ENC = "CAST(o_totalprice * 100 AS BIGINT) * 1000000000 + o_orderkey"
+# Cents go through the exact DECIMAL(14,2) cast: a raw CAST(x*100 AS
+# BIGINT) diverges cross-engine on IEEE products just below the integer
+# (Spark truncates, DuckDB rounds).
+_ARGMAX_ENC = (
+    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+    " * 1000000000 + o_orderkey"
+)
 
 
 @query(
@@ -668,9 +674,9 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties broken deterministically by packing (value, key) into one
     ordered BIGINT, since the oracle's arg_max lacks composite keys."""
     t = Tables(spark, sf_dir)
-    enc = (F.col("o_totalprice") * 100).cast("long") * F.lit(
-        1_000_000_000
-    ) + F.col("o_orderkey")
+    enc = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+        "long"
+    ) * F.lit(1_000_000_000) + F.col("o_orderkey")
     return t.orders.groupBy("o_orderpriority").agg(
         F.max_by(F.col("o_orderkey"), enc).alias("max_price_order"),
         F.min_by(F.col("o_orderkey"), enc).alias("min_price_order"),

@@ -111,7 +111,12 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic argmax encoding: 2-decimal value in cents, tie-broken by
 # event_id, packed into one ordered BIGINT (DuckDB's arg_max cannot take
 # a composite ordering key; the same encoding runs on both engines).
-_ENC = "CAST(value * 100 AS BIGINT) * 1000000000 + event_id"
+# Cents are recovered through the exact DECIMAL(12,2) cast — a raw
+# CAST(value*100 AS BIGINT) is WRONG cross-engine: ~6% of the IEEE
+# products land just below the integer, where Spark's double→long
+# truncates and DuckDB's rounds, off-by-one-cent encodings that can
+# flip the argmax winner when two candidates are a cent apart.
+_ENC = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000000 + event_id"
 
 
 @query(
@@ -142,9 +147,9 @@ def ts_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's ``arg_max`` takes only scalar ordering keys.  One shuffle for
     the rollup, one tiny window over the grid."""
     t = Tables(spark, sf_dir)
-    enc = (F.col("value") * 100).cast("long") * F.lit(1_000_000_000) + F.col(
-        "event_id"
-    )
+    enc = (money(F.col("value")) * 100).cast("long") * F.lit(
+        1_000_000_000
+    ) + F.col("event_id")
     latest = t.events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
     ).agg(F.max_by(F.col("value"), enc).alias("v"))
