@@ -253,3 +253,60 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wday")
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sc,
+                   CAST(sum(c * c) AS BIGINT) AS sc2
+            FROM c GROUP BY 1
+        )
+        SELECT c.event_type, s.n,
+               CAST(sum(CASE WHEN (c.c * s.n - s.sc) * (c.c * s.n - s.sc)
+                                  > 9 * (s.n * s.sc2 - s.sc * s.sc)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               CAST(s.sc AS DOUBLE) / (100.0 * s.n) AS mean_value
+        FROM c JOIN s ON c.event_type = s.event_type
+        GROUP BY c.event_type, s.n, s.sc
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (|value − μ| > 3σ),
+    entirely in integer arithmetic: with cents c, n, Σc, Σc², the test
+    |z| > 3 is equivalent to (c·n − Σc)² > 9·(n·Σc² − (Σc)²) — exact
+    BIGINTs on both engines, no float σ, no rounding boundary.  Plan:
+    one tiny per-type aggregate, broadcast back over a second scan, one
+    final aggregate — two scans instead of shuffling the whole fact
+    table onto a handful of event_type keys (the skew trap).  At
+    extreme scale the products approach 2^63 — upgrade to DECIMAL(38,0)
+    / HUGEINT then; cents ≤ 10^4 and rows-per-type ≤ 10^9 stay safe."""
+    t = Tables(spark, sf_dir)
+    c = t.events.select(
+        "event_type",
+        (money(F.col("value")) * 100).cast("long").alias("c"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    j = c.join(F.broadcast(s), "event_type")
+    dev = F.col("c") * F.col("n") - F.col("sc")
+    flag = (dev * dev) > 9 * (
+        F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")
+    )
+    return j.groupBy("event_type", "n", "sc").agg(
+        F.sum(F.when(flag, 1).otherwise(0)).alias("n_anomalies"),
+        (F.col("sc").cast("double") / (100.0 * F.col("n"))).alias(
+            "mean_value"
+        ),
+    ).select("event_type", "n", "n_anomalies", "mean_value")
