@@ -33,15 +33,19 @@ FORMATS = ("parquet", "orc", "json", "csv", "text")
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 # Options applied on BOTH sides so write→read is lossless per format.
+# timestampFormat covers TIMESTAMP (LTZ); TIMESTAMP_NTZ columns (e.g.
+# events.ts) are formatted via the separate timestampNTZFormat option,
+# whose default truncates to milliseconds — pin both to micro precision.
 _RW_OPTIONS: dict[str, dict[str, str]] = {
     "csv": {
         "header": "true",
         "timestampFormat": _TS_FMT,
+        "timestampNTZFormat": _TS_FMT,
         # full precision: doubles survive the decimal round-trip
         "quote": '"',
         "escape": '"',
     },
-    "json": {"timestampFormat": _TS_FMT},
+    "json": {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT},
 }
 
 
