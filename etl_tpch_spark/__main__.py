@@ -40,6 +40,19 @@ def main(argv: list[str] | None = None) -> int:
     cyc.add_argument("--compact", action="store_true")
     cyc.add_argument("--reduce", action="store_true")
 
+    srv = sub.add_parser(
+        "serve",
+        help="interval scheduling daemon: N pipeline ticks on a timer "
+        "(reference workflow.py:12-39 deployment cadences)",
+    )
+    srv.add_argument("--root", required=True)
+    srv.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    srv.add_argument("--ticks", type=int, default=4)
+    srv.add_argument("--interval", type=float, default=0.0,
+                     help="seconds between ticks (reference: 900)")
+    srv.add_argument("--compact-every", type=int, default=24)
+    srv.add_argument("--reduce-every", type=int, default=96)
+
     args = p.parse_args(argv)
     qs = registry.load_all()
 
@@ -62,6 +75,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(args.limit, truncate=False)
             print(f"({df.count()} rows total)")
+        return 0
+
+    if args.cmd == "serve":
+        from .pipeline.workflow import serve_loop
+
+        spark = get_spark("etl_tpch_spark-cli")
+        outs = serve_loop(
+            spark,
+            args.sf_dir,
+            args.root,
+            ticks=args.ticks,
+            interval_s=args.interval,
+            compact_every=args.compact_every,
+            reduce_every=args.reduce_every,
+            quality_gate=True,
+        )
+        for out in outs:
+            print(out)
         return 0
 
     if args.cmd == "cycle":

@@ -193,16 +193,75 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_band_cols(sig: F.Column, max_hamming: int, bits: int = 32):
+    """Split a ``bits``-wide signature into ``max_hamming + 1``
+    contiguous bands.  Pigeonhole: a pair within Hamming distance
+    ``max_hamming`` differs in ≤ max_hamming bits, so at least one of
+    the max_hamming+1 bands is bit-identical — an equi-join on
+    (band index, band value) finds every qualifying pair with zero
+    false negatives.  Returns a list of band-value columns."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    cols, offset = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        cols.append(
+            F.shiftright(sig, offset).bitwiseAND(F.lit(mask)).alias(f"band{i}")
+        )
+        offset += width
+    return cols
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.  All-pairs on the
-    tiny (doc_id, simhash) table — at true scale, band the signature
-    (4×8-bit chunks) and join on chunk equality first."""
+    """Near-dup pairs by SimHash Hamming distance, via pigeonhole
+    banding — NOT all-pairs.
+
+    The 32-bit signature splits into (max_hamming+1) contiguous bands;
+    candidates equi-join on band equality (shuffle on band value only),
+    then exact Hamming verifies candidates.  Recall is exact (pigeonhole
+    guarantees a matching band for every true pair); output is identical
+    to the brute-force scan, so the DuckDB oracle replicates it.  At
+    100 TB each band bucket holds ~n/2^width docs — the same sub-
+    quadratic shape as the MinHash band join above."""
     sig = simhash_signatures(docs)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    n_bands = max_hamming + 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        c.alias("band_val"),
+                    )
+                    for i, c in enumerate(
+                        simhash_band_cols(F.col("simhash"), max_hamming)
+                    )
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()  # a pair may agree on several bands
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),

@@ -22,12 +22,29 @@ append-only pipeline.
 
 Exactly-once refresh: each batch may carry a ``batch_id``; applied ids
 are recorded in ``_applied_batches.json`` INSIDE the state directory
-(underscore-prefixed ⇒ invisible to Spark's reader) and the id file is
-written into the new state dir *before* the atomic swap.  A crash
-leaves either the old dir (batch unapplied, unmarked) or the new dir
-(applied, marked) — replaying the same batch is a no-op either way,
-which is what makes this safe as a streaming ``foreachBatch`` sink
+(underscore-prefixed ⇒ invisible to Spark's reader).  BOTH the initial
+create and the incremental path write data + marker into a temp dir
+first, then swap it into place, so a batch can never be applied but
+unrecorded (or vice versa) — replaying the same batch is a no-op, which
+is what makes this safe as a streaming ``foreachBatch`` sink
 (epoch id → batch_id).
+
+Crash safety of the swap: the incremental path renames the live dir to
+the fixed sibling ``<path>.old`` before renaming the temp dir into
+place.  Every entry point first runs :meth:`_recover`, which heals the
+two possible crash windows: (a) live dir missing but ``.old`` present →
+the crash hit between the two renames; the old state is restored (the
+unmarked temp result is discarded and the batch simply replays);
+(b) both present → the crash hit after the swap but before cleanup; the
+stale ``.old`` is deleted.  Stale ``<path>.mv-*`` temp dirs from either
+window are swept on the next refresh.
+
+SCOPE: the swap protocol relies on same-directory ``os.rename``
+atomicity and a SINGLE writer — correct on a local/POSIX filesystem
+(this engine's driver-node state pattern), NOT on S3/HDFS paths and not
+under concurrent ``refresh()`` calls.  For object storage, put the
+state behind a transactional table format instead (see
+pipeline/ingest.py's pluggable ``fmt``).
 
 Determinism note: sums should be declared over exact decimal exprs
 (functions/agg.py) so the state is independent of batch arrival order —
@@ -36,6 +53,7 @@ IEEE double sums would make the matview depend on ingestion history.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -49,6 +67,11 @@ _KINDS = ("count", "sum", "min", "max")
 
 # combine step per kind: how two partial states merge
 _COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+# self-describing formats only: the state is re-read with no explicit
+# schema, so text formats (csv/json) would come back untyped/renamed and
+# corrupt the combine step.
+_FORMATS = ("parquet", "orc")
 
 
 @dataclass(frozen=True)
@@ -70,7 +93,8 @@ class Measure:
 
 
 class MaterializedView:
-    """A grouped-aggregate view maintained under ``path``."""
+    """A grouped-aggregate view maintained under ``path`` (local FS,
+    single writer — see module docstring)."""
 
     def __init__(
         self,
@@ -81,6 +105,11 @@ class MaterializedView:
     ) -> None:
         if not keys or not measures:
             raise ValueError("need at least one key and one measure")
+        if fmt not in _FORMATS:
+            raise ValueError(
+                f"fmt {fmt!r} not in {_FORMATS}: matview state must be "
+                "self-describing to survive re-reads"
+            )
         names = [m.name for m in measures]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate measure names {names}")
@@ -91,10 +120,26 @@ class MaterializedView:
 
     # ------------------------------------------------------------ state
 
+    def _old_dir(self) -> str:
+        return f"{self.path}.old"
+
+    def _recover(self) -> None:
+        """Heal an interrupted swap (see module docstring): restore the
+        old state if the live dir vanished mid-swap, or drop the stale
+        ``.old`` if the swap completed but cleanup didn't."""
+        old = self._old_dir()
+        if not os.path.exists(old):
+            return
+        if os.path.exists(self.path):
+            shutil.rmtree(old)  # swap completed; cleanup was interrupted
+        else:
+            os.rename(old, self.path)  # swap never completed; roll back
+
     def _marker_file(self) -> str:
         return os.path.join(self.path, "_applied_batches.json")
 
     def applied_batches(self) -> list[str]:
+        self._recover()
         try:
             with open(self._marker_file()) as f:
                 return json.load(f)
@@ -120,14 +165,21 @@ class MaterializedView:
     ) -> int:
         """Fold ``batch`` into the state; returns group count.  A
         ``batch_id`` already recorded is skipped (idempotent replay)."""
-        applied = self.applied_batches()
+        applied = self.applied_batches()  # runs _recover() first
         if batch_id is not None and batch_id in applied:
             return self.read(spark).count()
+        for stale in glob.glob(f"{self.path}.mv-*"):
+            shutil.rmtree(stale)  # temp leftovers from a crashed swap
 
         part = self._partial(batch)
+        tmp = f"{self.path}.mv-{uuid.uuid4().hex[:8]}"
         if not os.path.exists(self.path):
-            part.write.format(self.fmt).save(self.path)
-            self._mark(applied, batch_id)
+            # initial create: data + marker land in tmp, then ONE rename
+            # publishes both — a crash can't leave the batch applied but
+            # unrecorded (the mirror of the incremental path below).
+            part.write.format(self.fmt).save(tmp)
+            self._write_marker(tmp, applied, batch_id)
+            os.rename(tmp, self.path)
             return spark.read.format(self.fmt).load(self.path).count()
 
         state = spark.read.format(self.fmt).load(self.path)
@@ -147,8 +199,7 @@ class MaterializedView:
             *[F.col(m.name).cast(types[m.name]) for m in self.measures],
         )
 
-        tmp = f"{self.path}.mv-{uuid.uuid4().hex[:8]}"
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        old = self._old_dir()
         merged.write.format(self.fmt).save(tmp)
         n = spark.read.format(self.fmt).load(tmp).count()
         self._write_marker(tmp, applied, batch_id)
@@ -156,9 +207,6 @@ class MaterializedView:
         os.rename(tmp, self.path)
         shutil.rmtree(old)
         return n
-
-    def _mark(self, applied: list[str], batch_id: str | None) -> None:
-        self._write_marker(self.path, applied, batch_id)
 
     @staticmethod
     def _write_marker(
@@ -172,4 +220,5 @@ class MaterializedView:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current view state (keys + raw measure columns)."""
+        self._recover()
         return spark.read.format(self.fmt).load(self.path)

@@ -17,7 +17,7 @@ mirrors the reference's delete-after-write.
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -95,6 +95,54 @@ def run_cycle(
             spark, processed, results, cutoff=now, k=k
         )
     return out
+
+
+def serve_loop(
+    spark: SparkSession,
+    source_dir: str,
+    root_dir: str,
+    *,
+    ticks: int,
+    interval_s: float = 0.0,
+    compact_every: int = 24,
+    reduce_every: int = 96,
+    now_fn=None,
+    **cycle_kwargs: Any,
+) -> list[dict[str, Any]]:
+    """Interval scheduling daemon — the engine-side twin of the
+    reference's five Prefect deployments on timers (workflow.py:12-39).
+
+    Runs ``ticks`` cycles, sleeping ``interval_s`` between them (one
+    tick ≙ the reference's 15-min generate/ingest cadence).  The slower
+    cadences fire on tick multiples exactly like the reference's
+    schedule ratios: compact every 24 ticks (6 h / 15 min) and reduce
+    every 96 ticks (24 h / 15 min), both also on the first tick so a
+    fresh lake reaches a served state immediately.  Returns the
+    per-tick stage summaries.  ``ticks`` bounds the loop (pass a large
+    value for an effectively-unattended daemon; cron re-invocation is
+    the crash-resilient production form — every stage is idempotent)."""
+    import time
+
+    now_fn = now_fn or (
+        lambda: datetime.now(timezone.utc).replace(tzinfo=None)
+    )
+    outs: list[dict[str, Any]] = []
+    for tick in range(ticks):
+        out = run_cycle(
+            spark,
+            source_dir,
+            root_dir,
+            now=now_fn(),
+            compact=tick % compact_every == 0,
+            reduce=tick % reduce_every == 0,
+            **cycle_kwargs,
+        )
+        out["tick"] = tick
+        out["ready"] = results_ready(os.path.join(root_dir, "results"))
+        outs.append(out)
+        if interval_s and tick + 1 < ticks:
+            time.sleep(interval_s)
+    return outs
 
 
 def results_ready(

@@ -398,11 +398,13 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DUP_THRESHOLD = 0.4
 
 
-@query(
-    "dedup_embedding_clusters",
-    oracle=f"""
+def _cc_over_pairs_sql(pairs_sql: str) -> str:
+    """Recursive-CTE connected components over a (vec_a, vec_b) pair
+    subquery — min-reachable-id labels, the oracle twin of
+    dedup/clusters.py connected_components."""
+    return f"""
         WITH RECURSIVE pairs AS (
-            {REGISTRY["sim_cosine_pairs"].oracle}
+            {pairs_sql}
         ),
         edges AS (
             SELECT vec_a AS s, vec_b AS d FROM pairs
@@ -418,16 +420,41 @@ EMB_DUP_THRESHOLD = 0.4
                least(s, min(d)) AS cluster_id
         FROM reach
         GROUP BY s
-    """,
+    """
+
+
+@query(
+    "dedup_embedding_clusters",
+    oracle=_cc_over_pairs_sql(REGISTRY["sim_cosine_pairs_cells"].oracle),
 )
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup clusters (semantic dedup): cosine ≥ 0.4
-    pairs → connected components → min-id cluster labels, the canonical
-    -selection step of SemDeDup-style pipelines.  Reuses the exact-fold
-    cosine pairs and the iterative min-label propagation (dedup/
-    clusters.py); the recursive-CTE oracle hash-checks the transitive
-    closure.  At scale the pair stage swaps to the LSH-bucketed
-    variant — the cluster stage is unchanged."""
+    """Embedding-cosine near-dup clusters (semantic dedup), 100 TB
+    shape: k-means cells → exact cosine ≥ 0.4 WITHIN cells only
+    (similarity/ann.py cosine_pairs_threshold_cells, the published
+    SemDeDup recipe) → connected components → min-id cluster labels.
+    O(n²/k) pair work instead of the all-pairs O(n²); the `_bruteforce`
+    twin below keeps the exact-recall baseline.  Cells, cosines and the
+    transitive closure are all bit-deterministic ⇒ hash-checked against
+    the unrolled-Lloyd + recursive-CTE oracle."""
+    from ..similarity.ann import cosine_pairs_threshold_cells
+
+    t = Tables(spark, sf_dir)
+    pairs = cosine_pairs_threshold_cells(t.embeddings, EMB_DUP_THRESHOLD)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return comp.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+@query(
+    "dedup_embedding_clusters_bruteforce",
+    oracle=_cc_over_pairs_sql(REGISTRY["sim_cosine_pairs"].oracle),
+)
+def dedup_embedding_clusters_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall-baseline twin of dedup_embedding_clusters: exact all-pairs
+    cosine ≥ 0.4 (O(n²)) feeding the same connected components.  Kept
+    for recall measurement against the cell-scoped product path — run
+    at audit scale, not at 100 TB."""
     t = Tables(spark, sf_dir)
     pairs = cosine_pairs_threshold(t.embeddings, EMB_DUP_THRESHOLD)
     comp = connected_components(pairs, src="vec_a", dst="vec_b")

@@ -20,9 +20,13 @@ Both are pure relational plans — no graph runtime needed:
   applied here implicitly because near-dup graphs at threshold 0.4 are
   sparse and the driver-scale graph is tiny.
 
-Edges come from the blocked all-pairs kernel (similarity/ann.py),
-bit-identical to the expression form, so the oracle rebuilds the same
-edge set with the shared SQL cosine fold.
+Edges come from the sub-quadratic cell-scoped pair kernel
+(similarity/ann.py cosine_pairs_threshold_cells): deterministic k-means
+cells, exact cosine verified only within each cell — the ANN-candidate
+edge source that survives 100 TB, where the old blocked all-pairs
+kernel (kept as sim_cosine_pairs_blocked, the recall baseline) would be
+O(n²).  Cells and cosines are bit-deterministic, so the oracle rebuilds
+the identical edge set from the unrolled-Lloyd CTE.
 """
 
 from __future__ import annotations
@@ -32,25 +36,26 @@ from pyspark.sql import functions as F
 
 from ..catalog import Tables
 from ..operators.graph import SCALE, pagerank
-from ..registry import REGISTRY, query
-from ..similarity.ann import cosine_pairs_threshold_blocked
+from ..registry import query
+from ..similarity.ann import cosine_pairs_threshold_cells
 
-from .similarity import PAIR_THRESHOLD
+from .similarity import PAIR_THRESHOLD, cell_pairs_sql
 
 _EDGES_SQL = f"""
         SELECT vec_a, vec_b
-        FROM ({REGISTRY["sim_cosine_pairs"].oracle}) pairs
+        FROM ({cell_pairs_sql(PAIR_THRESHOLD)}) pairs
 """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list, localCheckpoint-ed (lazily): every consumer references
     it 2-3 times in one plan (both directions, wedge+closing joins),
-    and without truncation each reference re-runs the applyInPandas
-    cosine kernel — the checkpoint makes it one kernel run per query."""
+    and without truncation each reference re-runs the Lloyd passes and
+    the per-cell cosine kernel — the checkpoint makes it one run per
+    query."""
     t = Tables(spark, sf_dir)
     return (
-        cosine_pairs_threshold_blocked(t.embeddings, PAIR_THRESHOLD)
+        cosine_pairs_threshold_cells(t.embeddings, PAIR_THRESHOLD)
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=False)
     )

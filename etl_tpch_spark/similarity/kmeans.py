@@ -125,6 +125,30 @@ def _assign_numpy(q: DataFrame, centroids: list[tuple[int, list[int]]]):
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = K_CLUSTERS,
+    iters: int = N_ITERS,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Train ``iters`` Lloyd rounds from deterministic init (vec_id < k)
+    and return (final assignment DF keeping qv, trained centroids sorted
+    by id).  Centroids round-trip through the driver each round — K·dim
+    longs, the standard Lloyd pattern; the corpus never shuffles.  The
+    trained centroids feed the IVF index (similarity/ann.py) — training
+    is integer-exact, so even a *trained* index stays oracle-checkable."""
+    q = quantize(embeddings).cache()
+    cent_rows = [
+        (r.vec_id, list(r.qv))
+        for r in q.filter(F.col("vec_id") < k).collect()
+    ]
+    for _ in range(iters):
+        assign = _assign_numpy(q, cent_rows)
+        cent_rows = [
+            (r.cent_id, list(r.cv)) for r in _update(assign).collect()
+        ]
+    return _assign_numpy(q, cent_rows), sorted(cent_rows)
+
+
 def kmeans_assignments(
     embeddings: DataFrame,
     k: int = K_CLUSTERS,
@@ -140,21 +164,11 @@ def kmeans_assignments(
     kernel; ``False`` keeps everything as Catalyst expressions
     (broadcast join + fold) — value-identical, kept as the
     cross-implementation check."""
-    q = quantize(embeddings)
     if use_numpy:
-        q = q.cache()
-        cent_rows = [
-            (r.vec_id, list(r.qv))
-            for r in q.filter(F.col("vec_id") < k).collect()
-        ]
-        for _ in range(iters):
-            assign = _assign_numpy(q, cent_rows)
-            cent_rows = [
-                (r.cent_id, list(r.cv)) for r in _update(assign).collect()
-            ]
-        return _assign_numpy(q, cent_rows).select(
+        return kmeans_fit(embeddings, k, iters)[0].select(
             "vec_id", "cluster", "d2"
         )
+    q = quantize(embeddings)
     cent = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -109,7 +110,15 @@ def dedup_stream(
     keys newer than the watermark, so memory is bounded by (distinct
     keys per horizon), not stream length; the reference's pipeline has
     no dedup at all (duplicate appends on retry are accepted,
-    preprocess.py:22-27)."""
+    preprocess.py:22-27).
+
+    The event-time column is cast to TIMESTAMP first: parquet fixtures
+    store ``ts`` as TIMESTAMP_NTZ, and ``withWatermark`` rejects NTZ
+    event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  The session
+    timezone is pinned UTC (session.py) so the cast is value-identity."""
     keys = keys or ["event_id"]
-    return events.withWatermark(event_time, watermark)\
+    return (
+        events.withColumn(event_time, F.col(event_time).cast("timestamp"))
+        .withWatermark(event_time, watermark)
         .dropDuplicatesWithinWatermark(keys)
+    )

@@ -310,6 +310,38 @@ def test_kmeans_numpy_equals_expression_form(spark, sf_dir):
     assert b.exceptAll(a).count() == 0
 
 
+def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
+    """The trained-centroid IVF index must keep high recall against the
+    exact scan at the registered probe budget (4/16 cells — measured
+    0.84 on the synthetic corpus; pinned at ≥0.7 so a regression in
+    training or probe ranking fails loudly while data-noise jitter
+    doesn't)."""
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.queries.similarity import (
+        N_CELLS,
+        N_PROBE,
+        QUERY_IDS,
+        TOP_K,
+    )
+    from etl_tpch_spark.similarity.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, QUERY_IDS, TOP_K).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_ivf(
+            emb, QUERY_IDS, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE
+        ).collect()
+    }
+    assert len(brute & ivf) / len(brute) >= 0.7
+
+
 def test_approx_percentile_error_bound(spark, sf_dir):
     """approx_percentile (t-digest-style sketch) is the one-pass
     mergeable quantile path at scale; pin its accuracy against the

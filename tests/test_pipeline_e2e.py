@@ -197,3 +197,27 @@ def test_run_cycle_full_tick(spark, tmp_path_factory):
     # post-ingest expectations ran and the feed is clean
     assert all(passed for _, passed in r2["quality"].values())
     assert "unique:o_orderkey" in r2["quality"]
+
+
+def test_serve_loop_cadences(spark, tmp_path_factory):
+    """workflow.serve_loop (reference workflow.py:12-39 deployment
+    cadences): ≥3 ticks advance the clock 15 min apart; compact fires on
+    tick multiples only, reduce on its own multiples, and the health
+    check (results_ready ≙ reference dashboard.py:24-32) flips true
+    once the first reduce lands."""
+    from etl_tpch_spark.pipeline.workflow import serve_loop
+
+    root = str(tmp_path_factory.mktemp("serve"))
+    clock = iter(NOW + timedelta(minutes=15 * i) for i in range(10))
+    outs = serve_loop(
+        spark, TEST_SF_DIR, root,
+        ticks=4, compact_every=2, reduce_every=3,
+        now_fn=lambda: next(clock), k=5,
+    )
+    assert [o["tick"] for o in outs] == [0, 1, 2, 3]
+    assert [("compact" in o) for o in outs] == [True, False, True, False]
+    assert [("reduce" in o) for o in outs] == [True, False, False, True]
+    # all five segment results exist from tick 0's reduce onward
+    assert all(o["ready"] for o in outs)
+    # every tick generated + ingested (the 15-min cadence stages)
+    assert all("generate" in o and "ingest" in o for o in outs)
