@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     srv.add_argument("--compact-every", type=int, default=24)
     srv.add_argument("--reduce-every", type=int, default=96)
 
+    dash = sub.add_parser(
+        "dashboard",
+        help="render the gold-zone results as formatted tables "
+        "(reference dashboard.py:9-70, terminal form)",
+    )
+    dash.add_argument("--root", required=True)
+    dash.add_argument("--limit", type=int, default=10)
+
     args = p.parse_args(argv)
     qs = registry.load_all()
 
@@ -93,6 +101,29 @@ def main(argv: list[str] | None = None) -> int:
         )
         for out in outs:
             print(out)
+        return 0
+
+    if args.cmd == "dashboard":
+        import os
+
+        from .pipeline.serving import format_for_display
+        from .pipeline.workflow import results_ready
+
+        results = os.path.join(args.root, "results")
+        if not results_ready(results):
+            # reference pipeline/dashboard.py:24-32: wait-for-results
+            # health check; here we report instead of blocking
+            print("results not ready (run `serve` or `cycle --reduce`)",
+                  file=sys.stderr)
+            return 1
+        spark = get_spark("etl_tpch_spark-cli")
+        for entry in sorted(os.listdir(results)):
+            seg_path = os.path.join(results, entry)
+            seg = entry.split(".")[0].upper()
+            print(f"=== {seg} — top unshipped orders by revenue ===")
+            format_for_display(spark.read.parquet(seg_path)).show(
+                args.limit, truncate=False
+            )
         return 0
 
     if args.cmd == "cycle":

@@ -71,3 +71,52 @@ def sql_logistic_score(emb_expr: str) -> str:
 
 def predicted_label(score: Column, threshold: float = 0.5) -> Column:
     return (score > threshold).cast("int")
+
+
+def xgboost_available() -> bool:
+    try:
+        import xgboost  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def xgboost_scorer_udf(model_json: str, feature_cols: list[str]):
+    """Real-model twin of :func:`logistic_score`: score Arrow batches
+    with an ``xgb.Booster`` loaded from the reference's model.json
+    format (reference model.json:1 — gbtree over [p_partkey,
+    s_acctbal]).
+
+    Same execution shape as the demo scorer — model deserialized once
+    per executor (lazy closure state, not per batch), each Arrow batch
+    scored in native code, no per-row Python.  Gated: xgboost is not in
+    this container, so callers check :func:`xgboost_available` (the
+    pandas-UDF plumbing itself is exercised by the hash-checked demo
+    scorer; only ``Booster.predict`` swaps in).  Tree-model scores are
+    exact-deterministic (no float-sum ordering), so an installed
+    deployment can still oracle-check against a DuckDB re-implementation
+    of the dumped trees."""
+    if not xgboost_available():
+        raise ImportError(
+            "xgboost not installed: use logistic_score (same UDF shape) "
+            "or install xgboost to score real model.json boosters"
+        )
+    import numpy as np
+
+    state: dict = {}
+
+    def _score(*cols: pd.Series) -> pd.Series:
+        import xgboost as xgb
+
+        if "booster" not in state:  # once per executor, not per batch
+            b = xgb.Booster()
+            b.load_model(model_json)
+            state["booster"] = b
+        X = np.column_stack([c.to_numpy(dtype="float64") for c in cols])
+        out = state["booster"].inplace_predict(X)
+        if out.ndim == 2:  # multi:softprob → positive-class column
+            out = out[:, -1]
+        return pd.Series(out.astype("float64"))
+
+    return F.pandas_udf(_score, "double")(*[F.col(c) for c in feature_cols])

@@ -20,12 +20,25 @@ from pyspark.sql import functions as F
 def format_for_display(results: DataFrame) -> DataFrame:
     """reference dashboard.py:40-56 ``prepare_data``: order key
     zero-padded to 9, revenue rounded then ``$``-grouped, order date
-    MM/DD/YYYY."""
+    MM/DD/YYYY.  Accepts both result namings: the static-table DATE
+    ``o_orderdate`` and the live pipeline's rescaled TIMESTAMP
+    ``o_order_time`` (pipeline/generate.py)."""
+    date_col = (
+        "o_orderdate" if "o_orderdate" in results.columns else "o_order_time"
+    )
+    key_type = results.schema["l_orderkey"].dataType.simpleString()
+    order_id = (
+        F.format_string("%09d", F.col("l_orderkey"))
+        if key_type in ("int", "bigint", "smallint")
+        # live pipeline keys are uuid strings (generate.py rekey) —
+        # already display-ready, zero-padding is a numeric-key concept
+        else F.col("l_orderkey").cast("string")
+    )
     return results.select(
-        F.format_string("%09d", F.col("l_orderkey")).alias("order_id"),
+        order_id.alias("order_id"),
         F.concat(
             F.lit("$"), F.format_number(F.round("revenue", 2), 2)
         ).alias("revenue_display"),
-        F.date_format("o_orderdate", "MM/dd/yyyy").alias("order_date"),
+        F.date_format(date_col, "MM/dd/yyyy").alias("order_date"),
         F.col("o_orderpriority").alias("priority"),
     )

@@ -16,3 +16,24 @@ def test_list_enumerates_registry(capsys):
 def test_unknown_query_rejected(capsys):
     assert main(["run", "nope_not_a_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_dashboard_reports_not_ready(capsys, tmp_path):
+    assert main(["dashboard", "--root", str(tmp_path)]) == 1
+    assert "results not ready" in capsys.readouterr().err
+
+
+def test_serve_then_dashboard(capsys, tmp_path):
+    """serve ticks the pipeline to a served state; dashboard then
+    renders every segment's formatted gold table (reference
+    dashboard.py:9-70 flow, terminal form)."""
+    root = str(tmp_path / "lake")
+    assert main([
+        "serve", "--root", root, "--sf-dir", "/root/testdata/sf0.001",
+        "--ticks", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "'tick': 0" in out and "'tick': 1" in out
+    assert main(["dashboard", "--root", root, "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "BUILDING" in out and "revenue_display" in out

@@ -342,6 +342,40 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     assert len(brute & ivf) / len(brute) >= 0.7
 
 
+def test_xgboost_scorer_gate(spark, sf_dir):
+    """Real-model inference path: raises a clear ImportError without
+    xgboost; with xgboost installed it must score via the same
+    pandas-UDF shape as the demo scorer (exercised then, skipped now)."""
+    import pytest
+
+    from etl_tpch_spark.functions.inference import (
+        xgboost_available,
+        xgboost_scorer_udf,
+    )
+
+    if not xgboost_available():
+        with pytest.raises(ImportError, match="xgboost not installed"):
+            xgboost_scorer_udf("model.json", ["a", "b"])
+        return
+    # installed deployments: smoke the UDF against a trivial booster
+    import numpy as np
+    import xgboost as xgb
+
+    from etl_tpch_spark.catalog import load_table
+
+    X = np.array([[1.0, 2.0], [3.0, 4.0]])
+    booster = xgb.train(
+        {"objective": "binary:logistic"}, xgb.DMatrix(X, label=[0, 1]), 2
+    )
+    path = "/tmp/_xgb_smoke.json"
+    booster.save_model(path)
+    df = load_table(spark, sf_dir, "supplier").selectExpr(
+        "CAST(s_suppkey AS DOUBLE) AS a", "CAST(s_acctbal AS DOUBLE) AS b"
+    )
+    scored = df.withColumn("score", xgboost_scorer_udf(path, ["a", "b"]))
+    assert scored.filter("score < 0 OR score > 1").count() == 0
+
+
 def test_approx_percentile_error_bound(spark, sf_dir):
     """approx_percentile (t-digest-style sketch) is the one-pass
     mergeable quantile path at scale; pin its accuracy against the

@@ -1,0 +1,104 @@
+"""Spark-vs-DuckDB wall-time ratio for the headline queries.
+
+BASELINE.md records that the reference publishes no benchmark numbers,
+so the only quantitative gate ("within 2x of baseline at the same
+scale factor") needs a measurable stand-in.  DuckDB executing the
+oracle SQL on the same parquet at the same scale factor is the
+strongest available single-node baseline: a state-of-the-art vectorized
+OLAP engine running the semantically identical query on identical
+bytes.  This tool times both engines (warm, best-of-N) and emits a
+markdown ratio table for SCALING.md.
+
+Usage:  python tools/bench_oracle_ratio.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from bench import HEADLINE  # noqa: E402
+from etl_tpch_spark import registry  # noqa: E402
+from etl_tpch_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _best_of(fn, repeat: int) -> float:
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark("etl_tpch_spark-ratio")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = registry.load_all()
+    names = [n for n in HEADLINE if n in qs and qs[n].oracle]
+
+    rows = []
+    for name in names:
+        q = qs[name]
+        q.fn(spark, args.sf_dir).count()  # warm both engines
+        con.execute(q.oracle).fetchall()
+        s = _best_of(lambda: q.fn(spark, args.sf_dir).count(), args.repeat)
+        d = _best_of(lambda: con.execute(q.oracle).fetchall(), args.repeat)
+        rows.append((name, s, d, s / d if d > 0 else float("inf")))
+        print(
+            f"{name:32s} spark {s:7.3f}s  duckdb {d:7.3f}s  "
+            f"ratio {s / d:6.2f}x",
+            file=sys.stderr,
+        )
+
+    total_s = sum(r[1] for r in rows)
+    total_d = sum(r[2] for r in rows)
+    print("\n| query | spark s | duckdb s | spark/duckdb |")
+    print("|---|---|---|---|")
+    for name, s, d, r in rows:
+        print(f"| {name} | {s:.3f} | {d:.3f} | {r:.2f}x |")
+    print(
+        f"| **total ({len(rows)} queries)** | **{total_s:.2f}** | "
+        f"**{total_d:.2f}** | **{total_s / total_d:.2f}x** |"
+    )
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "total_spark_s": round(total_s, 3),
+                "total_duckdb_s": round(total_d, 3),
+                "ratio": round(total_s / total_d, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
