@@ -137,6 +137,65 @@ def sample_uniform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+        ),
+        m AS (SELECT min(n_before) AS n_min FROM c),
+        r AS (
+            SELECT lang, n_before,
+                   sqrt(CAST(m.n_min AS DOUBLE) / n_before) AS rate
+            FROM c CROSS JOIN m
+        )
+        SELECT d.lang,
+               CAST(any_value(r.n_before) AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (
+                   WHERE {_SQL_DOC_HASH} < r.rate * 4294967296.0
+               ) AS BIGINT) AS n_kept,
+               round(any_value(r.rate), 6) AS keep_rate
+        FROM documents d JOIN r ON d.lang = r.lang
+        GROUP BY d.lang
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LLM
+    mixing op, XLM-R style with α = 0.5): each language keeps documents
+    with rate √(n_min/n_lang), so head languages are downsampled toward
+    the tail and the mixture flattens without replicating rare data.
+
+    Membership is doc-hash thresholding — row-local, append-stable, no
+    shuffle to apply (domain rates are a tiny broadcast).  α = 0.5 is
+    deliberate: the rate is one IEEE division + one sqrt, both
+    correctly-rounded ops, so the kept set is bit-identical across
+    engines (a general pow(x, α) would drift in the last ulp).  Reports
+    per-language before/kept counts + the applied rate."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    rates = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("n_before").alias("n_min")))
+    ).select(
+        "lang",
+        "n_before",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_before")).alias(
+            "rate"
+        ),
+    )
+    kept_flag = _doc_hash() < F.col("rate") * F.lit(4294967296.0)
+    return (
+        t.documents.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_before").alias("n_before"),
+            F.sum(kept_flag.cast("long")).alias("n_kept"),
+            F.round(F.first("rate"), 6).alias("keep_rate"),
+        )
+    )
+
+
 # ----------------------------------------------- chunking & packing
 
 CHUNK_TOKENS = 32

@@ -342,3 +342,89 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        ),
+        base AS (
+            SELECT doc_id, len(t) AS n_toks,
+                   len(list_distinct(t)) AS n_distinct, t
+            FROM toks
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks WHERE len(t) > 1
+        ),
+        top_bg AS (
+            SELECT doc_id, max(c) AS max_bigram FROM (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM bg GROUP BY doc_id, bigram
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round(b.n_distinct * 1.0 / b.n_toks, 6) AS distinct_ratio,
+               round(coalesce(t.max_bigram, 0) * 1.0
+                     / greatest(b.n_toks - 1, 1), 6) AS top_bigram_frac,
+               (b.n_distinct * 1.0 / b.n_toks >= 0.2
+                AND coalesce(t.max_bigram, 0) * 1.0
+                    / greatest(b.n_toks - 1, 1) <= 0.18) AS keep
+        FROM base b LEFT JOIN top_bg t ON b.doc_id = t.doc_id
+        WHERE b.n_toks > 0
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering: drop documents whose content
+    is dominated by repeated n-grams — the standard crawl-corpus
+    quality gate alongside length/stopword heuristics (text_quality).
+    Signals: type-token distinct ratio (low ⇒ loops) and the fraction
+    of bigram slots taken by the single most-common bigram (high ⇒
+    boilerplate/chant).  Thresholds: keep iff distinct_ratio ≥ 0.2 and
+    top_bigram_frac ≤ 0.18 — compared on the raw IEEE-exact divisions
+    (single division of exact integer counts ⇒ bit-identical across
+    engines), rounded only for display.  Plan: per-doc expressions are
+    shuffle-free; the bigram mode needs one shuffle on (doc_id, bigram)
+    + one per-doc max — both keyed finer than doc_id, so no hot keys at
+    100 TB (a doc's bigrams spread across partitions before the tiny
+    per-doc max)."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_grams = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_grams),
+        F.slice(toks, 2, n_grams),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        bigrams.alias("bigrams"),
+    ).filter(F.col("n_toks") > 0)
+    bg = base.select("doc_id", F.explode("bigrams").alias("bigram"))
+    top_bg = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    distinct_ratio = F.col("n_distinct") * 1.0 / F.col("n_toks")
+    top_frac = (
+        F.coalesce(F.col("max_bigram"), F.lit(0))
+        * 1.0
+        / F.greatest(F.col("n_toks") - 1, F.lit(1))
+    )
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((distinct_ratio >= 0.2) & (top_frac <= 0.18)).alias("keep"),
+        )
+    )
