@@ -85,3 +85,47 @@ def udaf_grouped_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_agg(F.col("l_extendedprice")).alias("n"),
         )
     )
+
+
+@query(
+    "curation_model_filter",
+    oracle=f"""
+        WITH scored AS (
+            SELECT d.lang,
+                   round({sql_logistic_score('e.embedding')}, 6) AS score
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE score > 0.5) AS BIGINT)
+                 AS n_kept,
+               round(sum(score), 4) AS sum_score
+        FROM scored GROUP BY lang
+    """,
+)
+def curation_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering — the quality-classifier gate every
+    modern pretraining pipeline runs (fasttext/logreg doc scorers):
+    join the corpus to its embedding, score each document with the
+    Arrow-batched model UDF, keep score > 0.5, report per-language
+    survival.  Composition check: broadcast-join + pandas UDF + agg in
+    ONE plan, all hash-verified (swap in xgboost_scorer_udf for a real
+    booster — functions/inference.py).  At 100 TB the join is
+    co-partitioned storage (doc and embedding shards share the
+    id-hash layout, pipeline/export.py), not a shuffle."""
+    t = Tables(spark, sf_dir)
+    scored = (
+        t.documents.select("doc_id", "lang")
+        .join(
+            t.embeddings.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .withColumn("score", F.round(logistic_score(F.col("embedding")), 6))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > 0.5).cast("long")).alias("n_kept"),
+        F.round(F.sum("score"), 4).alias("sum_score"),
+    )

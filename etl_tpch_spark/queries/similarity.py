@@ -258,9 +258,11 @@ def _km_update(src_a: str, out: str) -> str:
 
 def _km_chain(k: int, iters: int) -> str:
     """CTE chain (no leading WITH) running ``iters`` quantized-Lloyd
-    rounds from the deterministic vec_id<k init; ends with
-    ``afinal(vec_id, qv, cluster, d2)`` and ``c{iters}(cent_id, cv)`` —
-    the SQL replica of similarity/kmeans.py kmeans_assignments."""
+    rounds from the deterministic duplicate-robust init (the k DISTINCT
+    quantized vectors with lowest owning vec_id — kmeans.py
+    _init_centroids); ends with ``afinal(vec_id, qv, cluster, d2)`` and
+    ``c{iters}(cent_id, cv)`` — the SQL replica of
+    similarity/kmeans.py kmeans_assignments."""
     parts = [
         """q AS (
             SELECT vec_id,
@@ -270,7 +272,9 @@ def _km_chain(k: int, iters: int) -> str:
             FROM embeddings
         )""",
         f"""c0 AS (
-            SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id < {k}
+            SELECT cent_id, qv AS cv FROM (
+                SELECT qv, min(vec_id) AS cent_id FROM q GROUP BY qv
+            ) ORDER BY cent_id LIMIT {k}
         )""",
     ]
     for i in range(iters):

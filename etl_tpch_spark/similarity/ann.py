@@ -374,6 +374,7 @@ def cosine_pairs_threshold_cells(
     threshold: float,
     k: int = 8,
     iters: int = 2,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: k-means cells → exact cosine only
     WITHIN each cell (the SemDeDup recipe — cluster first, compare
@@ -381,15 +382,22 @@ def cosine_pairs_threshold_cells(
 
     The deterministic quantized Lloyd (similarity/kmeans.py) assigns
     every vector a cell with integer-exact arithmetic, so the DuckDB
-    oracle rebuilds identical cells from an unrolled CTE; the per-cell
+    oracle rebuilds identical cells from an unrolled CTE; the per-group
     numpy kernel accumulates dimension-sequentially like the SQL fold,
     so verified cosines are bit-identical too.
 
     Cost shape: Lloyd is O(iters) broadcast+argmin passes (the corpus
-    never shuffles), then ONE shuffle on cell id and O(n²/k) pair work
-    per cell — at 100 TB pick k ~ n/10⁴ so cells fit an executor.
-    Cross-cell pairs are unscored by design (recall < 1, like published
-    SemDeDup); `cosine_pairs_threshold` is the exact recall baseline."""
+    never shuffles), then ONE shuffle and O(n²/k) pair work per cell —
+    at 100 TB pick k ~ n/10⁴ so cells fit an executor.  Within each
+    cell the work is further block-decomposed (same recipe as
+    cosine_pairs_threshold_blocked) into B(B+1)/2 groups keyed
+    (cell, p, q): a skewed cell — duplicate-heavy corpora produce them
+    even with robust init — spreads across B² tasks with bounded
+    per-task memory instead of landing on one executor.  Pair values
+    depend only on the two vectors (per-dim accumulation), so the
+    decomposition is invisible to the oracle.  Cross-cell pairs are
+    unscored by design (recall < 1, like published SemDeDup);
+    `cosine_pairs_threshold` is the exact recall baseline."""
     import numpy as np
     import pandas as pd
 
@@ -403,12 +411,14 @@ def cosine_pairs_threshold_cells(
         ]
     )
 
-    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, p, q = key
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"vec_a": [], "vec_b": [], "cosine": []}
             ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
         ids = pdf["vec_id"].to_numpy()
+        blk = pdf["b"].to_numpy()
         X = np.stack(pdf["embedding"].to_numpy())
         n, dim = X.shape
         dot = np.zeros((n, n))
@@ -418,7 +428,10 @@ def cosine_pairs_threshold_cells(
             dot += np.outer(xj, xj)
             nrm += xj * xj
         cos = dot / np.sqrt(np.outer(nrm, nrm))
-        ia, ib = np.where(ids[:, None] < ids[None, :])
+        want = ids[:, None] < ids[None, :]
+        if p != q:  # intra-block pairs belong to the diagonal group only
+            want &= blk[:, None] != blk[None, :]
+        ia, ib = np.where(want)
         cosv = np.round(cos[ia, ib], 6)
         keep = cosv >= threshold
         return pd.DataFrame(
@@ -428,10 +441,26 @@ def cosine_pairs_threshold_cells(
     cells = kmeans_assignments(embeddings, k, iters).select(
         "vec_id", "cluster"
     )
+    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
     tagged = embeddings.join(cells, "vec_id").select(
-        "cluster", "vec_id", "embedding"
+        "cluster", "vec_id", "embedding", b.alias("b")
     )
-    return tagged.groupBy("cluster").applyInPandas(score_cell, out_schema)
+    pairs_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(o)).alias("p"),
+                F.greatest(F.col("b"), F.lit(o)).alias("q"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    exploded = tagged.select(
+        "cluster", "vec_id", "embedding", "b",
+        F.explode(F.array_distinct(pairs_keys)).alias("pk"),
+    )
+    return exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
+        score_block, out_schema
+    )
 
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:

@@ -125,12 +125,34 @@ def _assign_numpy(q: DataFrame, centroids: list[tuple[int, list[int]]]):
     )
 
 
+def _init_centroids(q: DataFrame, k: int) -> DataFrame:
+    """Deterministic duplicate-robust init: the k DISTINCT quantized
+    vectors with the lowest owning vec_id.  ``vec_id < k`` (the naive
+    init) degenerates on duplicate-heavy corpora — exactly the corpora
+    a dedup pipeline processes: if the first k ids are copies of one
+    document, every centroid is the same point, all ties break to the
+    lowest id, and Lloyd collapses to ONE cell (observed on the 10×
+    stress fixture: 20k vectors → 1 cell → the within-cell pair kernel
+    inherits the full O(n²)).  Grouping by the vector first guarantees
+    k distinct starting points whenever the corpus has k distinct
+    vectors, while remaining order-independent and SQL-replicable (the
+    oracle's c0 CTE mirrors this GROUP BY)."""
+    return (
+        q.groupBy("qv")
+        .agg(F.min("vec_id").alias("cent_id"))
+        .orderBy("cent_id")
+        .limit(k)
+        .select("cent_id", F.col("qv").alias("cv"))
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = K_CLUSTERS,
     iters: int = N_ITERS,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
-    """Train ``iters`` Lloyd rounds from deterministic init (vec_id < k)
+    """Train ``iters`` Lloyd rounds from deterministic duplicate-robust
+    init (k distinct vectors, lowest owning ids — see _init_centroids)
     and return (final assignment DF keeping qv, trained centroids sorted
     by id).  Centroids round-trip through the driver each round — K·dim
     longs, the standard Lloyd pattern; the corpus never shuffles.  The
@@ -138,8 +160,7 @@ def kmeans_fit(
     is integer-exact, so even a *trained* index stays oracle-checkable."""
     q = quantize(embeddings).cache()
     cent_rows = [
-        (r.vec_id, list(r.qv))
-        for r in q.filter(F.col("vec_id") < k).collect()
+        (r.cent_id, list(r.cv)) for r in _init_centroids(q, k).collect()
     ]
     for _ in range(iters):
         assign = _assign_numpy(q, cent_rows)
@@ -169,9 +190,7 @@ def kmeans_assignments(
             "vec_id", "cluster", "d2"
         )
     q = quantize(embeddings)
-    cent = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
-    )
+    cent = _init_centroids(q, k)
     for _ in range(iters):
         cent = _update(_assign(q, cent))
     return _assign(q, cent).select("vec_id", "cluster", "d2")

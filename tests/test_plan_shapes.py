@@ -93,6 +93,7 @@ NLJ_ALLOWED = {
     "sim_cosine_pairs",
     "sim_quantized_cosine_pairs",  # documented all-pairs baseline
     "sim_kmeans_clusters",  # K-centroid broadcast per Lloyd round
+    "sample_temperature_mixture",  # 1-row n_min aggregate cross join
     "ts_gapfill_hourly",  # dense grid = hours × event_types, both tiny
     "ts_locf_hourly",  # same data-size-independent grid cross join
     "graph_pagerank",  # one-row node-count broadcast per round
