@@ -82,16 +82,27 @@ def xgboost_available() -> bool:
         return False
 
 
+# booster cache keyed by model path, per Python WORKER PROCESS: the UDF
+# closure is re-deserialized for every task, so closure-local state
+# would reload the model per task — a module-level dict survives for
+# the lifetime of the (reused) pyspark worker process.
+_BOOSTERS: dict = {}
+
+
 def xgboost_scorer_udf(model_json: str, feature_cols: list[str]):
     """Real-model twin of :func:`logistic_score`: score Arrow batches
     with an ``xgb.Booster`` loaded from the reference's model.json
     format (reference model.json:1 — gbtree over [p_partkey,
     s_acctbal]).
 
-    Same execution shape as the demo scorer — model deserialized once
-    per executor (lazy closure state, not per batch), each Arrow batch
-    scored in native code, no per-row Python.  Gated: xgboost is not in
-    this container, so callers check :func:`xgboost_available` (the
+    Same execution shape as the demo scorer — each Arrow batch scored
+    in native code, no per-row Python; the deserialized booster is
+    cached per Python worker process (module-level, NOT closure state —
+    closures re-deserialize per task).  ``model_json`` must be readable
+    on the EXECUTORS: on a real cluster either a shared filesystem
+    path, or ship it with ``spark.sparkContext.addFile(model_json)``
+    and pass ``SparkFiles.get(name)``.  Gated: xgboost is not in this
+    container, so callers check :func:`xgboost_available` (the
     pandas-UDF plumbing itself is exercised by the hash-checked demo
     scorer; only ``Booster.predict`` swaps in).  Tree-model scores are
     exact-deterministic (no float-sum ordering), so an installed
@@ -104,17 +115,15 @@ def xgboost_scorer_udf(model_json: str, feature_cols: list[str]):
         )
     import numpy as np
 
-    state: dict = {}
-
     def _score(*cols: pd.Series) -> pd.Series:
         import xgboost as xgb
 
-        if "booster" not in state:  # once per executor, not per batch
+        if model_json not in _BOOSTERS:  # once per worker process
             b = xgb.Booster()
             b.load_model(model_json)
-            state["booster"] = b
+            _BOOSTERS[model_json] = b
         X = np.column_stack([c.to_numpy(dtype="float64") for c in cols])
-        out = state["booster"].inplace_predict(X)
+        out = _BOOSTERS[model_json].inplace_predict(X)
         if out.ndim == 2:  # multi:softprob → positive-class column
             out = out[:, -1]
         return pd.Series(out.astype("float64"))

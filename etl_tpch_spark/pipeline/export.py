@@ -24,8 +24,6 @@ shard ≈ a few GB (`maxRecordsPerFile` bounds stragglers).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,7 +32,13 @@ _ORDER_COL = "_shuffle_key"
 
 
 def shard_assignments(df: DataFrame, key_cols: list[str], n_shards: int) -> DataFrame:
-    """Tag every row with its shard id and deterministic shuffle key."""
+    """Tag every row with its shard id and deterministic shuffle key.
+
+    ``key_cols`` must identify rows uniquely: two rows with equal keys
+    tie on every sort criterion, so their relative order falls back to
+    arrival order and the byte-reproducibility guarantee is lost (run
+    the dedup stage first — exporting a corpus with duplicate ids is a
+    pipeline bug this module cannot repair)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     return df.withColumn(
@@ -66,7 +70,7 @@ def export_shards(
     requirement, so no extra sort is added and the order survives to
     the files (verified by test_rerun_produces_identical_shards).
     """
-    tagged = shard_assignments(df, key_cols, n_shards)
+    tagged = shard_assignments(df, key_cols, n_shards).cache()
     (
         tagged.repartition(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL, _ORDER_COL, *key_cols)
@@ -76,20 +80,30 @@ def export_shards(
         .format(fmt)
         .save(path)
     )
-    spark = df.sparkSession
-    counts = (
-        spark.read.format(fmt)
-        .load(path)
-        .groupBy(SHARD_COL)
-        .count()
-        .collect()
-    )
-    return {int(r[SHARD_COL]): r["count"] for r in counts}
+    # counts come from the cached pre-write frame (n_shards rows) — a
+    # read-back count would re-scan everything just written, doubling
+    # export I/O at the 100 TB design point.  Empty shards (possible
+    # when distinct keys < n_shards) are reported as 0 even though
+    # partitionBy writes no directory for them.
+    counts = {
+        int(r[SHARD_COL]): r["count"]
+        for r in tagged.groupBy(SHARD_COL).count().collect()
+    }
+    tagged.unpersist()
+    return {s: counts.get(s, 0) for s in range(n_shards)}
 
 
 def read_shard(
     spark: SparkSession, path: str, shard: int, fmt: str = "parquet"
 ) -> DataFrame:
     """One shard, in its written (deterministic) order when read as a
-    single split — training loaders read shard files sequentially."""
-    return spark.read.format(fmt).load(os.path.join(path, f"{SHARD_COL}={shard}"))
+    single split — training loaders read shard files sequentially.
+    Reads via the export root with a partition-pruned filter, so an
+    empty shard (no ``shard=K`` directory on disk) yields an empty
+    DataFrame instead of PATH_NOT_FOUND."""
+    return (
+        spark.read.format(fmt)
+        .load(path)
+        .where(F.col(SHARD_COL) == shard)
+        .drop(SHARD_COL)
+    )

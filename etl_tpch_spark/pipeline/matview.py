@@ -168,7 +168,7 @@ class MaterializedView:
         applied = self.applied_batches()  # runs _recover() first
         if batch_id is not None and batch_id in applied:
             return self.read(spark).count()
-        for stale in glob.glob(f"{self.path}.mv-*"):
+        for stale in glob.glob(glob.escape(self.path) + ".mv-*"):
             shutil.rmtree(stale)  # temp leftovers from a crashed swap
 
         part = self._partial(batch)

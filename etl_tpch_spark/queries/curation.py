@@ -172,9 +172,11 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (a general pow(x, α) would drift in the last ulp).  Reports
     per-language before/kept counts + the applied rate."""
     t = Tables(spark, sf_dir)
+    # tiny per-lang frame, referenced twice in one plan (rates input +
+    # the n_min aggregate) — cache so documents is scanned once for it
     counts = t.documents.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_before")
-    )
+    ).cache()
     rates = counts.crossJoin(
         F.broadcast(counts.agg(F.min("n_before").alias("n_min")))
     ).select(

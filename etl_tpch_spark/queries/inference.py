@@ -99,7 +99,8 @@ def udaf_grouped_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(*) FILTER (WHERE score > 0.5) AS BIGINT)
                  AS n_kept,
-               round(sum(score), 4) AS sum_score
+               CAST(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_score_micro
         FROM scored GROUP BY lang
     """,
 )
@@ -110,7 +111,10 @@ def curation_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched model UDF, keep score > 0.5, report per-language
     survival.  Composition check: broadcast-join + pandas UDF + agg in
     ONE plan, all hash-verified (swap in xgboost_scorer_udf for a real
-    booster — functions/inference.py).  At 100 TB the join is
+    booster — functions/inference.py).  The score total is summed in
+    exact integer micro-units (floor(score·1e6+0.5), score already
+    rounded to 6dp) — an IEEE double sum would be reduction-order
+    dependent and flake the hash at scale.  At 100 TB the join is
     co-partitioned storage (doc and embedding shards share the
     id-hash layout, pipeline/export.py), not a shuffle."""
     t = Tables(spark, sf_dir)
@@ -127,5 +131,7 @@ def curation_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("score") > 0.5).cast("long")).alias("n_kept"),
-        F.round(F.sum("score"), 4).alias("sum_score"),
+        F.sum(
+            F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long")
+        ).alias("sum_score_micro"),
     )

@@ -177,8 +177,10 @@ def kmeans_assignments(
     *,
     use_numpy: bool = True,
 ) -> DataFrame:
-    """Run ``iters`` Lloyd rounds from deterministic init (vec_id < k)
-    and return the final assignment (vec_id, cluster, d2).
+    """Run ``iters`` Lloyd rounds from the deterministic
+    duplicate-robust init (k distinct vectors, lowest owning ids —
+    _init_centroids) and return the final assignment
+    (vec_id, cluster, d2).
 
     ``use_numpy=True`` collects the K centroids to the driver each
     round (K·dim longs — trivial) and assigns with the vectorized
