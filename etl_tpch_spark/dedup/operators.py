@@ -170,6 +170,69 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame, new_docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs touching the NEW batch
+    only — the daily-crawl shape.  A day's ingest must dedup against
+    the accumulated corpus without recomparing corpus×corpus: band keys
+    are content hashes, so yesterday's bands never change, and the only
+    new candidates are (new × all) band collisions.
+
+    Cost: O(|new| · bands) fan-out joined against the band index —
+    at 100 TB the corpus band table is a stored index (write it with
+    pipeline/export.py's content-addressed layout) and the daily join
+    touches ~|new|/bucket_density of it; the full self-join never runs
+    again.  Output ≡ the pairs of `minhash_lsh_pairs(corpus ∪ new)`
+    minus the corpus-internal ones (tested), deterministic ⇒
+    oracle-checkable."""
+
+    def banded(docs: DataFrame, tag: str) -> DataFrame:
+        sh = shingle_sets(docs).filter(F.size("shingles") > 0)
+        sig = sh.select(
+            "doc_id",
+            "shingles",
+            band_keys(
+                minhash_signature(shingle_hashes(F.col("shingles")))
+            ).alias("bands"),
+        ).withColumn("is_new", F.lit(tag == "new"))
+        return sig
+
+    sig = banded(corpus, "old").unionByName(banded(new_docs, "new")).cache()
+    bands = sig.select(
+        "doc_id", "is_new", F.explode("bands").alias("band")
+    )
+    new_bands = bands.filter(F.col("is_new"))
+    cand = (
+        new_bands.alias("x")
+        .join(bands.alias("y"), "band")
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                * 1.0
+                / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-document SimHash: explode tokens, vote per bit of the 32-bit
     md5-derived token hash (duplicates weigh), assemble the signature

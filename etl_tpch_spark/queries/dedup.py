@@ -279,3 +279,58 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+        WITH {_SQL_SH_CTE},
+        hashed AS (
+            SELECT doc_id, shingles,
+                   {sql_shingle_hashes('shingles')} AS hs
+            FROM sh WHERE len(shingles) > 0
+        ),
+        sig AS (
+            SELECT doc_id, shingles,
+                   {sql_minhash_signature('hs')} AS mh
+            FROM hashed
+        ),
+        withbands AS (
+            SELECT doc_id, shingles, unnest({sql_band_keys('mh')}) AS band
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                            greatest(x.doc_id, y.doc_id) AS doc_b
+            FROM withbands x JOIN withbands y
+              ON x.band = y.band AND x.doc_id <> y.doc_id
+            WHERE x.doc_id % 2 = 1
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                     (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                 AS jaccard
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-crawl) dedup: even doc_ids play the existing
+    deduped corpus, odd ids the new batch; only pairs TOUCHING the new
+    batch are generated (dedup/operators.py
+    minhash_lsh_pairs_incremental — band keys are content hashes, so
+    the corpus band index is reusable storage and corpus×corpus never
+    recomputes).  Equivalence with the batch operator minus
+    corpus-internal pairs is pinned in tests/test_operators_unit.py."""
+    from ..dedup.operators import minhash_lsh_pairs_incremental
+
+    t = Tables(spark, sf_dir)
+    corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
+    new = t.documents.filter(F.col("doc_id") % 2 == 1)
+    return minhash_lsh_pairs_incremental(corpus, new, JACCARD_THRESHOLD)

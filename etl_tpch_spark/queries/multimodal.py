@@ -82,3 +82,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixels", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("pixel_sum"),
     )
+
+
+@query(
+    "multimodal_byte_histogram",
+    oracle="""
+        SELECT CAST(b // 16 AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_samples
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, length(text) + 1),
+                       i -> ascii(substr(text, i, 1)))) AS b
+            FROM documents
+        )
+        GROUP BY 1
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sample-value histogram through the REAL decode path
+    — the first multimodal query whose Python-side decode is fully
+    hash-checked, not rows-only: RAWM container built JVM-side →
+    mapInPandas binary parse → explode samples → 16-bucket histogram.
+    The oracle rebuilds identical byte values from the source text
+    (the corpus is ASCII, so codepoint == utf-8 byte — the same
+    identity multimodal_decode_lengths pins for lengths).  Plan: decode
+    is one Python stage, then one shuffle on the 16 bucket keys with
+    map-side partial aggregation — sample volume never crosses a
+    shuffle."""
+    media = media_from_documents(spark, sf_dir)
+    dec = decode_media(media, keep_samples=True)
+    return (
+        dec.select(F.explode("samples").alias("b"))
+        .groupBy(F.floor(F.col("b") / 16).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_samples"))
+    )

@@ -342,6 +342,34 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     assert len(brute & ivf) / len(brute) >= 0.7
 
 
+def test_incremental_dedup_equals_full_minus_corpus_pairs(spark, sf_dir):
+    """The daily-crawl contract: incremental LSH over (corpus, new)
+    must produce exactly the full batch pair set minus corpus-internal
+    pairs — no pair lost at the boundary, none invented."""
+    from pyspark.sql import functions as F
+
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.dedup.operators import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_incremental(corpus, new, 0.5).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    want = {p for p in full if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert inc == want
+    assert inc  # non-vacuous: the fixture has cross-parity near-dups
+
+
 def test_xgboost_scorer_gate(spark, sf_dir):
     """Real-model inference path: raises a clear ImportError without
     xgboost; with xgboost installed it must score via the same
