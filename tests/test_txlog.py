@@ -126,3 +126,46 @@ def test_crashed_writer_leaves_no_torn_table(spark, orders, tmp_path):
     t.append(orders.limit(5))
     t._write_data(orders.limit(100))  # orphan files, no commit
     assert t.read(spark).count() == 5
+
+
+def test_txtable_as_streaming_foreachbatch_sink(
+    spark, sf_dir, tmp_path_factory
+):
+    """End-to-end exactly-once: a file stream drained through
+    foreachBatch appending into a TxTable — every micro-batch is one
+    atomic commit keyed by epoch id, and re-running the drain from a
+    FRESH checkpoint (worst-case full replay) appends nothing."""
+    root = tmp_path_factory.mktemp("txstream")
+    src_dir = str(root / "src")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(3).write.parquet(src_dir)
+
+    table = TxTable(str(root / "table"))
+
+    def drain(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(
+                lambda df, epoch: table.append(df, batch_id=f"e{epoch}")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(str(root / "ckpt1"))
+    n = table.read(spark).count()
+    assert n == orders.count()
+    v = table.latest_version()
+    assert v >= 2  # multiple micro-batches → multiple commits
+
+    # replay the whole stream with a fresh checkpoint: identical epoch
+    # ids → every append is a recorded batch_id → no-op
+    drain(str(root / "ckpt2"))
+    assert table.latest_version() == v
+    assert table.read(spark).count() == n
