@@ -91,17 +91,27 @@ class TxTable:
         return ids
 
     def _try_commit(self, entry: dict) -> int | None:
-        """One optimistic attempt: claim version latest+1 via exclusive
-        create.  Returns the committed version, or None on losing the
-        race (caller re-reads the log and retries)."""
+        """One optimistic attempt: claim version latest+1 atomically.
+        Returns the committed version, or None on losing the race
+        (caller re-reads the log and retries).
+
+        The claim is ``os.link(tmp, version_file)`` — exclusive (EEXIST
+        if a rival won) AND atomic on content: the entry is fully
+        written to the temp file first, so a crash can never publish a
+        torn/partial log entry (a bare ``open('x')`` + ``json.dump``
+        could die mid-dump having already claimed the version)."""
         v = (self.latest_version() or 0) + 1
         entry = {**entry, "version": v}
+        tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
         try:
-            with open(self._version_file(v), "x") as f:
-                json.dump(entry, f)
+            os.link(tmp, self._version_file(v))
             return v
         except FileExistsError:
             return None
+        finally:
+            os.remove(tmp)
 
     # ------------------------------------------------------------ write
 
@@ -166,15 +176,23 @@ class TxTable:
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
-        files and commit the swap (reference preprocess.py:70-73)."""
-        current = self.snapshot_files()
-        if len(current) <= target_files:
+        files and commit the swap (reference preprocess.py:70-73).
+        Files appended by rivals BETWEEN the compaction read and the
+        commit are carried into the new manifest untouched — compaction
+        must never drop a concurrent append (the same reconcile-on-
+        conflict rule Delta's OPTIMIZE applies)."""
+        base = self.snapshot_files()
+        if len(base) <= target_files:
             return self.latest_version() or 0
+        compacted_away = set(base)
         df = self.read(spark).coalesce(target_files)
         new_files = self._write_data(df)
-        return self._commit_with_retry(
-            lambda _cur: {"op": "compact", "files": new_files}
-        )
+
+        def build(current: list[str]):
+            appended_since = [f for f in current if f not in compacted_away]
+            return {"op": "compact", "files": new_files + appended_since}
+
+        return self._commit_with_retry(build)
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop versions older than the newest ``keep_versions`` and
@@ -193,6 +211,13 @@ class TxTable:
             if f.endswith(".parquet") and f not in kept_files:
                 os.remove(os.path.join(self.path, f))
                 removed.append(f)
+        # sweep staging dirs orphaned by writers that died pre-commit
+        for f in os.listdir(self.path):
+            if f.startswith("_staging-"):
+                d = os.path.join(self.path, f)
+                for inner in os.listdir(d):
+                    os.remove(os.path.join(d, inner))
+                os.rmdir(d)
         return sorted(removed)
 
     # ------------------------------------------------------------- read

@@ -56,3 +56,29 @@ def test_assert_plan_requires_minimums(spark, sf_dir):
     assert feats["hash_aggregate"] >= 2  # partial + final
     with pytest.raises(AssertionError, match="required"):
         assert_plan(agg, require={"sort_merge_join": 1})
+
+
+def test_subquadratic_kernels_have_no_bnlj(spark, sf_dir):
+    """Round-2 scale contract: the product paths that replaced all-pairs
+    kernels must stay free of nested-loop joins — banded simhash,
+    cell-scoped embedding pairs, the LSH-fed embedding clusters, the
+    incremental dedup, and all three graph queries (whose BNLJ budget is
+    exactly the 1-row n_nodes cross joins in pagerank, bounded at 4)."""
+    from etl_tpch_spark import registry
+
+    qs = registry.load_all()
+    strictly_clean = (
+        "dedup_simhash",
+        "sim_cosine_pairs_cells",
+        "dedup_embedding_clusters",
+        "dedup_incremental",
+        "graph_degree_distribution",
+        "graph_triangle_count",
+    )
+    for name in strictly_clean:
+        feats = plan_features(qs[name].fn(spark, sf_dir))
+        assert feats["broadcast_nested_loop_join"] == 0, name
+        assert feats["cartesian_product"] == 0, name
+    pr = plan_features(qs["graph_pagerank"].fn(spark, sf_dir))
+    assert pr["broadcast_nested_loop_join"] <= 4  # 1-row n_nodes joins
+    assert pr["cartesian_product"] == 0

@@ -103,6 +103,30 @@ def test_compact_swaps_manifest_history_survives(spark, orders, tmp_path):
     assert t.read(spark, version=v - 1).count() == n
 
 
+def test_compact_carries_concurrent_appends(spark, orders, tmp_path):
+    """An append landing between compaction's read and its commit must
+    survive in the compacted manifest (OPTIMIZE reconciles, never drops
+    rivals' files)."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(orders.filter(F.col("o_orderkey") % 3 == i))
+    n = t.read(spark).count()
+    rival = TxTable(t.path)
+    orig = t._try_commit
+    raced = {"done": False}
+
+    def racing(entry):
+        if not raced["done"]:
+            raced["done"] = True
+            rival.append(orders.limit(5))  # lands mid-compaction
+            return None
+        return orig(entry)
+
+    t._try_commit = racing
+    t.compact(spark, target_files=1)
+    assert t.read(spark).count() == n + 5  # rival's rows survived
+
+
 def test_vacuum_removes_unreferenced_files_only(spark, orders, tmp_path):
     t = TxTable(str(tmp_path / "t"))
     t.append(orders)
