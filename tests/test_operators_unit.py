@@ -319,6 +319,7 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     from etl_tpch_spark.catalog import load_table
     from etl_tpch_spark.queries.similarity import (
         N_CELLS,
+        N_IVF_ITERS,
         N_PROBE,
         QUERY_IDS,
         TOP_K,
@@ -336,7 +337,8 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     ivf = {
         (r.query_id, r.vec_id)
         for r in cosine_topk_ivf(
-            emb, QUERY_IDS, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE
+            emb, QUERY_IDS, TOP_K,
+            n_cells=N_CELLS, n_probe=N_PROBE, iters=N_IVF_ITERS,
         ).collect()
     }
     assert len(brute & ivf) / len(brute) >= 0.7
