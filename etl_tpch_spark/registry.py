@@ -96,6 +96,7 @@ DRIVER_WINDOW = (
     "dedup_simhash",
     "dedup_clusters",
     "dedup_canonical_documents",
+    "dedup_incremental",
     # similarity search / ANN
     "sim_ann_topk_bruteforce",
     "sim_cosine_pairs",
@@ -138,7 +139,6 @@ DRIVER_WINDOW = (
     "events_funnel",
     "events_cohort_retention",
     "events_json_typed",
-    "events_map_type",
     # batch inference
     "inference_batch_scores",
 )
