@@ -12,9 +12,9 @@ shuffle-budgeted:
   (×N_BANDS rows) → self-join on band bucket (1 shuffle of doc-id+key
   pairs only) → verify candidates against shingle sets (broadcast or
   shuffle join on the *small* candidate set).  Never all-pairs.
-- simhash:   explode tokens (1 shuffle to per-doc bit votes) → 64/32-bit
-  int per doc → near-dup pairs via banding or all-pairs on the small
-  signature table.
+- simhash:   explode tokens (1 shuffle to per-doc bit votes) → 60-bit
+  int per doc → near-dup pairs via pigeonhole banding (4×15-bit bands
+  at hamming ≤ 3 — never all-pairs).
 - n-gram jaccard (brute): shared-shingle join — quadratic in docs per
   shingle bucket; the exact baseline for recall measurement, not the
   scale path.
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_hash, tokens
+from ..functions.text import token_hash, token_hash_wide, tokens
 from .hashing import band_keys, minhash_signature, shingle_hashes
 
 NGRAM = 3
@@ -233,13 +233,25 @@ def minhash_lsh_pairs_incremental(
     )
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """Per-document SimHash: explode tokens, vote per bit of the 32-bit
-    md5-derived token hash (duplicates weigh), assemble the signature
-    int.  One shuffle (groupBy doc_id)."""
+SIMHASH_BITS = 60  # Manku-style wide fingerprint; < 63 keeps every
+# (1 << b) positive in BIGINT on both engines
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash: explode tokens, vote per bit of the
+    60-bit md5-derived token hash (duplicates weigh), assemble the
+    signature int.  One shuffle (groupBy doc_id).
+
+    60 bits instead of the classic 64 (sign-bit safety) — the width is
+    what makes banding work: near-dup detection bands the signature
+    into (max_hamming+1) chunks, and bucket count per band is
+    2^(bits/bands).  A narrow signature (32 bits, hamming 8 ⇒ 3-4-bit
+    bands ⇒ ≤16 buckets) degenerates the band join toward all-pairs at
+    corpus scale; 60 bits with hamming 3 gives 4×15-bit bands = 32k
+    buckets — the Manku/Google near-dup configuration."""
     ex = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).withColumn("h", token_hash(F.col("tok")))
+    ).withColumn("h", token_hash_wide(F.col("tok")))
     votes = ex.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -256,7 +268,7 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_band_cols(sig: F.Column, max_hamming: int, bits: int = 32):
+def simhash_band_cols(sig: F.Column, max_hamming: int, bits: int = SIMHASH_BITS):
     """Split a ``bits``-wide signature into ``max_hamming + 1``
     contiguous bands.  Pigeonhole: a pair within Hamming distance
     ``max_hamming`` differs in ≤ max_hamming bits, so at least one of
@@ -280,7 +292,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, via pigeonhole
     banding — NOT all-pairs.
 
-    The 32-bit signature splits into (max_hamming+1) contiguous bands;
+    The 60-bit signature splits into (max_hamming+1) contiguous bands;
     candidates equi-join on band equality (shuffle on band value only),
     then exact Hamming verifies candidates.  Recall is exact (pigeonhole
     guarantees a matching band for every true pair); output is identical

@@ -47,6 +47,18 @@ def sql_token_hash(tok: str) -> str:
     return f"CAST('0x' || substr(md5({tok}), 1, 8) AS BIGINT)"
 
 
+def token_hash_wide(tok: Column) -> Column:
+    """60-bit md5-derived token hash (15 hex chars — wide enough for a
+    Manku-style simhash fingerprint, narrow enough to stay clear of the
+    BIGINT sign bit on both engines)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def sql_token_hash_wide(tok: str) -> str:
+    """DuckDB twin of :func:`token_hash_wide`."""
+    return f"CAST('0x' || substr(md5({tok}), 1, 15) AS BIGINT)"
+
+
 def stopword_count(toks: Column, words: list[str]) -> Column:
     """How many tokens are in the given stopword list."""
     arr = F.array(*[F.lit(w) for w in words])

@@ -39,7 +39,7 @@ _SQL_SH_CTE = f"""
         )"""
 
 JACCARD_THRESHOLD = 0.5
-SIMHASH_MAX_HAMMING = 8
+SIMHASH_MAX_HAMMING = 3  # with the 60-bit signature: 4 bands x 15 bits
 
 
 @query(
@@ -159,7 +159,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
 
 
-def _sql_simhash_votes(bits: int = 32) -> str:
+def _sql_simhash_votes(bits: int = 60) -> str:
     vote_cols = ",\n                   ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
@@ -170,7 +170,7 @@ def _sql_simhash_votes(bits: int = 32) -> str:
     return f"""
         ex AS (
             SELECT doc_id,
-                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+                   CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
             FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
         ),
         votes AS (
@@ -195,9 +195,12 @@ def _sql_simhash_votes(bits: int = 32) -> str:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit token-vote signature, Hamming ≤ 8.
-    Signature build is one shuffle; the pair scan runs on the tiny
-    signature table (band it at true scale)."""
+    """SimHash near-dup pairs, Manku/Google configuration: 60-bit
+    token-vote fingerprint, Hamming ≤ 3, candidates via 4×15-bit
+    pigeonhole bands (32k buckets per band — the narrow 32-bit/h≤8
+    form banded into ≤16 buckets and degenerated toward all-pairs at
+    corpus scale).  Signature build is one shuffle; the band join
+    shuffles (doc_id, band value) pairs only."""
     t = Tables(spark, sf_dir)
     return simhash_pairs(t.documents, SIMHASH_MAX_HAMMING)
 
