@@ -80,11 +80,12 @@ def test_minhash_no_cartesian(plans):
 
 # Queries where a nested-loop/cartesian join is *by design*: one-row
 # scalar broadcasts (q11/q22), the derived-partsupp non-equi build (q2),
-# and the documented all-pairs baselines (simhash, brute cosine, and the
-# tiny centroid/query broadcasts of IVF/bruteforce ANN).
+# and the documented all-pairs baselines (brute cosine, and the tiny
+# centroid/query broadcasts of IVF/bruteforce ANN).  dedup_simhash,
+# dedup_embedding_clusters and sim_kmeans_clusters graduated OUT of
+# this list in round 2 (banding / cell kernels / numpy Lloyd) —
+# test_plan_audit.py asserts they stay clean.
 NLJ_ALLOWED = {
-    "dedup_embedding_clusters",  # pair stage = sim_cosine_pairs baseline
-    "dedup_simhash",
     "q11_important_stock",
     "q22_sales_opportunity",
     "q2_min_cost_supplier",
@@ -92,7 +93,6 @@ NLJ_ALLOWED = {
     "sim_ann_topk_ivf",
     "sim_cosine_pairs",
     "sim_quantized_cosine_pairs",  # documented all-pairs baseline
-    "sim_kmeans_clusters",  # K-centroid broadcast per Lloyd round
     "sample_temperature_mixture",  # 1-row n_min aggregate cross join
     "ts_gapfill_hourly",  # dense grid = hours × event_types, both tiny
     "ts_locf_hourly",  # same data-size-independent grid cross join
