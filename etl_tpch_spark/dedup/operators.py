@@ -118,101 +118,30 @@ def jaccard_pairs_brute(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """MinHash + LSH near-dup pairs, exact-verified.
-
-    shingle → 16 md5-derived minhashes → 8 band keys → self-join on
-    band bucket → distinct candidates → exact Jaccard filter.  Output is
-    *deterministic* (candidates are a function of content, verification
-    is exact) — so the DuckDB oracle replicates it bit-for-bit.
-    """
+def _banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, bands) — the MinHash-LSH index rows, cached:
+    the frame feeds 4 plan branches (both sides of the band join, both
+    sides of verification); without persisting, Spark would recompute
+    shingling + 16 minhash perms 4×.  At cluster scale use
+    persist(StorageLevel.DISK_ONLY) if signatures exceed memory.
+    Shared by the batch and incremental pair operators so their
+    candidate/verify semantics can never drift apart."""
     sh = shingle_sets(docs).filter(F.size("shingles") > 0)
-    sig = sh.select(
+    return sh.select(
         "doc_id",
         "shingles",
         band_keys(
             minhash_signature(shingle_hashes(F.col("shingles")))
         ).alias("bands"),
-    )
-    # sig feeds 4 plan branches (both sides of the band self-join, both
-    # sides of the verification join); without persisting, Spark would
-    # recompute shingling + 16 minhash perms 4×.  At cluster scale use
-    # persist(StorageLevel.DISK_ONLY) if signatures exceed memory.
-    sig = sig.cache()
-    banded = sig.select("doc_id", F.explode("bands").alias("band"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), "band")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared")
-                * 1.0
-                / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    ).cache()
 
 
-def minhash_lsh_pairs_incremental(
-    corpus: DataFrame, new_docs: DataFrame, threshold: float
+def _verify_jaccard(
+    cand: DataFrame, sig: DataFrame, threshold: float
 ) -> DataFrame:
-    """Incremental MinHash-LSH: near-dup pairs touching the NEW batch
-    only — the daily-crawl shape.  A day's ingest must dedup against
-    the accumulated corpus without recomparing corpus×corpus: band keys
-    are content hashes, so yesterday's bands never change, and the only
-    new candidates are (new × all) band collisions.
-
-    Cost: O(|new| · bands) fan-out joined against the band index —
-    at 100 TB the corpus band table is a stored index (write it with
-    pipeline/export.py's content-addressed layout) and the daily join
-    touches ~|new|/bucket_density of it; the full self-join never runs
-    again.  Output ≡ the pairs of `minhash_lsh_pairs(corpus ∪ new)`
-    minus the corpus-internal ones (tested), deterministic ⇒
-    oracle-checkable."""
-
-    def banded(docs: DataFrame, tag: str) -> DataFrame:
-        sh = shingle_sets(docs).filter(F.size("shingles") > 0)
-        sig = sh.select(
-            "doc_id",
-            "shingles",
-            band_keys(
-                minhash_signature(shingle_hashes(F.col("shingles")))
-            ).alias("bands"),
-        ).withColumn("is_new", F.lit(tag == "new"))
-        return sig
-
-    sig = banded(corpus, "old").unionByName(banded(new_docs, "new")).cache()
-    bands = sig.select(
-        "doc_id", "is_new", F.explode("bands").alias("band")
-    )
-    new_bands = bands.filter(F.col("is_new"))
-    cand = (
-        new_bands.alias("x")
-        .join(bands.alias("y"), "band")
-        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
-        .select(
-            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
-            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    """Exact Jaccard verification of (doc_a, doc_b) candidates against
+    the signature frame's shingle sets — the shared second stage of
+    every LSH pair operator."""
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -231,6 +160,69 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    shingle → 16 md5-derived minhashes → 8 band keys → self-join on
+    band bucket → distinct candidates → exact Jaccard filter.  Output is
+    *deterministic* (candidates are a function of content, verification
+    is exact) — so the DuckDB oracle replicates it bit-for-bit.
+    """
+    sig = _banded_signatures(docs)
+    banded = sig.select("doc_id", F.explode("bands").alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sig, threshold)
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame, new_docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs touching the NEW batch
+    only — the daily-crawl shape.  A day's ingest must dedup against
+    the accumulated corpus without recomparing corpus×corpus: band keys
+    are content hashes, so yesterday's bands never change, and the only
+    new candidates are (new × all) band collisions.
+
+    Cost: O(|new| · bands) fan-out joined against the band index —
+    at 100 TB the corpus band table is a stored index (write it with
+    pipeline/export.py's content-addressed layout) and the daily join
+    touches ~|new|/bucket_density of it; the full self-join never runs
+    again.  Output ≡ the pairs of `minhash_lsh_pairs(corpus ∪ new)`
+    minus the corpus-internal ones (tested), deterministic ⇒
+    oracle-checkable.  Signature build and Jaccard verification are the
+    SHARED helpers of the batch operator — the tested equivalence
+    cannot drift because there is one implementation."""
+    sig = _banded_signatures(
+        corpus.select("doc_id", "text").unionByName(
+            new_docs.select("doc_id", "text")
+        )
+    )
+    bands = sig.select("doc_id", F.explode("bands").alias("band"))
+    new_bands = bands.join(
+        new_docs.select("doc_id"), "doc_id", "left_semi"
+    )
+    cand = (
+        new_bands.alias("x")
+        .join(bands.alias("y"), "band")
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sig, threshold)
 
 
 SIMHASH_BITS = 60  # Manku-style wide fingerprint; < 63 keeps every

@@ -28,10 +28,15 @@ SCOPE: like matview.py, correctness relies on POSIX atomic create
 within one directory — local/NFS-with-O_EXCL filesystems.  On S3, swap
 the commit primitive for a conditional PUT (the same adaptation real
 Delta/Iceberg deployments make); everything else is engine-agnostic.
-Multi-writer appends are safe (retry loop); concurrent compaction is
-last-writer-wins on the manifest, never data loss (compaction only
-rewrites, it does not delete — vacuum does, and vacuum is an
-administrative single-writer operation by contract).
+Multi-writer appends are safe: commits are PINNED to the version their
+snapshot was read at (claiming latest+1 blindly would let a writer
+erase a rival's commit — the classic lost update), so a lost race
+forces a rebuild against the rival's state and appends compose.
+Concurrent compaction reconciles op-aware: rival appends are carried
+into the compacted manifest, rival overwrite/compact aborts the
+compaction.  Vacuum deletes, so it takes a ``min_age_s`` horizon for
+racing writers and carries dropped batch_ids forward in its own commit
+so exactly-once replay survives log truncation.
 """
 
 from __future__ import annotations
@@ -53,6 +58,7 @@ class TxTable:
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         os.makedirs(self.log_dir, exist_ok=True)
+        self._entry_cache: dict[int, dict] = {}  # entries are immutable
 
     # ------------------------------------------------------------- log
 
@@ -71,8 +77,10 @@ class TxTable:
         return vs[-1] if vs else None
 
     def _read_entry(self, v: int) -> dict:
-        with open(self._version_file(v)) as f:
-            return json.load(f)
+        if v not in self._entry_cache:
+            with open(self._version_file(v)) as f:
+                self._entry_cache[v] = json.load(f)
+        return self._entry_cache[v]
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         v = self.latest_version() if version is None else version
@@ -85,31 +93,36 @@ class TxTable:
     def applied_batch_ids(self) -> set[str]:
         ids = set()
         for v in self.versions():
-            b = self._read_entry(v).get("batch_id")
-            if b is not None:
-                ids.add(b)
+            e = self._read_entry(v)
+            if e.get("batch_id") is not None:
+                ids.add(e["batch_id"])
+            # a vacuum entry carries forward the ids of the log entries
+            # it deleted — exactly-once replay survives log truncation
+            ids.update(e.get("batch_ids_seen", ()))
         return ids
 
-    def _try_commit(self, entry: dict) -> int | None:
-        """One optimistic attempt: claim version latest+1 atomically.
-        Returns the committed version, or None on losing the race
-        (caller re-reads the log and retries).
+    def _try_commit_at(self, v: int, entry: dict) -> bool:
+        """One optimistic attempt: claim EXACTLY version ``v``
+        atomically.  False ⇒ a rival owns ``v``; the caller must
+        re-read the log and REBUILD its entry against the rival's
+        state before retrying — committing a stale entry at a later
+        version would silently erase the rival's commit (the classic
+        lost update; pinning the target version is what prevents it).
 
         The claim is ``os.link(tmp, version_file)`` — exclusive (EEXIST
         if a rival won) AND atomic on content: the entry is fully
         written to the temp file first, so a crash can never publish a
         torn/partial log entry (a bare ``open('x')`` + ``json.dump``
         could die mid-dump having already claimed the version)."""
-        v = (self.latest_version() or 0) + 1
         entry = {**entry, "version": v}
         tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(entry, f)
         try:
             os.link(tmp, self._version_file(v))
-            return v
+            return True
         except FileExistsError:
-            return None
+            return False
         finally:
             os.remove(tmp)
 
@@ -133,15 +146,22 @@ class TxTable:
         return names
 
     def _commit_with_retry(self, build_entry) -> int:
-        """Retry loop: ``build_entry(current_files)`` returns the entry
-        to commit given the files of the (re-read) current snapshot."""
+        """Retry loop with read-version pinning: each attempt reads the
+        head version, calls ``build_entry(base_version, base_files)``
+        against exactly that snapshot, and commits at base_version+1.
+        A rival landing in between makes the claim fail, and the entry
+        is REBUILT against the rival's state — appends compose, and a
+        same-batch_id rival is seen on the rebuild (exactly-once)."""
         for _ in range(_MAX_COMMIT_RETRIES):
-            entry = build_entry(self.snapshot_files())
+            base_v = self.latest_version() or 0
+            base_files = (
+                self._read_entry(base_v)["files"] if base_v else []
+            )
+            entry = build_entry(base_v, base_files)
             if entry is None:  # e.g. replayed batch — nothing to do
                 return self.latest_version() or 0
-            v = self._try_commit(entry)
-            if v is not None:
-                return v
+            if self._try_commit_at(base_v + 1, entry):
+                return base_v + 1
         raise RuntimeError("commit contention: too many retries")
 
     def append(
@@ -153,7 +173,7 @@ class TxTable:
             return self.latest_version() or 0
         new_files = self._write_data(df)
 
-        def build(current: list[str]):
+        def build(base_v: int, base_files: list[str]):
             if (
                 batch_id is not None
                 and batch_id in self.applied_batch_ids()
@@ -161,7 +181,7 @@ class TxTable:
                 return None
             return {
                 "op": "append",
-                "files": current + new_files,
+                "files": base_files + new_files,
                 "batch_id": batch_id,
             }
 
@@ -171,50 +191,101 @@ class TxTable:
         """Replace the table contents; prior versions remain readable."""
         new_files = self._write_data(df)
         return self._commit_with_retry(
-            lambda current: {"op": "overwrite", "files": new_files}
+            lambda base_v, base_files: {"op": "overwrite", "files": new_files}
         )
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         files and commit the swap (reference preprocess.py:70-73).
-        Files appended by rivals BETWEEN the compaction read and the
-        commit are carried into the new manifest untouched — compaction
-        must never drop a concurrent append (the same reconcile-on-
-        conflict rule Delta's OPTIMIZE applies)."""
+        Op-aware conflict reconcile (the rules Delta's OPTIMIZE
+        applies): rival APPENDS landing between the compaction read and
+        the commit are carried into the new manifest untouched; a rival
+        OVERWRITE or COMPACT redefines the table, so this compaction
+        ABORTS — committing would resurrect overwritten rows or
+        double-count a rival's compacted copy.  The aborted rewrite's
+        files stay unreferenced (vacuum sweeps them)."""
+        start_v = self.latest_version() or 0
         base = self.snapshot_files()
         if len(base) <= target_files:
-            return self.latest_version() or 0
+            return start_v
         compacted_away = set(base)
         df = self.read(spark).coalesce(target_files)
         new_files = self._write_data(df)
 
-        def build(current: list[str]):
-            appended_since = [f for f in current if f not in compacted_away]
+        def build(base_v: int, base_files: list[str]):
+            for v in range(start_v + 1, base_v + 1):
+                if self._read_entry(v)["op"] != "append":
+                    return None  # table redefined under us → abort
+            appended_since = [
+                f for f in base_files if f not in compacted_away
+            ]
             return {"op": "compact", "files": new_files + appended_since}
 
         return self._commit_with_retry(build)
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, *, min_age_s: float = 0.0
+    ) -> list[str]:
         """Drop versions older than the newest ``keep_versions`` and
         delete data files no retained version references (reference
-        preprocess.py:74-76).  Single-writer administrative op."""
+        preprocess.py:74-76).
+
+        Exactly-once survives truncation: before deleting anything, a
+        ``vacuum`` entry is committed that carries forward every
+        batch_id recorded in the entries about to be dropped
+        (``applied_batch_ids`` reads them back), so a full stream
+        replay after vacuum still no-ops.
+
+        ``min_age_s`` guards racing writers: files younger than it are
+        never deleted — an in-flight append's already-renamed part
+        files are unreferenced by any version until its commit lands,
+        and deleting them would corrupt that commit.  The 0.0 default
+        assumes a quiesced table (this engine's administrative cadence,
+        pipeline/workflow.py); set it above the longest writer duration
+        in multi-writer deployments (Delta's retention horizon plays
+        the same role)."""
+        import time
+
+        all_ids = sorted(self.applied_batch_ids())
+
+        def build(base_v: int, base_files: list[str]):
+            return {
+                "op": "vacuum",
+                "files": base_files,
+                "batch_ids_seen": all_ids,
+            }
+
+        self._commit_with_retry(build)
         vs = self.versions()
-        retained = vs[-keep_versions:] if keep_versions > 0 else []
+        retained = vs[-keep_versions:] if keep_versions > 0 else vs[-1:]
         kept_files = set()
         for v in retained:
             kept_files.update(self._read_entry(v)["files"])
+        now = time.time()
+
+        def old_enough(p: str) -> bool:
+            return now - os.path.getmtime(p) >= min_age_s
+
         removed = []
         for v in vs:
             if v not in retained:
                 os.remove(self._version_file(v))
+                self._entry_cache.pop(v, None)
         for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in kept_files:
-                os.remove(os.path.join(self.path, f))
+            p = os.path.join(self.path, f)
+            if (
+                f.endswith(".parquet")
+                and f not in kept_files
+                and old_enough(p)
+            ):
+                os.remove(p)
                 removed.append(f)
         # sweep staging dirs orphaned by writers that died pre-commit
         for f in os.listdir(self.path):
             if f.startswith("_staging-"):
                 d = os.path.join(self.path, f)
+                if not old_enough(d):
+                    continue
                 for inner in os.listdir(d):
                     os.remove(os.path.join(d, inner))
                 os.rmdir(d)

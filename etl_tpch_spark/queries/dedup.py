@@ -19,12 +19,19 @@ from ..dedup.hashing import (
 )
 from ..dedup.clusters import connected_components
 from ..dedup.operators import (
+    SIMHASH_BITS,
     exact_duplicates,
     jaccard_pairs_brute,
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from ..functions.text import HASH_MOD, fingerprint, sql_fingerprint, tokens
+from ..functions.text import (
+    HASH_MOD,
+    fingerprint,
+    sql_fingerprint,
+    sql_token_hash_wide,
+    tokens,
+)
 from ..registry import REGISTRY, query
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -159,7 +166,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
 
 
-def _sql_simhash_votes(bits: int = 60) -> str:
+def _sql_simhash_votes(bits: int = SIMHASH_BITS) -> str:
+    """CTE chain ending in ``sig(doc_id, simhash)`` — the oracle twin
+    of dedup/operators.py simhash_signatures.  The token hash is the
+    shared sql builder (bits/4 hex chars), so Spark and DuckDB can
+    never drift to different per-token hashes."""
+    if bits != SIMHASH_BITS:
+        raise ValueError(
+            f"oracle votes are built for the registered {SIMHASH_BITS}-bit "
+            "signature; change dedup.operators.SIMHASH_BITS to retune"
+        )
+    tok_hash = sql_token_hash_wide("tok")
     vote_cols = ",\n                   ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
@@ -170,7 +187,7 @@ def _sql_simhash_votes(bits: int = 60) -> str:
     return f"""
         ex AS (
             SELECT doc_id,
-                   CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+                   {tok_hash} AS h
             FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
         ),
         votes AS (

@@ -67,23 +67,23 @@ def test_interleaved_writers_compose(spark, orders, tmp_path):
 
 
 def test_commit_retry_loop_recovers_from_lost_races(spark, orders, tmp_path):
-    """Force _try_commit to lose twice (as if rivals kept claiming our
-    version): the retry loop must re-read the log and land the commit,
-    with the entry rebuilt against the latest snapshot each attempt."""
+    """A rival claiming our target version mid-commit: the retry loop
+    must re-read the log and REBUILD the entry against the rival's
+    state — the rival's rows survive (no lost update)."""
     t = TxTable(str(tmp_path / "t"))
     t.append(orders.limit(2))
     rival = TxTable(t.path)
-    orig = t._try_commit
+    orig = t._try_commit_at
     losses = {"left": 2}
 
-    def racing(entry):
+    def racing(v, entry):
         if losses["left"] > 0:
             losses["left"] -= 1
-            rival.append(orders.limit(1))  # rival lands a commit first
-            return None  # and we lose the race this attempt
-        return orig(entry)
+            rival.append(orders.limit(1))  # rival claims v first
+            return False  # and we lose the race this attempt
+        return orig(v, entry)
 
-    t._try_commit = racing
+    t._try_commit_at = racing
     v = t.append(orders.limit(7))
     assert v == t.latest_version() == 4  # 1 ours, 2+3 rivals, 4 retried
     # 2 + 1 + 1 + 7: every writer's rows present, none double-counted
@@ -112,19 +112,71 @@ def test_compact_carries_concurrent_appends(spark, orders, tmp_path):
         t.append(orders.filter(F.col("o_orderkey") % 3 == i))
     n = t.read(spark).count()
     rival = TxTable(t.path)
-    orig = t._try_commit
+    orig = t._try_commit_at
     raced = {"done": False}
 
-    def racing(entry):
+    def racing(v, entry):
         if not raced["done"]:
             raced["done"] = True
             rival.append(orders.limit(5))  # lands mid-compaction
-            return None
-        return orig(entry)
+            return False
+        return orig(v, entry)
 
-    t._try_commit = racing
+    t._try_commit_at = racing
     t.compact(spark, target_files=1)
     assert t.read(spark).count() == n + 5  # rival's rows survived
+
+
+def test_compact_aborts_on_concurrent_overwrite(spark, orders, tmp_path):
+    """A rival OVERWRITE landing mid-compaction redefines the table;
+    committing the compacted manifest would resurrect the overwritten
+    rows — the compaction must abort and leave the overwrite's state."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(orders.filter(F.col("o_orderkey") % 3 == i))
+    rival = TxTable(t.path)
+    orig = t._try_commit_at
+    raced = {"done": False}
+
+    def racing(v, entry):
+        if not raced["done"]:
+            raced["done"] = True
+            rival.overwrite(orders.limit(4))  # lands mid-compaction
+            return False
+        return orig(v, entry)
+
+    t._try_commit_at = racing
+    t.compact(spark, target_files=1)
+    assert t.read(spark).count() == 4  # overwrite won; nothing revived
+
+
+def test_exactly_once_survives_vacuum(spark, orders, tmp_path):
+    """vacuum truncates the log, but its own commit carries the dropped
+    batch_ids forward — a full stream replay afterwards still no-ops."""
+    t = TxTable(str(tmp_path / "t"))
+    thirds = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    for i, b in enumerate(thirds):
+        t.append(b, batch_id=f"e{i}")
+    n = t.read(spark).count()
+    t.vacuum(keep_versions=1)
+    for i, b in enumerate(thirds):  # worst case: full replay
+        t.append(b, batch_id=f"e{i}")
+    assert t.read(spark).count() == n
+
+
+def test_vacuum_age_guard_spares_fresh_files(spark, orders, tmp_path):
+    """min_age_s protects an in-flight writer's just-renamed (not yet
+    committed) part files from deletion."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders.limit(5))
+    inflight = t._write_data(orders.limit(3))  # commit not landed yet
+    removed = t.vacuum(keep_versions=1, min_age_s=3600)
+    assert not set(removed) & set(inflight)
+    # the in-flight writer's commit can still land intact
+    t._commit_with_retry(
+        lambda bv, bf: {"op": "append", "files": bf + inflight}
+    )
+    assert t.read(spark).count() == 8
 
 
 def test_vacuum_removes_unreferenced_files_only(spark, orders, tmp_path):
