@@ -354,3 +354,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
     new = t.documents.filter(F.col("doc_id") % 2 == 1)
     return minhash_lsh_pairs_incremental(corpus, new, JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        labels AS (
+            SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+            FROM reach GROUP BY s
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) - count(*) AS BIGINT)
+                 AS removable_docs
+        FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup QA report: near-dup cluster-size histogram with the
+    headline number every curation dashboard tracks — how many
+    documents canonical-selection would remove (size−1 per cluster).
+    Distinguishes a corpus of tight pairs (mass at size 2) from
+    crawl-style copy explosions (mass at high sizes); the 10× stress
+    fixture moves the mass from 2 to ~10, exactly the shift this
+    report exists to surface.  Plan: LSH pairs → iterative CC → two
+    tiny aggregations; hash-checked via the recursive-CTE oracle."""
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.sum("cluster_size") - F.count(F.lit(1))).alias("removable_docs"),
+    )
