@@ -245,3 +245,25 @@ def test_txtable_as_streaming_foreachbatch_sink(
     drain(str(root / "ckpt2"))
     assert table.latest_version() == v
     assert table.read(spark).count() == n
+
+
+def test_threaded_append_storm(spark, orders, tmp_path):
+    """4 threads × 3 appends racing on one table: the pinned-version
+    commit protocol must serialize them losslessly — 12 commits, every
+    row present exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxTable(str(tmp_path / "t"))
+    batch = orders.limit(10)
+
+    def worker(k: int) -> None:
+        handle = TxTable(t.path)
+        for j in range(3):
+            handle.append(batch, batch_id=f"w{k}-{j}")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(worker, range(4)))
+
+    assert t.latest_version() == 12
+    assert t.read(spark).count() == 12 * 10
+    assert len(t.applied_batch_ids()) == 12
