@@ -21,8 +21,6 @@ matches the SQL oracle's sequential fold exactly.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 
 from pyspark.sql import Column
