@@ -164,6 +164,29 @@ class TxTable:
                 return base_v + 1
         raise RuntimeError("commit contention: too many retries")
 
+    def _enforce_schema(self, df: DataFrame) -> None:
+        """Delta-style schema enforcement: an append whose columns
+        differ from the table schema is rejected BEFORE any file is
+        written — snapshot reads pass an explicit file list (no
+        mergeSchema), so a divergent file would otherwise silently
+        drop or null out columns depending on which file the reader
+        samples first.  Evolution = explicit ``overwrite``."""
+        files = self.snapshot_files()
+        if not files:
+            return
+        spark = df.sparkSession
+        current = spark.read.parquet(
+            os.path.join(self.path, files[0])
+        ).schema
+        incoming = df.schema
+        a = [(f.name, f.dataType.simpleString()) for f in current]
+        b = [(f.name, f.dataType.simpleString()) for f in incoming]
+        if sorted(a) != sorted(b):
+            raise ValueError(
+                f"schema mismatch: table has {a}, append has {b}; "
+                "use overwrite() to change the table schema"
+            )
+
     def append(
         self, df: DataFrame, *, batch_id: str | None = None
     ) -> int:
@@ -171,6 +194,7 @@ class TxTable:
         no-op.  Returns the committed (or current, on replay) version."""
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return self.latest_version() or 0
+        self._enforce_schema(df)
         new_files = self._write_data(df)
 
         def build(base_v: int, base_files: list[str]):

@@ -247,6 +247,22 @@ def test_txtable_as_streaming_foreachbatch_sink(
     assert table.read(spark).count() == n
 
 
+def test_schema_enforcement_on_append(spark, orders, tmp_path):
+    """Delta-style enforcement: a divergent-schema append is rejected
+    before writing anything (snapshot reads use explicit file lists, so
+    a divergent file would silently corrupt later reads); overwrite is
+    the explicit evolution path."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(orders.withColumn("extra", F.lit(1)))
+    assert t.latest_version() == 1  # nothing committed, no orphans
+    t.overwrite(orders.withColumn("extra", F.lit(1)))  # explicit evolve
+    assert "extra" in t.read(spark).columns
+    t.append(orders.withColumn("extra", F.lit(2)))  # new schema accepted
+    assert t.read(spark).count() == 2 * orders.count()
+
+
 def test_threaded_append_storm(spark, orders, tmp_path):
     """4 threads × 3 appends racing on one table: the pinned-version
     commit protocol must serialize them losslessly — 12 commits, every
