@@ -19,6 +19,41 @@ from .catalog import DEFAULT_SF_DIR
 from .session import get_spark
 
 
+def _oracle_compare(s, o) -> list[str]:
+    """Order-insensitive Spark-vs-oracle frame compare (the driver's
+    gate shape: sorted columns, sorted rows, tiny float atol for
+    rounding-boundary drift in order-dependent sums)."""
+    import numpy as np
+    import pandas as pd
+
+    if sorted(s.columns) != sorted(o.columns):
+        return [f"columns differ: {sorted(s.columns)} vs {sorted(o.columns)}"]
+    if len(s) != len(o):
+        return [f"row count differs: spark={len(s)} oracle={len(o)}"]
+    cols = sorted(s.columns)
+
+    def norm(df):
+        df = df[cols].copy()
+        for c in cols:
+            if not pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype(str)
+        return df.sort_values(cols).reset_index(drop=True)
+
+    g, w = norm(s), norm(o)
+    for c in cols:
+        if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(w[c]):
+            ga = g[c].astype("float64").to_numpy()
+            wa = w[c].astype("float64").to_numpy()
+            ok = np.isclose(ga, wa, rtol=0, atol=1e-6) | (
+                np.isnan(ga) & np.isnan(wa)
+            )
+            if not ok.all():
+                return [f"col {c}: {int((~ok).sum())} value mismatches"]
+        elif not g[c].equals(w[c]):
+            return [f"col {c}: value mismatches"]
+    return []
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_tpch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -52,6 +87,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="seconds between ticks (reference: 900)")
     srv.add_argument("--compact-every", type=int, default=24)
     srv.add_argument("--reduce-every", type=int, default=96)
+
+    ver = sub.add_parser(
+        "verify",
+        help="run a query AND its DuckDB oracle on the same parquet, "
+        "compare order-insensitively (the driver's correctness gate)",
+    )
+    ver.add_argument("query", nargs="*",
+                     help="query names (default: every oracle-backed query)")
+    ver.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
     dash = sub.add_parser(
         "dashboard",
@@ -102,6 +146,42 @@ def main(argv: list[str] | None = None) -> int:
         for out in outs:
             print(out)
         return 0
+
+    if args.cmd == "verify":
+        import duckdb
+
+        from .schemas import TABLE_NAMES
+
+        names = args.query or [n for n, q in qs.items() if q.oracle]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries {unknown}; try: list", file=sys.stderr)
+            return 2
+        con = duckdb.connect()
+        import os as _os
+
+        for t in TABLE_NAMES:
+            p = _os.path.join(args.sf_dir, f"{t}.parquet")
+            if _os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        spark = get_spark("etl_tpch_spark-cli")
+        failed = 0
+        for name in names:
+            if not qs[name].oracle:
+                print(f"SKIP  {name} (rows-only: no SQL oracle)")
+                continue
+            s = qs[name].fn(spark, args.sf_dir).toPandas()
+            o = con.execute(qs[name].oracle).df()
+            problems = _oracle_compare(s, o)
+            if problems:
+                failed += 1
+                print(f"FAIL  {name}: {problems[0]}")
+            else:
+                print(f"ok    {name} ({len(s)} rows)")
+        print(f"{len(names) - failed}/{len(names)} verified")
+        return 1 if failed else 0
 
     if args.cmd == "dashboard":
         import os

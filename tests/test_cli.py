@@ -18,6 +18,19 @@ def test_unknown_query_rejected(capsys):
     assert "unknown query" in capsys.readouterr().err
 
 
+def test_verify_runs_oracle_gate(capsys):
+    assert main([
+        "verify", "q6_forecast_revenue", "dedup_exact",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "2/2 verified" in out
+
+
+def test_verify_rejects_unknown(capsys):
+    assert main(["verify", "not_a_query"]) == 2
+
+
 def test_dashboard_reports_not_ready(capsys, tmp_path):
     assert main(["dashboard", "--root", str(tmp_path)]) == 1
     assert "results not ready" in capsys.readouterr().err
