@@ -5,7 +5,10 @@ The engine's operational entry points without writing a script:
     python -m etl_tpch_spark list
     python -m etl_tpch_spark run q1_pricing_summary --sf-dir /root/testdata/sf0.01
     python -m etl_tpch_spark explain flagship_unshipped_orders
+    python -m etl_tpch_spark verify dedup_minhash_lsh sim_ann_topk_ivf
     python -m etl_tpch_spark cycle --root /tmp/lake --sf-dir /root/testdata/sf0.001
+    python -m etl_tpch_spark serve --root /tmp/lake --ticks 4 --interval 900
+    python -m etl_tpch_spark dashboard --root /tmp/lake
 """
 
 from __future__ import annotations
