@@ -130,3 +130,43 @@ def test_initial_create_is_atomic_with_marker(spark, sf_dir, tmp_path):
 def test_rejects_non_self_describing_format(tmp_path):
     with pytest.raises(ValueError, match="self-describing"):
         MaterializedView(str(tmp_path / "x"), ("k",), MEASURES, fmt="csv")
+
+
+def test_matview_as_streaming_foreachbatch_sink(
+    spark, sf_dir, tmp_path_factory
+):
+    """The matview as an exactly-once foreachBatch target (mirror of
+    the TxTable streaming test): drain a file stream refreshing the
+    view per epoch, final state equals a full recompute, and a full
+    replay from a fresh checkpoint changes nothing."""
+    root = tmp_path_factory.mktemp("mvstream")
+    src_dir = str(root / "src")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(3).write.parquet(src_dir)
+
+    mv = _view(root)
+
+    def drain(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(
+                lambda df, epoch: mv.refresh(
+                    spark, df, batch_id=f"e{epoch}"
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(str(root / "ckpt1"))
+    got = {tuple(r) for r in mv.read(spark).collect()}
+    want = {tuple(r) for r in _full_recompute(orders).collect()}
+    assert got == want
+    assert len(mv.applied_batches()) >= 2  # multiple epochs folded
+
+    drain(str(root / "ckpt2"))  # worst case: full replay, all no-ops
+    assert {tuple(r) for r in mv.read(spark).collect()} == want
