@@ -180,3 +180,38 @@ def ingest_all(
         for t in tables
         if list_staged_files(staging_dir, t)
     }
+
+
+def ingest_table_txlog(
+    spark: SparkSession,
+    staging_dir: str,
+    processed_dir: str,
+    table: str,
+    *,
+    schema: T.StructType | None = None,
+) -> int:
+    """Exactly-once BATCH ingest via the transaction log
+    (pipeline/txlog.py): each staged batch directory is ONE atomic
+    TxTable commit keyed by its basename, so re-running after any crash
+    re-ingests nothing — no deletes (the reference's consume-and-delete,
+    preprocess.py:45), no streaming checkpoints, just idempotent
+    commits.  The third ingest mode alongside batch delete-after and
+    checkpointed streaming; prefer it when the staging zone must stay
+    readable (audit/replay) and the cadence is batch.  Returns the
+    number of newly applied batches."""
+    from .txlog import TxTable
+
+    batches = list_staged_files(staging_dir, table)
+    if not batches:
+        return 0
+    s = schema or LIVE[table]
+    t = TxTable(os.path.join(processed_dir, table))
+    applied = t.applied_batch_ids()
+    n = 0
+    for b in batches:
+        bid = os.path.basename(str(b).rstrip("/"))
+        if bid in applied:
+            continue
+        t.append(spark.read.schema(s).json(str(b)), batch_id=bid)
+        n += 1
+    return n

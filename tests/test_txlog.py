@@ -283,3 +283,40 @@ def test_threaded_append_storm(spark, orders, tmp_path):
     assert t.latest_version() == 12
     assert t.read(spark).count() == 12 * 10
     assert len(t.applied_batch_ids()) == 12
+
+
+def test_txlog_batch_ingest_exactly_once(spark, tmp_path_factory):
+    """The third ingest mode: staged JSON batches → one TxTable commit
+    each, keyed by batch dir name — rerun ingests nothing, a new batch
+    ingests alone, staging stays intact (no consume-and-delete)."""
+    import os
+
+    from datetime import datetime
+
+    from etl_tpch_spark.pipeline.generate import incrementalize
+    from etl_tpch_spark.pipeline.ingest import (
+        ingest_table_txlog,
+        list_staged_files,
+    )
+
+    root = tmp_path_factory.mktemp("txingest")
+    staging, processed = str(root / "staging"), str(root / "processed")
+    NOW = datetime(2026, 2, 1, 9, 0, 0)
+    incrementalize(spark, "/root/testdata/sf0.001", staging, now=NOW)
+
+    n1 = ingest_table_txlog(spark, staging, processed, "orders")
+    assert n1 >= 1
+    table = TxTable(os.path.join(processed, "orders"))
+    rows = table.read(spark).count()
+    assert rows > 0
+    # rerun: nothing new, same rows, staging untouched
+    assert ingest_table_txlog(spark, staging, processed, "orders") == 0
+    assert table.read(spark).count() == rows
+    assert list_staged_files(staging, "orders")
+    # second generated batch ingests alone
+    incrementalize(
+        spark, "/root/testdata/sf0.001", staging,
+        now=datetime(2026, 2, 1, 9, 15, 0),
+    )
+    assert ingest_table_txlog(spark, staging, processed, "orders") == 1
+    assert table.read(spark).count() == 2 * rows
