@@ -218,9 +218,23 @@ class TxTable:
             lambda base_v, base_files: {"op": "overwrite", "files": new_files}
         )
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        *,
+        cluster_by: tuple[str, ...] = (),
+    ) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         files and commit the swap (reference preprocess.py:70-73).
+
+        ``cluster_by`` is the ZORDER-style layout knob (Delta's
+        ``OPTIMIZE ... ZORDER BY``): the rewrite range-partitions and
+        sorts on the given columns, so each output file owns a disjoint
+        key range and any later filter on those columns prunes to the
+        files whose range matches (the same win pipeline/layout.py
+        measures — fewer files touched per selective scan).
+
         Op-aware conflict reconcile (the rules Delta's OPTIMIZE
         applies): rival APPENDS landing between the compaction read and
         the commit are carried into the new manifest untouched; a rival
@@ -230,10 +244,16 @@ class TxTable:
         files stay unreferenced (vacuum sweeps them)."""
         start_v = self.latest_version() or 0
         base = self.snapshot_files()
-        if len(base) <= target_files:
+        if len(base) <= target_files and not cluster_by:
             return start_v
         compacted_away = set(base)
-        df = self.read(spark).coalesce(target_files)
+        df = self.read(spark)
+        if cluster_by:
+            df = df.repartitionByRange(
+                target_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(target_files)
         new_files = self._write_data(df)
 
         def build(base_v: int, base_files: list[str]):

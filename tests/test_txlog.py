@@ -320,3 +320,28 @@ def test_txlog_batch_ingest_exactly_once(spark, tmp_path_factory):
     )
     assert ingest_table_txlog(spark, staging, processed, "orders") == 1
     assert table.read(spark).count() == 2 * rows
+
+
+def test_compact_cluster_by_gives_disjoint_file_ranges(spark, orders, tmp_path):
+    """OPTIMIZE ZORDER parity: a clustered compaction leaves each file
+    owning a disjoint o_orderkey range (a later selective filter prunes
+    to one file), with all rows intact."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(orders.filter(F.col("o_orderkey") % 3 == i))
+    n = t.read(spark).count()
+    t.compact(spark, target_files=4, cluster_by=("o_orderkey",))
+    files = t.snapshot_files()
+    assert len(files) == 4
+    assert t.read(spark).count() == n
+    ranges = []
+    for f in files:
+        lo, hi = (
+            spark.read.parquet(os.path.join(t.path, f))
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .first()
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint, ordered key ranges
