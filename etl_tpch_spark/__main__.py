@@ -40,7 +40,18 @@ def _oracle_compare(s, o) -> list[str]:
         for c in cols:
             if not pd.api.types.is_float_dtype(df[c]):
                 df[c] = df[c].astype(str)
-        return df.sort_values(cols).reset_index(drop=True)
+        # Sort keys: non-float columns as-is (they are the group keys in
+        # practice), float columns ROUNDED — two engines differing within
+        # the 1e-6 atol must not order rows differently, or the row-wise
+        # compare misaligns and reports a spurious FAIL.
+        keys = [
+            df[c] if not pd.api.types.is_float_dtype(df[c]) else df[c].round(5)
+            for c in cols
+        ]
+        order = pd.DataFrame({i: k for i, k in enumerate(keys)}).sort_values(
+            list(range(len(cols)))
+        ).index
+        return df.loc[order].reset_index(drop=True)
 
     g, w = norm(s), norm(o)
     for c in cols:

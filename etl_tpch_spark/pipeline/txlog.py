@@ -164,14 +164,23 @@ class TxTable:
                 return base_v + 1
         raise RuntimeError("commit contention: too many retries")
 
-    def _enforce_schema(self, df: DataFrame) -> None:
+    def _enforce_schema(
+        self, df: DataFrame, files: list[str] | None = None
+    ) -> None:
         """Delta-style schema enforcement: an append whose columns
         differ from the table schema is rejected BEFORE any file is
         written — snapshot reads pass an explicit file list (no
         mergeSchema), so a divergent file would otherwise silently
         drop or null out columns depending on which file the reader
-        samples first.  Evolution = explicit ``overwrite``."""
-        files = self.snapshot_files()
+        samples first.  Evolution = explicit ``overwrite``.
+
+        ``files`` pins the snapshot to validate against (the commit
+        retry loop re-runs this against the REBUILT base snapshot — a
+        rival ``overwrite`` changing the table schema between the
+        pre-write check and the winning commit must not let a
+        divergent-schema append land)."""
+        if files is None:
+            files = self.snapshot_files()
         if not files:
             return
         spark = df.sparkSession
@@ -203,6 +212,9 @@ class TxTable:
                 and batch_id in self.applied_batch_ids()
             ):
                 return None
+            # re-validate against the REBUILT base: a rival overwrite()
+            # may have changed the table schema since the pre-write check
+            self._enforce_schema(df, base_files)
             return {
                 "op": "append",
                 "files": base_files + new_files,
@@ -242,12 +254,21 @@ class TxTable:
         ABORTS — committing would resurrect overwritten rows or
         double-count a rival's compacted copy.  The aborted rewrite's
         files stay unreferenced (vacuum sweeps them)."""
-        start_v = self.latest_version() or 0
-        base = self.snapshot_files()
+        # Pin ONE snapshot version for the whole read phase: the rewrite
+        # input, ``compacted_away``, and the conflict-check range must
+        # all refer to the same version.  Reading the head three times
+        # unpinned would let a rival append land between the file-list
+        # read and the data read — its rows would be baked into the
+        # compacted files AND its file carried via ``appended_since``,
+        # duplicating those rows.
+        start_v = self.latest_version()
+        if start_v is None:
+            return 0
+        base = self.snapshot_files(start_v)
         if len(base) <= target_files and not cluster_by:
             return start_v
         compacted_away = set(base)
-        df = self.read(spark)
+        df = self.read(spark, version=start_v)
         if cluster_by:
             df = df.repartitionByRange(
                 target_files, *cluster_by
@@ -258,7 +279,15 @@ class TxTable:
 
         def build(base_v: int, base_files: list[str]):
             for v in range(start_v + 1, base_v + 1):
-                if self._read_entry(v)["op"] != "append":
+                try:
+                    entry = self._read_entry(v)
+                except FileNotFoundError:
+                    # a concurrent vacuum truncated this entry — the
+                    # table state we read from is gone; abort rather
+                    # than crash (the rewrite's files stay orphaned
+                    # and the next vacuum sweeps them)
+                    return None
+                if entry["op"] != "append":
                     return None  # table redefined under us → abort
             appended_since = [
                 f for f in base_files if f not in compacted_away

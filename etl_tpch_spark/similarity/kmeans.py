@@ -167,7 +167,14 @@ def kmeans_fit(
         cent_rows = [
             (r.cent_id, list(r.cv)) for r in _update(assign).collect()
         ]
-    return _assign_numpy(q, cent_rows), sorted(cent_rows)
+    # Materialize the final assignment (localCheckpoint → executor
+    # blocks released by the ContextCleaner once unreferenced), then
+    # drop the cached quantized corpus: without this every IVF /
+    # cell-pairs / kmeans invocation in a long-lived session pins
+    # another corpus copy in executor storage memory.
+    final = _assign_numpy(q, cent_rows).localCheckpoint()
+    q.unpersist()
+    return final, sorted(cent_rows)
 
 
 def kmeans_assignments(

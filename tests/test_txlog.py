@@ -345,3 +345,75 @@ def test_compact_cluster_by_gives_disjoint_file_ranges(spark, orders, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint, ordered key ranges
+
+
+def test_compact_read_phase_pinned_no_duplication(spark, orders, tmp_path):
+    """ADVICE r2: a rival append landing BETWEEN compaction's manifest
+    read and its data read must not be double-counted.  Unpinned reads
+    would bake the rival's rows into the compacted files AND carry its
+    file via appended_since; pinning one snapshot version for the whole
+    read phase keeps the rival's rows exactly once."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(orders.filter(F.col("o_orderkey") % 3 == i))
+    n = t.read(spark).count()
+    rival = TxTable(t.path)
+    orig_read = t.read
+    raced = {"done": False}
+
+    def racing_read(s, version=None):
+        if not raced["done"]:
+            raced["done"] = True
+            rival.append(orders.limit(5))  # lands mid-read-phase
+        return orig_read(s, version=version)
+
+    t.read = racing_read
+    t.compact(spark, target_files=1)
+    assert t.read(spark).count() == n + 5  # exactly once, not n + 10
+
+
+def test_compact_aborts_gracefully_on_vacuumed_log(spark, orders, tmp_path):
+    """ADVICE r2: a concurrent vacuum truncating log entries inside
+    compact's conflict-check range must abort the compaction, not raise
+    FileNotFoundError."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(orders.filter(F.col("o_orderkey") % 3 == i))
+    rival = TxTable(t.path)
+    orig = t._try_commit_at
+    raced = {"done": False}
+
+    def racing(v, entry):
+        if not raced["done"]:
+            raced["done"] = True
+            rival.append(orders.limit(5))
+            rival.vacuum(keep_versions=1)  # truncates the check range
+            return False
+        return orig(v, entry)
+
+    t._try_commit_at = racing
+    t.compact(spark, target_files=1)  # must not raise
+    assert t.read(spark).count() == rival.read(spark).count()
+
+
+def test_append_schema_recheck_after_rival_overwrite(spark, orders, tmp_path):
+    """ADVICE r2: a rival overwrite() changing the table schema between
+    append's pre-write check and its winning commit must make the append
+    fail schema enforcement, not land a divergent-schema file."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders.limit(5))
+    rival = TxTable(t.path)
+    orig = t._try_commit_at
+    raced = {"done": False}
+
+    def racing(v, entry):
+        if not raced["done"]:
+            raced["done"] = True
+            rival.overwrite(orders.limit(3).select("o_orderkey"))
+            return False
+        return orig(v, entry)
+
+    t._try_commit_at = racing
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(orders.limit(2))
+    assert t.read(spark).columns == ["o_orderkey"]  # rival's schema stands
