@@ -24,11 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import token_hash, token_hash_wide, tokens
 from .hashing import band_keys, minhash_signature, shingle_hashes
 
 NGRAM = 3
+
+_DEFAULT_SIG_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 
 def word_shingles(text: F.Column, n: int = NGRAM) -> F.Column:
@@ -118,22 +121,33 @@ def jaccard_pairs_brute(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _banded_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles, bands) — the MinHash-LSH index rows, cached:
-    the frame feeds 4 plan branches (both sides of the band join, both
-    sides of verification); without persisting, Spark would recompute
-    shingling + 16 minhash perms 4×.  At cluster scale use
-    persist(StorageLevel.DISK_ONLY) if signatures exceed memory.
+def _banded_signatures(
+    docs: DataFrame,
+    storage_level: "StorageLevel | None" = _DEFAULT_SIG_STORAGE,
+) -> DataFrame:
+    """(doc_id, shingles, bands) — the MinHash-LSH index rows,
+    persisted: the frame feeds 4 plan branches (both sides of the band
+    join, both sides of verification); without persisting, Spark would
+    recompute shingling + 16 minhash perms 4×.
+
+    ``storage_level`` defaults to MEMORY_AND_DISK — signatures larger
+    than executor storage memory SPILL instead of evicting (a plain
+    ``.cache()`` silently recomputes evicted partitions 4×, the OOM-or-
+    recompute trap at 100 TB).  Pass ``StorageLevel.DISK_ONLY`` to keep
+    storage memory free for the band join, or ``None`` to skip
+    persisting (single-pass consumers, e.g. the index WRITE path in
+    dedup/index.py — the TxTable parquet is the materialization).
     Shared by the batch and incremental pair operators so their
     candidate/verify semantics can never drift apart."""
     sh = shingle_sets(docs).filter(F.size("shingles") > 0)
-    return sh.select(
+    sig = sh.select(
         "doc_id",
         "shingles",
         band_keys(
             minhash_signature(shingle_hashes(F.col("shingles")))
         ).alias("bands"),
-    ).cache()
+    )
+    return sig if storage_level is None else sig.persist(storage_level)
 
 
 def _verify_jaccard(
@@ -208,11 +222,19 @@ def minhash_lsh_pairs_incremental(
             new_docs.select("doc_id", "text")
         )
     )
+    cand = candidates_touching(sig, new_docs.select("doc_id"))
+    return _verify_jaccard(cand, sig, threshold)
+
+
+def candidates_touching(sig: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Band-collision candidate pairs TOUCHING ``new_ids`` only: explode
+    the signature frame's band keys, keep the new batch's bands
+    (left-semi on doc_id), equi-join them against ALL bands.  Shared by
+    the stateless incremental operator above and the persisted-index
+    path (dedup/index.py) — one implementation, one semantics."""
     bands = sig.select("doc_id", F.explode("bands").alias("band"))
-    new_bands = bands.join(
-        new_docs.select("doc_id"), "doc_id", "left_semi"
-    )
-    cand = (
+    new_bands = bands.join(new_ids, "doc_id", "left_semi")
+    return (
         new_bands.alias("x")
         .join(bands.alias("y"), "band")
         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
@@ -222,7 +244,6 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    return _verify_jaccard(cand, sig, threshold)
 
 
 SIMHASH_BITS = 60  # Manku-style wide fingerprint; < 63 keeps every

@@ -341,19 +341,26 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (daily-crawl) dedup: even doc_ids play the existing
-    deduped corpus, odd ids the new batch; only pairs TOUCHING the new
-    batch are generated (dedup/operators.py
-    minhash_lsh_pairs_incremental — band keys are content hashes, so
-    the corpus band index is reusable storage and corpus×corpus never
-    recomputes).  Equivalence with the batch operator minus
-    corpus-internal pairs is pinned in tests/test_operators_unit.py."""
-    from ..dedup.operators import minhash_lsh_pairs_incremental
+    """Incremental (daily-crawl) dedup through the PERSISTED signature
+    index (dedup/index.py): even doc_ids play the existing corpus
+    (ingested as yesterday's index state), odd ids the new batch.  The
+    tick signs ONLY the new batch, appends to the index TxTable, and
+    band-joins + verifies against STORED signatures — O(new) hash work
+    per tick, the corpus contributes a columnar index scan only.
+    Output ≡ the stateless operator (shared candidate/verify helpers);
+    equivalence with the batch operator minus corpus-internal pairs is
+    pinned in tests/test_operators_unit.py, the index-path plan audit
+    in tests/test_dedup_index.py."""
+    import tempfile
+
+    from ..dedup.index import MinHashIndex
 
     t = Tables(spark, sf_dir)
     corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
     new = t.documents.filter(F.col("doc_id") % 2 == 1)
-    return minhash_lsh_pairs_incremental(corpus, new, JACCARD_THRESHOLD)
+    idx = MinHashIndex(tempfile.mkdtemp(prefix="minhash-idx-"))
+    idx.ingest(corpus, batch_id="corpus-day0")
+    return idx.tick(spark, new, JACCARD_THRESHOLD, batch_id="crawl-day1")
 
 
 @query(
