@@ -82,6 +82,19 @@ _QUERY_MODULES = (
 # The names below are pinned to the front, in this order; everything
 # else follows in module registration order.  tests/test_registry_window.py
 # asserts this list stays consistent with the registry.
+#
+# ROTATION (round 3, VERDICT r2 #2/#6): a 50-slot window means half the
+# registry is dark to the driver each round, so slots rotate while every
+# operator FAMILY keeps a live row every round.  Rotated out this round:
+# the five all-pairs baseline twins whose product paths stay certified
+# (sim_cosine_pairs_blocked, sim_quantized_cosine_pairs,
+# dedup_embedding_clusters_bruteforce, sim_ann_topk_bruteforce,
+# sim_cosine_pairs) plus eight r2-certified siblings of entries that
+# remain in-window (events_sliding_window, events_type_share_by_day,
+# events_cohort_retention, events_json_typed, text_stats,
+# text_token_counts, text_fingerprint, sample_uniform_topk).  Rotated
+# in: TPC-H + relational sentinels (one live row per §2 family) and the
+# never-yet-certified time-series family.
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -97,50 +110,52 @@ DRIVER_WINDOW = (
     "dedup_clusters",
     "dedup_canonical_documents",
     "dedup_incremental",
-    # similarity search / ANN
-    "sim_ann_topk_bruteforce",
-    "sim_cosine_pairs",
+    # similarity search / ANN (product paths; baselines rotated out r3)
     "sim_ann_topk_lsh",
     "sim_ann_topk_ivf",
     "sim_ann_topk_lsh_multiprobe",
-    "sim_cosine_pairs_blocked",
-    "sim_quantized_cosine_pairs",
     "sim_kmeans_clusters",
     "sim_cosine_pairs_cells",
     # corpus curation
     "sample_hash_split",
     "sample_stratified",
-    "sample_uniform_topk",
     "text_chunking",
     "text_pack_sequences",
     "text_pii_redact",
     "text_contamination",
     "dedup_embedding_clusters",
-    "dedup_embedding_clusters_bruteforce",
     # similarity graph analytics
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank",
     # text analysis
-    "text_stats",
     "text_lang_id",
     "text_quality_score",
-    "text_token_counts",
-    "text_fingerprint",
     "corpus_curation",
     "udtf_tokenize_positions",
     "text_top_terms_per_lang",
     # event analytics / streaming batch-twins
     "events_json_extract",
     "events_tumbling_window",
-    "events_sliding_window",
     "events_session_window",
-    "events_type_share_by_day",
     "events_funnel",
-    "events_cohort_retention",
-    "events_json_typed",
+    # time-series family (first driver certification, VERDICT r2 #6)
+    "ts_gapfill_hourly",
+    "ts_locf_hourly",
+    "ts_moving_window_range",
+    "events_rolling_active_users",
+    "events_anomaly_zscore",
     # batch inference
     "inference_batch_scores",
+    # relational sentinels (TPC-H + one per relational family, r3)
+    "q1_pricing_summary",
+    "q9_product_type_profit",
+    "q18_large_orders",
+    "q21_waiting_orders",
+    "agg_count_distinct",
+    "setop_except",
+    "window_rank",
+    "join_asof_purchases",
 )
 
 _loaded = False
