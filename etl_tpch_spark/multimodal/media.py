@@ -165,6 +165,65 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_media_from_documents(
+    spark: SparkSession, sf_dir: str, *, height: int = 8, width: int = 8
+) -> DataFrame:
+    """Documents → deterministic IMAGE media: the first height·width
+    text bytes become a 1-channel pixel grid (space-padded, so short
+    docs still fill the frame).  Built entirely JVM-side — header
+    literal + rpad + utf-8 encode — which is what makes the decode →
+    resize → checksum pipeline ORACLE-expressible: DuckDB rebuilds the
+    exact pixel bytes with ascii(substr(rpad(text))) (ASCII corpus, so
+    codepoint == byte; same identity multimodal_byte_histogram pins)."""
+    from ..catalog import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    npix = height * width
+    content = F.concat(
+        F.lit(_MAGIC + struct.pack("<BHHBIH", 0, height, width, 1, 0, 0)),
+        F.encode(F.rpad(F.substring("text", 1, npix), npix, " "), "utf-8"),
+    ).cast("binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        _meta_from_content_expr(),
+    )
+
+
+def video_media_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    height: int = 4,
+    width: int = 4,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Documents → deterministic VIDEO media: n_frames·height·width
+    text bytes, space-padded, one 1-channel frame per height·width
+    slice.  JVM-side construction ⇒ frame sampling is oracle-checkable
+    (see image_media_from_documents)."""
+    from ..catalog import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    nbytes = n_frames * height * width
+    content = F.concat(
+        F.lit(
+            _MAGIC
+            + struct.pack("<BHHBIH", 2, height, width, 1, 0, n_frames)
+        ),
+        F.encode(
+            F.rpad(F.substring("text", 1, nbytes), nbytes, " "), "utf-8"
+        ),
+    ).cast("binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        content.alias("content"),
+        _meta_from_content_expr(),
+    )
+
+
 def _meta_from_content_expr():
     """Metadata struct parsed JVM-side from the binary header — no
     Python roundtrip for the fields the planner might filter on

@@ -145,15 +145,30 @@ def image_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 _, _, arr = _decode_payload(bytes(content))
-                flat = arr.ravel().astype(np.float64)
-                hist = np.histogram(flat, bins=bins, range=(0, 256))[0]
-                feat = (hist / max(flat.size, 1)).astype(np.float32)
+                flat = arr.ravel().astype(np.int64)
+                n = max(flat.size, 1)
+                # mean/std from exact integer moments (Σx, Σx² are exact
+                # int64 for uint8 samples) with a FIXED op sequence —
+                # one float division, one sqrt — so any engine computing
+                # the same moments gets bit-identical values (numpy's
+                # two-pass pairwise-summation std would drift vs a SQL
+                # oracle; integer moments cannot)
+                sx = int(flat.sum())
+                sx2 = int((flat * flat).sum())
+                mean = float(sx) / n
+                std = float(
+                    np.sqrt(float(sx2 * n - sx * sx) / float(n * n))
+                )
+                hist = np.histogram(
+                    flat, bins=bins, range=(0, 256)
+                )[0]
+                feat = (hist / n).astype(np.float32)
                 rows.append(
                     (
                         mid,
                         kind,
-                        round(float(flat.mean()), 6),
-                        round(float(flat.std()), 6),
+                        round(mean, 6),
+                        round(std, 6),
                         float(np.median(flat)),
                         feat.tolist(),
                     )

@@ -33,28 +33,92 @@ def multimodal_decode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract", tags=("rows-only",))
+# ascii(substr(...)) byte reconstruction shared by the three oracles
+# below — valid because the corpus is pure ASCII (codepoint == utf-8
+# byte), the identity multimodal_byte_histogram/decode_lengths pin.
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, length(text) + 1),
+                       i -> ascii(substr(text, i, 1)))) AS v
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sx,
+                   CAST(sum(v * v) AS BIGINT) AS sx2
+            FROM b GROUP BY 1
+        )
+        SELECT doc_id AS media_id,
+               round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+               round(sqrt((CAST(sx2 AS DOUBLE) * n
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * n)), 6) AS std,
+               CAST(16 AS INTEGER) AS feature_dim
+        FROM m
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors over document-derived media —
-    decode + featurize is Python-side (no SQL oracle); the driver's
-    rows-only check applies."""
+    """Per-item feature extraction through the REAL decode path, fully
+    hash-checked: mapInPandas decode → exact-integer-moment mean/std
+    (multimodal/ops.py image_features computes Σx, Σx² as exact int64
+    and derives both stats with one division + one sqrt, so the oracle
+    reproduces them bit-for-bit from the reconstructed bytes — numpy's
+    pairwise-summation std could not be) + the 16-bin histogram feature
+    vector's dimension."""
     media = media_from_documents(spark, sf_dir)
     return image_features(media, bins=16).select(
         "media_id", "mean", "std", F.size("feature").alias("feature_dim")
     )
 
 
-@query("multimodal_resize", tags=("rows-only",))
+_RESIZE_SRC = 8  # source grid; text bytes 1..64 are the pixels
+_RESIZE_DST = 4
+# nearest-neighbor index map of ops.resize_images: row/col r of the
+# destination reads source index r*src//dst — 1-based flat positions
+_RESIZE_POSITIONS = [
+    (r * _RESIZE_SRC // _RESIZE_DST) * _RESIZE_SRC
+    + (c * _RESIZE_SRC // _RESIZE_DST)
+    + 1
+    for r in range(_RESIZE_DST)
+    for c in range(_RESIZE_DST)
+]
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST({_RESIZE_DST} AS INTEGER) AS height,
+               CAST({_RESIZE_DST} AS INTEGER) AS width,
+               CAST(list_sum(list_transform(
+                   {_RESIZE_POSITIONS},
+                   p -> ascii(substr(rpad(substr(text, 1, 64), 64, ' '),
+                                     p, 1)))) AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-neighbor image resize to 8×8 over the deterministic
-    synthetic media table (multimodal/ops.py resize_images) — the
-    Python-decode path has no SQL oracle; rows-only.  The pixel
-    checksum makes the result order-insensitive but content-sensitive."""
-    from ..multimodal.media import synthetic_media
+    """Nearest-neighbor image resize (8×8 → 4×4) through the REAL
+    decode path, hash-checked: documents become 1-channel images
+    JVM-side (first 64 text bytes, space-padded —
+    multimodal/media.py image_media_from_documents), mapInPandas
+    decodes and resizes, and the pixel checksum must equal the oracle's
+    sum over the same nearest-neighbor source positions rebuilt with
+    ascii(substr(rpad(...))).  Content-sensitive: any wrong pixel,
+    index map, or pad byte shifts the sum."""
+    from ..multimodal.media import image_media_from_documents
     from ..multimodal.ops import resize_images
 
-    media = synthetic_media(spark, n=120)
-    resized = resize_images(media, height=8, width=8)
+    media = image_media_from_documents(
+        spark, sf_dir, height=_RESIZE_SRC, width=_RESIZE_SRC
+    )
+    resized = resize_images(media, height=_RESIZE_DST, width=_RESIZE_DST)
     return resized.select(
         "media_id",
         "height",
@@ -65,16 +129,43 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", tags=("rows-only",))
+_FRAME_H = 4
+_FRAME_W = 4
+_N_FRAMES = 4
+_EVERY_N = 2
+_FRAME_BYTES = _FRAME_H * _FRAME_W
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(list_sum(list_transform(
+                   range(f * {_FRAME_BYTES} + 1, (f + 1) * {_FRAME_BYTES} + 1),
+                   p -> ascii(substr(
+                        rpad(substr(text, 1, {_N_FRAMES * _FRAME_BYTES}),
+                             {_N_FRAMES * _FRAME_BYTES}, ' '),
+                        p, 1)))) AS BIGINT) AS pixel_sum
+        FROM documents,
+             unnest(range(0, {_N_FRAMES}, {_EVERY_N})) AS t(f)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (every 2nd frame) over synthetic media —
-    a flat-map that grows row count (multimodal/ops.py sample_frames);
-    rows-only like all Python-decode paths."""
-    from ..multimodal.media import synthetic_media
+    """Video frame sampling (every 2nd frame) through the REAL decode
+    path, hash-checked: documents become 4-frame 4×4 videos JVM-side
+    (multimodal/media.py video_media_from_documents), mapInPandas
+    decodes and flat-maps one row per sampled frame, and each frame's
+    pixel checksum must equal the oracle's sum over that frame's byte
+    slice.  Pins the frame stride, the frame→byte-range mapping, and
+    the row-count growth of the flat-map."""
+    from ..multimodal.media import video_media_from_documents
     from ..multimodal.ops import sample_frames
 
-    media = synthetic_media(spark, n=120)
-    frames = sample_frames(media, every_n=2)
+    media = video_media_from_documents(
+        spark, sf_dir, height=_FRAME_H, width=_FRAME_W, n_frames=_N_FRAMES
+    )
+    frames = sample_frames(media, every_n=_EVERY_N)
     return frames.select(
         "media_id",
         "frame_idx",
