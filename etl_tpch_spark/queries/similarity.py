@@ -8,6 +8,7 @@ the LSH-bucketed ANN is hash-checked, not just row-counted.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import Tables
 from ..dedup.hashing import sql_cosine_fold, sql_hyperplane_signature
@@ -383,6 +384,36 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, QUERY_IDS, TOP_K,
         n_cells=N_CELLS, n_probe=N_PROBE, iters=N_IVF_ITERS,
     )
+
+
+@query(
+    "sim_ann_topk_ivf_indexed",
+    oracle=REGISTRY["sim_ann_topk_ivf"].oracle,
+)
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index lifecycle (similarity/index.py IVFIndex):
+    build = train integer-exact centroids + materialize the inverted
+    file as a cell-clustered TxTable; query = quantize queries, rank
+    STORED centroids, scan only the probed cells' files (literal isin
+    filter → parquet file skipping).  Identical training ⇒ identical
+    results ⇒ the sim_ann_topk_ivf oracle applies verbatim — the build/
+    query split is a lifecycle change, not a semantics change.  At
+    100 TB the build runs on the maintenance cadence and queries never
+    retrain (tests/test_ivf_index.py pins result equality, file
+    pruning, and rebuild-on-append)."""
+    import tempfile
+
+    from ..similarity.index import IVFIndex
+
+    t = Tables(spark, sf_dir)
+    idx = IVFIndex.build(
+        tempfile.mkdtemp(prefix="ivf-idx-"),
+        t.embeddings,
+        n_cells=N_CELLS,
+        iters=N_IVF_ITERS,
+    )
+    queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
+    return idx.topk(spark, queries_df, TOP_K, n_probe=N_PROBE)
 
 
 @query("sim_cosine_pairs_cells", oracle=cell_pairs_sql(PAIR_THRESHOLD))

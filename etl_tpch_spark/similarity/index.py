@@ -1,0 +1,144 @@
+"""Persisted IVF index — the stored-artifact lifecycle for ANN search
+(the similarity-side twin of dedup/index.py MinHashIndex).
+
+`cosine_topk_ivf` trains its centroids per query run; at 100 TB the
+trained index is a STORED artifact: build once on the maintenance
+cadence, query many times.  Two TxTables under one root:
+
+- ``centroids/``  (cent_id, cv)        — K trained integer centroids;
+- ``cells/``      (vec_id, cell, v_emb, v_norm) — the inverted file:
+  every corpus vector with its cell id, double-cast embedding and
+  precomputed self-dot norm, OPTIMIZE'd with ``cluster_by=("cell",)``
+  so each parquet file owns a disjoint cell range.
+
+The probe path collects the (tiny: |Q|·n_probe) probed cell ids to the
+driver and filters the cells table with a LITERAL ``isin`` — the
+predicate pushes to the parquet scan and file-level min/max stats skip
+every unprobed cell's files (the IVF promise: read only the probed
+inverted lists; the clustered layout is what makes skipping real,
+pipeline/txlog.py cluster_by).  Training is the same integer-exact
+Lloyd as the per-run operator, so a stored index returns BIT-IDENTICAL
+results to ``cosine_topk_ivf`` (asserted in tests/test_ivf_index.py)
+and the same DuckDB oracle applies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..pipeline.txlog import TxTable
+from .ann import _pair_cosine, _with_norm
+from .kmeans import quantize
+
+
+class IVFIndex:
+    """A built (trained + materialized) IVF index rooted at ``path``."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.cells_t = TxTable(os.path.join(path, "cells"))
+        self.cent_t = TxTable(os.path.join(path, "centroids"))
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        path: str,
+        embeddings: DataFrame,
+        n_cells: int = 16,
+        iters: int = 1,
+    ) -> "IVFIndex":
+        """Train integer-exact Lloyd centroids and materialize both
+        artifacts; the cells table is clustered by cell id so probes
+        skip unprobed files.  Rebuild = calling build again (overwrite
+        commits; old versions stay time-travelable until vacuum)."""
+        from .kmeans import kmeans_fit
+
+        spark = embeddings.sparkSession
+        assign, cent_rows = kmeans_fit(embeddings, n_cells, iters)
+        idx = cls(path)
+        cells = _with_norm(embeddings, "vec_id", "v_emb", "v_norm").join(
+            assign.select("vec_id", F.col("cluster").alias("cell")),
+            "vec_id",
+        )
+        idx.cells_t.overwrite(cells)
+        # one file per ~2 cells keeps file count O(K) and ranges tight
+        idx.cells_t.compact(
+            spark, target_files=max(1, n_cells // 2), cluster_by=("cell",)
+        )
+        idx.cent_t.overwrite(
+            spark.createDataFrame(cent_rows, "cent_id long, cv array<long>")
+        )
+        return idx
+
+    # ------------------------------------------------------------ query
+
+    def centroids(self, spark: SparkSession) -> DataFrame:
+        return self.cent_t.read(spark)
+
+    def cells(self, spark: SparkSession) -> DataFrame:
+        return self.cells_t.read(spark)
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """Top-k cosine neighbors for each query row (vec_id,
+        embedding), probing ``n_probe`` stored cells per query.  No
+        training happens here — centroids and inverted lists come from
+        storage; the only per-query work is quantize + rank K centroids
+        + scan the probed files."""
+        q_quant = quantize(queries)
+        cent = self.centroids(spark)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        q_cells = (
+            F.broadcast(
+                q_quant.select(F.col("vec_id").alias("query_id"), "qv")
+            )
+            .crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn(
+                "prn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy("d2", "cent_id")
+                ),
+            )
+            .filter(F.col("prn") <= n_probe)
+            .select("query_id", F.col("cent_id").alias("cell"))
+        )
+        # literal probe-cell filter → parquet scan skips unprobed files
+        # (|Q|·n_probe ids — a driver round-trip of a few dozen longs)
+        probed_cells = sorted(
+            {r.cell for r in q_cells.select("cell").distinct().collect()}
+        )
+        cells = self.cells(spark).filter(F.col("cell").isin(probed_cells))
+        q_emb = _with_norm(queries, "query_id", "q_emb", "q_norm")
+        probes = q_cells.join(q_emb, "query_id")
+        cand = F.broadcast(probes).join(cells, "cell").filter(
+            F.col("query_id") != F.col("vec_id")
+        )
+        scored = cand.withColumn(
+            "cosine", _pair_cosine("q_emb", "v_emb", "q_norm", "v_norm")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cosine", "rnk")
+        )
