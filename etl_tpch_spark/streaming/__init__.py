@@ -16,6 +16,7 @@ T1-T6).  Spark replaces that machinery natively:
   express at all).
 """
 
+from .dedup_index import accumulated_pairs, stream_dedup_ticks
 from .ingest import stream_ingest_all, stream_ingest_table
 from .joins import stream_orders_lineitem_join
 from .stateful import running_user_stats
@@ -35,4 +36,6 @@ __all__ = [
     "sliding_window_avg",
     "session_window_stats",
     "running_user_stats",
+    "stream_dedup_ticks",
+    "accumulated_pairs",
 ]
