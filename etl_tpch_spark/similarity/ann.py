@@ -181,9 +181,12 @@ def cosine_topk_ivf(
     |Q| · n_probe/n_cells of the corpus.  Recall < 1 by design; the
     bruteforce twin is the recall baseline.
     """
-    from .kmeans import kmeans_fit
+    from .kmeans import kmeans_fit, quantize
 
-    assign, cent_rows = kmeans_fit(embeddings, n_cells, iters)
+    # single downstream reference (the cells join) → no checkpoint
+    assign, cent_rows = kmeans_fit(
+        embeddings, n_cells, iters, materialize=False
+    )
     cells = _with_norm(embeddings, "vec_id", "v_emb", "v_norm").join(
         assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
     )
@@ -192,8 +195,10 @@ def cosine_topk_ivf(
         cent_rows, "cent_id long, cv array<long>"
     )
     # each query ranks the trained centroids by integer L2 (the SAME
-    # metric training used — ties to lowest cent_id) and probes n_probe
-    q = assign.filter(F.col("vec_id").isin(query_ids)).select(
+    # metric training used — ties to lowest cent_id) and probes n_probe;
+    # the few query vectors re-quantize row-wise (bit-identical to the
+    # training quantization) rather than riding the full assignment
+    q = quantize(embeddings.filter(F.col("vec_id").isin(query_ids))).select(
         F.col("vec_id").alias("query_id"), "qv"
     )
     d2 = F.aggregate(

@@ -60,7 +60,10 @@ class IVFIndex:
         from .kmeans import kmeans_fit
 
         spark = embeddings.sparkSession
-        assign, cent_rows = kmeans_fit(embeddings, n_cells, iters)
+        # single reference (the cells overwrite) → no checkpoint
+        assign, cent_rows = kmeans_fit(
+            embeddings, n_cells, iters, materialize=False
+        )
         idx = cls(path)
         cells = _with_norm(embeddings, "vec_id", "v_emb", "v_norm").join(
             assign.select("vec_id", F.col("cluster").alias("cell")),

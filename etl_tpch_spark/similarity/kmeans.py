@@ -150,14 +150,33 @@ def kmeans_fit(
     embeddings: DataFrame,
     k: int = K_CLUSTERS,
     iters: int = N_ITERS,
+    *,
+    materialize: bool = True,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Train ``iters`` Lloyd rounds from deterministic duplicate-robust
     init (k distinct vectors, lowest owning ids — see _init_centroids)
-    and return (final assignment DF keeping qv, trained centroids sorted
-    by id).  Centroids round-trip through the driver each round — K·dim
-    longs, the standard Lloyd pattern; the corpus never shuffles.  The
-    trained centroids feed the IVF index (similarity/ann.py) — training
-    is integer-exact, so even a *trained* index stays oracle-checkable."""
+    and return (final assignment DF (vec_id, cluster, d2), trained
+    centroids sorted by id).  Centroids round-trip through the driver
+    each round — K·dim longs, the standard Lloyd pattern; the corpus
+    never shuffles.  The trained centroids feed the IVF index
+    (similarity/ann.py) — training is integer-exact, so even a
+    *trained* index stays oracle-checkable.
+
+    The returned assignment is a lazy localCheckpoint of the THREE
+    id/label columns only (not the 64-long qv vector — consumers that
+    need quantized vectors re-derive them row-wise with ``quantize``,
+    which is exactly reproducible): blocks persist on first consumption
+    and the ContextCleaner releases them once unreferenced, while the
+    cached quantized corpus is dropped here — without that unpersist,
+    every IVF / cell-pairs / kmeans invocation in a long-lived session
+    pins another corpus copy in executor storage memory.
+
+    ``materialize=False`` skips the checkpoint entirely for callers
+    whose downstream plan references the assignment exactly ONCE
+    (kmeans_assignments): consumption then recomputes the single
+    map-only quantize+argmin pass instead of paying a persist step —
+    cheaper for one reference, wrong for self-joining consumers (the
+    assignment subtree would compute once per plan branch)."""
     q = quantize(embeddings).cache()
     cent_rows = [
         (r.cent_id, list(r.cv)) for r in _init_centroids(q, k).collect()
@@ -167,12 +186,9 @@ def kmeans_fit(
         cent_rows = [
             (r.cent_id, list(r.cv)) for r in _update(assign).collect()
         ]
-    # Materialize the final assignment (localCheckpoint → executor
-    # blocks released by the ContextCleaner once unreferenced), then
-    # drop the cached quantized corpus: without this every IVF /
-    # cell-pairs / kmeans invocation in a long-lived session pins
-    # another corpus copy in executor storage memory.
-    final = _assign_numpy(q, cent_rows).localCheckpoint()
+    final = _assign_numpy(q, cent_rows).select("vec_id", "cluster", "d2")
+    if materialize:
+        final = final.localCheckpoint(eager=False)
     q.unpersist()
     return final, sorted(cent_rows)
 
@@ -195,9 +211,10 @@ def kmeans_assignments(
     (broadcast join + fold) — value-identical, kept as the
     cross-implementation check."""
     if use_numpy:
-        return kmeans_fit(embeddings, k, iters)[0].select(
-            "vec_id", "cluster", "d2"
-        )
+        # single downstream reference → no checkpoint (see kmeans_fit)
+        return kmeans_fit(embeddings, k, iters, materialize=False)[
+            0
+        ].select("vec_id", "cluster", "d2")
     q = quantize(embeddings)
     cent = _init_centroids(q, k)
     for _ in range(iters):
