@@ -428,3 +428,213 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((distinct_ratio >= 0.2) & (top_frac <= 0.18)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------- round 3:
+# n-gram corpus hygiene (the GPT-3/C4 recipes, adapted to the corpus)
+
+_DECON_N = 5  # n-gram width (the published recipe uses 13; the fixture
+# documents are ~100 tokens, so 5 keeps the overlap statistics non-trivial)
+_EVAL_MOD = 50  # doc_id % 50 == 0 plays the held-out eval set
+
+_SQL_5GRAMS = (
+    "list_distinct(list_transform(range(1, len(W) - 3), "
+    "i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2] || ' ' || W[i+3] "
+    "|| ' ' || W[i+4]))"
+)
+
+
+@query(
+    "text_decontaminate_ngrams",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, {_SQL_5GRAMS} AS grams
+            FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents)
+        ),
+        ev AS (
+            SELECT DISTINCT unnest(grams) AS gram
+            FROM g WHERE doc_id % {_EVAL_MOD} = 0
+        ),
+        tr AS (
+            SELECT doc_id, unnest(grams) AS gram
+            FROM g WHERE doc_id % {_EVAL_MOD} <> 0
+        ),
+        hit AS (
+            SELECT tr.doc_id, count(*) AS n_overlap
+            FROM tr JOIN ev USING (gram) GROUP BY 1
+        )
+        SELECT g.doc_id,
+               CAST(len(g.grams) AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n_overlap, 0) > 0 AS flagged
+        FROM g LEFT JOIN hit h USING (doc_id)
+        WHERE g.doc_id % {_EVAL_MOD} <> 0
+    """,
+)
+def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination at n-gram granularity (the GPT-3
+    13-gram recipe at n=5): a training document is flagged when any of
+    its distinct 5-grams appears verbatim in the held-out eval split
+    (doc_id % 50 == 0 stands in).  Complements text_contamination's
+    vocab-level check with the span-level one real pipelines ship.
+
+    Scale shape: distinct grams explode once per side; the eval gram
+    set collapses to DISTINCT before the join (eval sets are ~1000×
+    smaller than training corpora — broadcastable), then one aggregate
+    on doc_id.  Corpus text is hashed once; nothing quadratic."""
+    from ..dedup.operators import word_shingles
+
+    t = Tables(spark, sf_dir)
+    g = t.documents.select(
+        "doc_id", word_shingles(F.col("text"), _DECON_N).alias("grams")
+    )
+    ev = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = (
+        tr.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        tr.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_ngrams"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("flagged"),
+        )
+    )
+
+
+_BOILER_MIN_DOCS = 5  # a 3-gram in ≥5 distinct docs is boilerplate
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(W) - 1),
+                       i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2]))
+                     AS grams
+            FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents)
+        ),
+        freq AS (
+            SELECT gram, count(*) AS n_docs
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+            GROUP BY 1
+        ),
+        boiler AS (
+            SELECT gram FROM freq WHERE n_docs >= {_BOILER_MIN_DOCS}
+        ),
+        per_doc AS (
+            SELECT e.doc_id, count(*) AS n_boiler
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM g) e
+            JOIN boiler USING (gram)
+            GROUP BY 1
+        )
+        SELECT g.doc_id,
+               CAST(len(g.grams) AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+               round(COALESCE(p.n_boiler, 0) * 1.0
+                     / greatest(len(g.grams), 1), 6) AS boiler_frac
+        FROM g LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 repeated-line rule
+    at n-gram granularity, since this corpus has no line structure):
+    a 3-gram present in ≥5 distinct documents is boilerplate; each
+    document reports how much of it is boilerplate.  The per-doc
+    fraction is what a cleaning pass thresholds on.
+
+    Scale shape: distinct grams per doc explode once; gram document-
+    frequency is one count shuffle; the boilerplate set (frequency-
+    filtered) re-joins the exploded grams.  All linear in corpus gram
+    volume — the C4 pipeline shape."""
+    from ..dedup.operators import word_shingles
+
+    t = Tables(spark, sf_dir)
+    g = t.documents.select(
+        "doc_id", word_shingles(F.col("text")).alias("grams")
+    )
+    ex = g.select("doc_id", F.explode("grams").alias("gram"))
+    boiler = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    per_doc = (
+        ex.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_boiler = F.coalesce("n_boiler", F.lit(0))
+    return (
+        g.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_ngrams"),
+            n_boiler.cast("long").alias("n_boiler"),
+            F.round(
+                n_boiler * 1.0 / F.greatest(F.size("grams"), F.lit(1)), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT unnest(list_transform(range(1, len(W)),
+                       i -> {{'w1': W[i], 'w2': W[i+1]}})) AS p
+            FROM (SELECT {_SQL_TOKS} AS W FROM documents)
+        ),
+        c AS (
+            SELECT p.w1 AS w1, p.w2 AS w2,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM pairs GROUP BY 1, 2
+        ),
+        tot AS (SELECT w1, sum(n_pair) AS n_w1 FROM c GROUP BY 1)
+        SELECT c.w1, c.w2, c.n_pair,
+               round(c.n_pair * 1.0 / tot.n_w1, 6) AS p_cond
+        FROM c JOIN tot USING (w1)
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table: count(w1→w2) with the
+    conditional probability p(w2|w1) — the statistical-LM build step
+    (KenLM-style counting at order 2), also the input to perplexity-
+    based quality filtering.  Duplicate bigrams COUNT (multiplicity is
+    the statistic), unlike the distinct-shingle dedup ops.
+
+    Scale shape: one map-side pair explode, one count shuffle keyed
+    (w1, w2), one per-w1 aggregate joined back (vocab-sized — tiny
+    relative to the corpus at any scale).  No text recrosses a
+    shuffle."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sz = F.size(toks)
+    z = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = t.documents.select(F.explode(z).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    return c.join(tot, "w1").select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(F.col("n_pair") * 1.0 / F.col("n_w1"), 6).alias("p_cond"),
+    )
