@@ -91,6 +91,8 @@ NLJ_ALLOWED = {
     "q2_min_cost_supplier",
     "sim_ann_topk_bruteforce",
     "sim_ann_topk_ivf",
+    "sim_ann_topk_ivf_indexed",  # same |Q|×K centroid-ranking cross
+    # join as sim_ann_topk_ivf (K=16 stored centroids, broadcast)
     "sim_cosine_pairs",
     "sim_quantized_cosine_pairs",  # documented all-pairs baseline
     "sample_temperature_mixture",  # 1-row n_min aggregate cross join
