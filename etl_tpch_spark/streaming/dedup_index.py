@@ -56,10 +56,18 @@ def stream_dedup_ticks(
     schema: T.StructType = DOC_SCHEMA,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    compact_over_files: int | None = 64,
 ) -> StreamingQuery:
     """Drain staged crawl files (JSON-lines of doc_id/text) through
     index ticks, appending each tick's near-dup pairs to
-    ``pairs_path``; AvailableNow trigger = one scheduler run."""
+    ``pairs_path``; AvailableNow trigger = one scheduler run.
+
+    ``compact_over_files``: after the drain, OPTIMIZE the signature
+    index when its snapshot exceeds this many files (daily appends
+    accrete small files; band-join scan cost tracks file count).  The
+    compaction is the txlog op-aware one — concurrent tick appends
+    from another scheduler instance are carried, never dropped.  None
+    disables.  Requires ``await_termination``."""
     idx = MinHashIndex(index_path)
     pairs_t = TxTable(pairs_path)
     ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
@@ -90,6 +98,11 @@ def stream_dedup_ticks(
     )
     if await_termination:
         q.awaitTermination()
+        if (
+            compact_over_files
+            and len(idx.table.snapshot_files()) > compact_over_files
+        ):
+            idx.compact(spark)
     return q
 
 

@@ -121,3 +121,27 @@ def test_max_files_per_trigger_splits_ticks_same_result(
     got = _pair_set(accumulated_pairs(spark, str(tmp_path / "pairs")))
     want = _pair_set(minhash_lsh_pairs(docs, 0.5))
     assert got == want and got
+
+
+def test_post_drain_compaction_preserves_results(spark, sf_dir, tmp_path):
+    """Index maintenance: with a low compact threshold, the post-drain
+    OPTIMIZE shrinks the signature index's file count while later ticks
+    keep producing the same pairs as the batch operator."""
+    from etl_tpch_spark.dedup.index import MinHashIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    crawl = str(tmp_path / "crawl")
+    for day in range(3):
+        _stage_crawl(
+            spark, docs.filter(F.col("doc_id") % 3 == day), crawl, day
+        )
+    stream_dedup_ticks(
+        spark, crawl, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        compact_over_files=1,
+    )
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    assert len(idx.table.snapshot_files()) <= 8  # compacted post-drain
+    got = _pair_set(accumulated_pairs(spark, str(tmp_path / "pairs")))
+    want = _pair_set(minhash_lsh_pairs(docs, 0.5))
+    assert got == want and got
