@@ -137,8 +137,12 @@ def _banded_signatures(
     storage memory free for the band join, or ``None`` to skip
     persisting (single-pass consumers, e.g. the index WRITE path in
     dedup/index.py — the TxTable parquet is the materialization).
-    Shared by the batch and incremental pair operators so their
-    candidate/verify semantics can never drift apart."""
+    The persist intentionally outlives the call (the result is lazy);
+    LRU eviction bounds the cost in long-lived sessions, and the
+    persisted-index lifecycle (dedup/index.py) is the store-once
+    answer where recompute matters.  Shared by the batch and
+    incremental pair operators so their candidate/verify semantics can
+    never drift apart."""
     sh = shingle_sets(docs).filter(F.size("shingles") > 0)
     sig = sh.select(
         "doc_id",

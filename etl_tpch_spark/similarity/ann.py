@@ -131,7 +131,13 @@ def cosine_topk_lsh(
         hyperplane_signature_udf()(F.col("c_emb")).bitwiseAND(F.lit(mask)),
     )
     # sig feeds both sides of the bucket join — persist so the corpus
-    # signature isn't computed twice.
+    # signature isn't computed twice.  The cache outlives this call by
+    # design (the returned DataFrame is lazy); Spark's unified storage
+    # memory evicts it LRU under pressure, so repeated invocations in a
+    # long-lived session degrade to recompute, never OOM — the
+    # documented trade for not owning the consumption lifetime (the
+    # persisted-index path, similarity/index.py, is the store-once
+    # answer at scale).
     sig = sig.cache()
     q = sig.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
