@@ -638,3 +638,109 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pair",
         F.round(F.col("n_pair") * 1.0 / F.col("n_w1"), 6).alias("p_cond"),
     )
+
+
+# --------------------------------------------------------- count-min sketch
+
+_CM_DEPTH = 4  # hash rows
+_CM_WIDTH = 64  # buckets per row
+_CM_TOPK = 20
+
+# bucket_d(term) = md5-hash of "d:term" mod WIDTH — the md5 derivation
+# makes the sketch itself cross-engine deterministic, so the ORACLE
+# builds the identical sketch and the estimates match bit-for-bit
+# (real count-min deployments never get this; murmur-seeded rows
+# differ per library)
+from ..functions.text import sql_token_hash as _sql_th  # noqa: E402
+
+_CM_ORACLE = f"""
+        WITH toks AS (
+            SELECT unnest({_SQL_TOKS}) AS term FROM documents
+        ),
+        rows_ AS (
+            SELECT term, d,
+                   {_sql_th("CAST(d AS VARCHAR) || ':' || term")}
+                     % {_CM_WIDTH} AS bucket
+            FROM toks, unnest(range(0, {_CM_DEPTH})) AS t(d)
+        ),
+        sketch AS (
+            SELECT d, bucket, count(*) AS cnt
+            FROM rows_ GROUP BY 1, 2
+        ),
+        truec AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS true_n
+            FROM toks GROUP BY 1
+        ),
+        est AS (
+            SELECT r.term, CAST(min(s.cnt) AS BIGINT) AS est_n
+            FROM (SELECT DISTINCT term, d, bucket FROM rows_) r
+            JOIN sketch s ON r.d = s.d AND r.bucket = s.bucket
+            GROUP BY 1
+        )
+        SELECT t.term, t.true_n, e.est_n,
+               CAST(e.est_n - t.true_n AS BIGINT) AS overcount
+        FROM truec t JOIN est e USING (term)
+        ORDER BY t.true_n DESC, t.term
+        LIMIT {_CM_TOPK}
+"""
+
+
+@query("text_term_sketch_topk", oracle=_CM_ORACLE)
+def text_term_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term-frequency estimation — the memory-bounded
+    sketch class: 4×64 cells estimate every term's count regardless of
+    corpus size (est ≥ true always; overcount is the collision error
+    the depth/width trade controls).  Reported for the top-20
+    true-frequency terms next to exact counts, the sketch-accuracy
+    audit a pipeline runs before trusting the sketch at full scale.
+
+    The row hashes are md5-derived ("d:term"), so the sketch is
+    bit-identical on any engine — the DuckDB oracle rebuilds the SAME
+    sketch and the estimates hash-match exactly.
+
+    Scale shape: one token explode ×DEPTH (map-side), one aggregate
+    onto the FIXED 256-cell sketch (the whole point: the shuffle
+    output is constant-size however large the corpus), one distinct
+    per-term probe joined against the broadcast sketch, one exact
+    count for the audit columns."""
+    from ..functions.text import token_hash
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    rows = toks.select(
+        "term",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(_CM_DEPTH)])
+        ).alias("d"),
+    ).withColumn(
+        "bucket",
+        token_hash(
+            F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term"))
+        )
+        % _CM_WIDTH,
+    )
+    sketch = rows.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = rows.select("term", "d", "bucket").distinct()
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+    )
+    truec = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return (
+        truec.join(est, "term")
+        .select(
+            "term",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("true_n").desc(), "term")
+        .limit(_CM_TOPK)
+    )
