@@ -23,6 +23,20 @@ reduce.py:43-54 snapshot reads) on plain parquet:
   the swapped manifest; old versions still reference the old files.
 - **vacuum**: delete data files referenced ONLY by versions older than
   the retained horizon, then drop those log entries.
+- **data skipping**: every commit records per-file min/max column
+  statistics (read from the parquet footers the write already
+  produced — no second scan) in the manifest; ``read_where`` prunes
+  the file list against a predicate BEFORE Spark ever opens a file —
+  Delta's stats-based skipping.  With ``compact(cluster_by=...)``
+  laying out disjoint key ranges per file, a selective scan at 100 TB
+  touches one file instead of all of them, and the decision is made
+  driver-side from the log alone.
+- **log checkpoints**: every ``checkpoint_interval`` commits, the
+  accumulated batch-id set is rolled into ``_txlog/ckpt-v{N}.json``
+  (pointer in ``_last_checkpoint``), so ``applied_batch_ids`` reads
+  one checkpoint + the log suffix instead of walking every entry —
+  Delta's ``_last_checkpoint`` protocol.  Without it, each streaming
+  append of a long-lived table re-reads O(commits) JSON entries.
 
 SCOPE: like matview.py, correctness relies on POSIX atomic create
 within one directory — local/NFS-with-O_EXCL filesystems.  On S3, swap
@@ -41,24 +55,84 @@ so exactly-once replay survives log truncation.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 _MAX_COMMIT_RETRIES = 20
+
+# predicate spec for read_where: (col, op, value) conjunctions
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _enc(v):
+    """Normalize a stats/predicate value into its JSON-comparable form.
+    Dates/timestamps become ISO strings (lexicographic order == time
+    order, so range pruning stays sound); tz-aware timestamps are
+    reduced to naive UTC so footer stats and user predicates agree."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None  # unsupported type → no stats / no pruning
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-file column stats from the parquet footer: row count and
+    min/max per top-level primitive column, aggregated over row groups.
+    A metadata-only read — the write itself already paid for these
+    (parquet writers emit row-group statistics; truncated string bounds
+    are still valid bounds per the format contract, so pruning on them
+    is sound).  Columns with missing/unsupported stats are omitted."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            name = c.path_in_schema
+            if "." in name:  # nested (list/struct) — not prunable here
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                mins[name] = maxs[name] = None  # poison: no stats
+                continue
+            lo, hi = _enc(st.min), _enc(st.max)
+            if lo is None or hi is None or name in mins and mins[name] is None:
+                mins[name] = maxs[name] = None
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    cols = {
+        k: [mins[k], maxs[k]]
+        for k in mins
+        if mins[k] is not None and maxs[k] is not None
+    }
+    return {"rows": md.num_rows, "cols": cols}
 
 
 class TxTable:
     """A parquet table with a versioned commit log under ``path``."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, *, checkpoint_interval: int = 10) -> None:
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
         self._entry_cache: dict[int, dict] = {}  # entries are immutable
+        self._staged_stats: dict[str, dict] = {}  # stats of my new files
 
     # ------------------------------------------------------------- log
 
@@ -91,8 +165,20 @@ class TxTable:
         return self._read_entry(v)["files"]
 
     def applied_batch_ids(self) -> set[str]:
-        ids = set()
+        """All batch ids ever applied.  Reads the latest checkpoint (if
+        any) + only the log entries AFTER it — O(suffix), not
+        O(commits); the exactly-once check runs on every append of a
+        streaming table, so the full-log walk is the operation that
+        degrades first on a long-lived table."""
+        ids: set[str] = set()
+        ckpt = self._load_checkpoint()
+        start = -1
+        if ckpt is not None:
+            ids.update(ckpt["batch_ids"])
+            start = ckpt["version"]
         for v in self.versions():
+            if v <= start:
+                continue
             e = self._read_entry(v)
             if e.get("batch_id") is not None:
                 ids.add(e["batch_id"])
@@ -100,6 +186,54 @@ class TxTable:
             # it deleted — exactly-once replay survives log truncation
             ids.update(e.get("batch_ids_seen", ()))
         return ids
+
+    # ----------------------------------------------------- checkpoints
+
+    def _ckpt_file(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"ckpt-v{v:010d}.json")
+
+    @property
+    def _last_ckpt_pointer(self) -> str:
+        return os.path.join(self.log_dir, "_last_checkpoint")
+
+    def _load_checkpoint(self) -> dict | None:
+        try:
+            with open(self._last_ckpt_pointer) as f:
+                v = json.load(f)["version"]
+            with open(self._ckpt_file(v)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return None  # no/stale pointer → callers fall back to the log
+
+    def checkpoint(self) -> int | None:
+        """Roll the accumulated batch-id set into a checkpoint file at
+        the current head version and repoint ``_last_checkpoint``.
+        Idempotent per version (exclusive create); pointer update is an
+        atomic replace, so readers always see a complete checkpoint.
+        Called automatically every ``checkpoint_interval`` commits."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        entry = {"version": v, "batch_ids": sorted(self.applied_batch_ids())}
+        tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, self._ckpt_file(v))
+        except FileExistsError:
+            pass  # a rival checkpointed the same version — identical content
+        ptr_tmp = tmp + ".ptr"
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(ptr_tmp, self._last_ckpt_pointer)
+        os.remove(tmp)
+        # keep only the newest checkpoint file
+        for f in os.listdir(self.log_dir):
+            if f.startswith("ckpt-v") and f != f"ckpt-v{v:010d}.json":
+                old = int(f[6:16])
+                if old < v:
+                    os.remove(os.path.join(self.log_dir, f))
+        return v
 
     def _try_commit_at(self, v: int, entry: dict) -> bool:
         """One optimistic attempt: claim EXACTLY version ``v``
@@ -131,7 +265,9 @@ class TxTable:
     def _write_data(self, df: DataFrame) -> list[str]:
         """Write df's rows as new uniquely-named parquet files (a temp
         write + rename into the table dir), returning their names.
-        Files are invisible until a commit references them."""
+        Files are invisible until a commit references them.  Per-file
+        min/max stats are read from the just-written parquet footers
+        (a metadata read, not a data scan) and staged for the commit."""
         tmp = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:8]}")
         df.write.parquet(tmp)
         names = []
@@ -140,6 +276,9 @@ class TxTable:
                 new = f"part-{uuid.uuid4().hex}.parquet"
                 os.rename(os.path.join(tmp, f), os.path.join(self.path, new))
                 names.append(new)
+                self._staged_stats[new] = _footer_stats(
+                    os.path.join(self.path, new)
+                )
         for leftover in os.listdir(tmp):
             os.remove(os.path.join(tmp, leftover))
         os.rmdir(tmp)
@@ -160,8 +299,25 @@ class TxTable:
             entry = build_entry(base_v, base_files)
             if entry is None:  # e.g. replayed batch — nothing to do
                 return self.latest_version() or 0
+            if "stats" not in entry:
+                # carry per-file stats forward: files retained from the
+                # base keep their recorded stats, files this writer just
+                # staged bring theirs; a file with no stats is simply
+                # never pruned (read_where keeps it)
+                base_stats = (
+                    self._read_entry(base_v).get("stats", {})
+                    if base_v
+                    else {}
+                )
+                known = {**base_stats, **self._staged_stats}
+                entry["stats"] = {
+                    f: known[f] for f in entry["files"] if f in known
+                }
             if self._try_commit_at(base_v + 1, entry):
-                return base_v + 1
+                v = base_v + 1
+                if v % self.checkpoint_interval == 0:
+                    self.checkpoint()
+                return v
         raise RuntimeError("commit contention: too many retries")
 
     def _enforce_schema(
@@ -376,3 +532,94 @@ class TxTable:
         return spark.read.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
+
+    def pruned_files(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """Data skipping: the subset of the snapshot's files whose
+        recorded min/max stats COULD satisfy every predicate.
+
+        ``predicates`` is a conjunction of ``(col, op, value)`` with op
+        in ``=, <, <=, >, >=``.  A file with no stats for ``col`` is
+        kept (never prune on missing information); all ops are
+        null-rejecting, so min/max over non-null values is a sound
+        prune.  Driver-side, O(files) — no Spark job runs."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return []
+        entry = self._read_entry(v)
+        stats = entry.get("stats", {})
+        out = []
+        for f in entry["files"]:
+            cols = stats.get(f, {}).get("cols", {})
+            keep = True
+            for col, op, val in predicates:
+                if op not in _PRED_OPS:
+                    raise ValueError(f"unsupported op {op!r}")
+                if col not in cols:
+                    continue
+                ev = _enc(val)
+                if ev is None:
+                    continue
+                lo, hi = cols[col]
+                if type(lo) is bool or isinstance(ev, bool):
+                    continue  # bool ranges prune nothing useful
+                if not isinstance(ev, type(lo)) and not (
+                    isinstance(ev, (int, float))
+                    and isinstance(lo, (int, float))
+                ):
+                    continue  # incomparable types → keep
+                if (
+                    (op == "=" and not (lo <= ev <= hi))
+                    or (op == "<" and not lo < ev)
+                    or (op == "<=" and not lo <= ev)
+                    or (op == ">" and not hi > ev)
+                    or (op == ">=" and not hi >= ev)
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with stats-based file skipping: Spark is handed
+        ONLY the files whose min/max ranges can match, then the same
+        predicate is applied as a real filter (skipping is a superset
+        guarantee, not an evaluation).  With a range-clustered layout
+        (``compact(cluster_by=...)``), a selective read opens one file
+        of N — the decision made from the log, before any executor
+        touches storage."""
+        files = self.pruned_files(predicates, version)
+        if not files:
+            # provably-empty result; keep the schema via an empty read
+            return (
+                self.read(spark, version)
+                .where(F.lit(False))
+                .where(self._pred_column(predicates))
+            )
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+        return df.where(self._pred_column(predicates))
+
+    @staticmethod
+    def _pred_column(predicates: list[tuple]) -> Column:
+        cond = F.lit(True)
+        for col, op, val in predicates:
+            c = F.col(col)
+            cond = cond & {
+                "=": c == val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }[op]
+        return cond
