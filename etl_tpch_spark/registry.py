@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.graph",  # after similarity: reuses its oracle
     "etl_tpch_spark.queries.inference",
     "etl_tpch_spark.queries.multimodal",
+    "etl_tpch_spark.queries.sketches",
 )
 
 # Registry iteration order: external correctness harnesses that sample a

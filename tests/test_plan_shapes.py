@@ -99,6 +99,7 @@ NLJ_ALLOWED = {
     "ts_gapfill_hourly",  # dense grid = hours × event_types, both tiny
     "ts_locf_hourly",  # same data-size-independent grid cross join
     "graph_pagerank",  # one-row node-count broadcast per round
+    "agg_hll_distinct_customers",  # 1-row sketch × 1-row audit join
 }
 
 
