@@ -744,3 +744,147 @@ def text_term_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_n").desc(), "term")
         .limit(_CM_TOPK)
     )
+
+
+# --------------------------------------------------------------- BM25 search
+
+_BM25_TERMS = ("dup", "vector", "merge")  # one rare + two common terms
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_K1P1 = "CAST(2.2 AS DOUBLE)"  # k1 + 1
+_BM25_1MB = "CAST(0.25 AS DOUBLE)"  # 1 - b
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+_BM25_TOPK = 20
+
+_BM25_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    st AS (
+        SELECT count(*) AS n,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        WHERE term IN ('dup', 'vector', 'merge')
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    w AS (
+        SELECT t.doc_id, t.term,
+               sqrt((st.n - df.df + CAST(0.5 AS DOUBLE))
+                    / (df.df + CAST(0.5 AS DOUBLE)))
+               * (t.tf * {_BM25_K1P1})
+               / (t.tf + {_BM25_K1}
+                  * ({_BM25_1MB} + {_BM25_B} * dl.dl / st.avgdl)) AS w
+        FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+    ),
+    s AS (
+        SELECT doc_id,
+               max(CASE WHEN term = 'dup' THEN w END) AS s0,
+               max(CASE WHEN term = 'vector' THEN w END) AS s1,
+               max(CASE WHEN term = 'merge' THEN w END) AS s2
+        FROM w GROUP BY 1
+    )
+    SELECT doc_id,
+           round(coalesce(s0, CAST(0 AS DOUBLE))
+                 + coalesce(s1, CAST(0 AS DOUBLE))
+                 + coalesce(s2, CAST(0 AS DOUBLE)), 4) AS bm25
+    FROM s
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query (k1=1.2,
+    b=0.75), top-20 documents — the lexical-search ranking every
+    corpus-curation stack needs next to embedding ANN.
+
+    Cross-engine exactness (the repo's no-libm discipline): the
+    logarithmic idf is replaced by its sqrt-damped rational form
+    sqrt((N - df + 0.5)/(df + 0.5)) — sqrt is IEEE correctly-rounded
+    on both engines where ln is not, and the damping preserves BM25's
+    rare-term ordering.  Per-doc scores sum exactly three terms in
+    FIXED syntactic order (conditional-max pivot, then s0+s1+s2), so
+    Spark's and DuckDB's doubles agree bit-for-bit before rounding.
+
+    Scale shape: tf filters to the query terms BEFORE its aggregate
+    (the explode never shuffles non-query tokens), df is a 3-row
+    broadcast, corpus stats are one 1-row join; no per-token state
+    leaves the map side except the per-(doc, query-term) counts."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    dl = d.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.sqrt(
+                    (
+                        F.col("n")
+                        - F.col("df")
+                        + F.expr("CAST(0.5 AS DOUBLE)")
+                    )
+                    / (F.col("df") + F.expr("CAST(0.5 AS DOUBLE)"))
+                )
+                * (F.col("tf") * F.expr(_BM25_K1P1))
+                / (
+                    F.col("tf")
+                    + F.expr(_BM25_K1)
+                    * (
+                        F.expr(_BM25_1MB)
+                        + F.expr(_BM25_B)
+                        * F.col("dl")
+                        / F.col("avgdl")
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    pivoted = w.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("term") == term, F.col("w"))
+            ).alias(f"s{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ]
+    )
+    zero = F.expr("CAST(0 AS DOUBLE)")
+    return (
+        pivoted.select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("s0"), zero)
+                + F.coalesce(F.col("s1"), zero)
+                + F.coalesce(F.col("s2"), zero),
+                4,
+            ).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

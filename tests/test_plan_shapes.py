@@ -100,6 +100,7 @@ NLJ_ALLOWED = {
     "ts_locf_hourly",  # same data-size-independent grid cross join
     "graph_pagerank",  # one-row node-count broadcast per round
     "agg_hll_distinct_customers",  # 1-row sketch × 1-row audit join
+    "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
 }
 
 
