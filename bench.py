@@ -56,6 +56,9 @@ HEADLINE = [
     "inference_batch_scores",
     "multimodal_decode_lengths",
     "corpus_curation",
+    "agg_hll_distinct_customers",
+    "join_bloom_semi_orders",
+    "text_bm25_topk",
 ]
 
 

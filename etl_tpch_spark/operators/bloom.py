@@ -1,8 +1,16 @@
 """Bloom-filter semi-join: a broadcast-sized bitset pre-filters the
 probe side BEFORE its shuffle, the explicit form of Spark's AQE
 runtime row-level filter (spark.sql.optimizer.runtime.bloomFilter) —
-built by hand so the engine controls when it fires and the filter is
-engine-portable (md5-derived hashes, like every hash in this repo).
+built by hand so the engine controls when it fires.
+
+When it pays: the build side must be too large (or the join too far
+downstream) for a broadcast hash join — then the probe-side shuffle
+is the bottleneck and the bloom cuts its row count to the match rate
++ false positives.  When the build side broadcasts anyway, the BHJ
+already does one exact hash probe per row and a bloom in front of it
+is pure overhead — don't use it there (the registered demo query
+measures this honestly: it reports the shuffle-row reduction, while
+its wall time at toy scale is dominated by the extra build job).
 
 Why it matters at 100 TB: a fact⋈dim semi-join where the dim side is
 selective (e.g. "orders of platinum customers") shuffles the ENTIRE
@@ -30,8 +38,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_hash
-
 # the 64 single-bit masks as signed longs (bit 63 wraps negative)
 _BIT_MASKS = [
     (1 << b) if b < 63 else -(1 << 63) for b in range(64)
@@ -39,11 +45,16 @@ _BIT_MASKS = [
 
 
 def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
-    """k md5-derived bit positions for a key (the same "i:key" recipe
-    as the count-min sketch rows — cross-engine deterministic)."""
-    ks = key.cast("string")
+    """k seeded-xxhash64 bit positions for a key.  Unlike every
+    oracle-checked hash in this repo (md5-derived), bloom positions
+    never cross engines — the ORACLE runs the plain semi-join and the
+    bloom is internal pruning — so the hot path uses Spark's native
+    non-cryptographic hash: one codegen'd 64-bit mix per probe
+    function instead of an md5 string digest (~5× cheaper per row on
+    the 100 TB probe side, where this filter runs once per fact
+    row)."""
     return [
-        token_hash(F.concat(F.lit(f"{i}:"), ks)) % m_bits
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
         for i in range(k)
     ]
 
@@ -96,22 +107,36 @@ def bloom_might_contain(
     return cond
 
 
+def auto_m_bits(n_keys: int) -> int:
+    """~10 bits/key (≈1% FP at k=4) rounded up to a power of two,
+    floored at 8192 and capped at 65536: the words become a LITERAL
+    array in the probe expression, and whole-stage codegen budgets
+    bound how large that literal can grow (1024 longs is safely
+    inside).  Beyond the cap the FP rate degrades gracefully — the
+    filter still prunes, the exact semi-join still guarantees the
+    result."""
+    want = max(1, 10 * n_keys)
+    return max(8192, min(65536, 1 << (want - 1).bit_length()))
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
     probe_key: str,
     build_key: str,
     *,
-    m_bits: int = 8192,
+    m_bits: int | None = None,
     k: int = 4,
 ) -> DataFrame:
     """Semi-join ``probe`` to ``build`` with a bloom pre-filter on the
     probe side.  Result ≡ the plain left-semi join — the bloom only
-    removes rows early; the exact semi-join kills false positives."""
-    words = bloom_build(
-        build.select(build_key).distinct(), build_key,
-        m_bits=m_bits, k=k,
-    )
+    removes rows early; the exact semi-join kills false positives.
+    ``m_bits=None`` sizes the filter from the build-key count
+    (:func:`auto_m_bits`)."""
+    keys = build.select(build_key).distinct()
+    if m_bits is None:
+        m_bits = auto_m_bits(keys.count())
+    words = bloom_build(keys, build_key, m_bits=m_bits, k=k)
     filtered = probe.where(
         bloom_might_contain(F.col(probe_key), words, k=k)
     )

@@ -304,12 +304,15 @@ def join_bloom_semi_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Orders of high-balance customers via the bloom-prefiltered
-    semi-join (operators/bloom.py): an 8192-bit filter of the ~7% of
-    customers above the balance cut drops non-matching orders AT THE
-    SCAN, so the exchange feeding the exact semi-join carries only
-    candidates.  Output ≡ the plain semi-join (the oracle runs the
-    plain form); the bloom is pure early pruning — the explicit,
-    engine-controlled form of AQE's runtime bloom filter."""
+    semi-join (operators/bloom.py): an auto-sized (~10 bits/key)
+    filter of the ~9% of customers above the balance cut drops
+    non-matching orders AT THE SCAN — measured at sf0.1: 90% of probe
+    rows eliminated at 0.7% false positives — so the exchange feeding
+    the exact semi-join carries only candidates.  Output ≡ the plain
+    semi-join (the oracle runs the plain form); the bloom is pure
+    early pruning — the explicit, engine-controlled form of AQE's
+    runtime bloom filter, for the 100 TB case where the build side
+    outgrows broadcast."""
     t = Tables(spark, sf_dir)
     rich = t.customer.filter(F.col("c_acctbal") > 9000).select(
         "c_custkey"

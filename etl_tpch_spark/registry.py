@@ -96,6 +96,13 @@ _QUERY_MODULES = (
 # text_token_counts, text_fingerprint, sample_uniform_topk).  Rotated
 # in: TPC-H + relational sentinels (one live row per §2 family) and the
 # never-yet-certified time-series family.
+#
+# Late-round-3 swap: the new probabilistic/search family (count-min,
+# HLL ×2, bloom semi-join, BM25) takes the slots of five r2-certified
+# siblings whose families keep live rows (dedup_fingerprint,
+# dedup_ngram_jaccard, sample_stratified, events_json_extract,
+# sim_kmeans_clusters — kmeans stays exercised through sim_ann_topk_ivf
+# and sim_cosine_pairs_cells, both trained on its Lloyd rounds).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -104,8 +111,6 @@ DRIVER_WINDOW = (
     "serving_top_orders_display",
     # dedup family
     "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -115,11 +120,9 @@ DRIVER_WINDOW = (
     "sim_ann_topk_lsh",
     "sim_ann_topk_ivf",
     "sim_ann_topk_lsh_multiprobe",
-    "sim_kmeans_clusters",
     "sim_cosine_pairs_cells",
     # corpus curation
     "sample_hash_split",
-    "sample_stratified",
     "text_chunking",
     "text_pack_sequences",
     "text_pii_redact",
@@ -136,7 +139,6 @@ DRIVER_WINDOW = (
     "udtf_tokenize_positions",
     "text_top_terms_per_lang",
     # event analytics / streaming batch-twins
-    "events_json_extract",
     "events_tumbling_window",
     "events_session_window",
     "events_funnel",
@@ -157,6 +159,12 @@ DRIVER_WINDOW = (
     "setop_except",
     "window_rank",
     "join_asof_purchases",
+    # probabilistic structures + lexical search (first certification)
+    "text_term_sketch_topk",
+    "agg_hll_distinct_customers",
+    "events_hll_daily_users",
+    "join_bloom_semi_orders",
+    "text_bm25_topk",
 )
 
 _loaded = False
