@@ -523,3 +523,81 @@ def dedup_embedding_clusters_bruteforce(
 
 
 __all__ = ["word_shingles"]
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+                   round(least(len({_SQL_TOKS}) / 50.0, 1.0)
+                         * (len(list_distinct({_SQL_TOKS})) * 1.0
+                            / len({_SQL_TOKS})), 6) AS quality
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN {_SQL_DOC_HASH}
+                                  < quality * 4294967296.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN {_SQL_DOC_HASH}
+                                  < quality * 4294967296.0
+                             THEN ws_tokens ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CAST(sum(CASE WHEN {_SQL_DOC_HASH}
+                                  < quality * 4294967296.0
+                             THEN CAST(quality AS DECIMAL(8,6))
+                             ELSE CAST(0 AS DECIMAL(8,6)) END)
+                    AS DOUBLE) AS kept_quality_mass
+        FROM scored
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling — keep each document with
+    probability equal to its quality score (capped-length × vocabulary
+    diversity, the text_quality_score formula): the standard soft
+    filter that downsamples low-quality text instead of hard-cutting
+    at a threshold, preserving distributional coverage.
+
+    Membership is doc-hash thresholding against the per-doc rate
+    (hash32(doc_id) < quality·2³²) — row-local, shuffle-free to apply,
+    append-stable (a new crawl batch samples itself without touching
+    old decisions), and bit-identical across engines because the
+    quality rate is exact integer ratios rounded once.  Reports the
+    per-source retention audit; quality mass sums in DECIMAL(8,6) so
+    the total is order-independent (functions/agg.py discipline)."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = F.round(
+        F.least(n_words / 50.0, F.lit(1.0)) * (n_uniq * 1.0 / n_words),
+        6,
+    )
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        quality.alias("quality"),
+    )
+    kept = _doc_hash() < F.col("quality") * F.lit(4294967296.0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.col("ws_tokens")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+            F.sum(
+                F.when(
+                    kept, F.col("quality").cast("decimal(8,6)")
+                ).otherwise(F.lit(0).cast("decimal(8,6)"))
+            )
+            .cast("double")
+            .alias("kept_quality_mass"),
+        )
+        .orderBy("source")
+    )

@@ -429,3 +429,77 @@ def cosine_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return cosine_pairs_threshold_cells(t.embeddings, PAIR_THRESHOLD)
+
+
+def _cos_dims_sql(a: str, b: str, d: int) -> str:
+    """DuckDB cosine fold over the FIRST ``d`` dims (prefix slice)."""
+
+    def fold(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {d + 1}), "
+            f"j -> CAST({x}[j] AS DOUBLE) * CAST({y}[j] AS DOUBLE))), "
+            f"(a, b) -> a + b)"
+        )
+
+    return (
+        f"({fold(a, b)} / sqrt({fold(a, a)} * {fold(b, b)}))"
+    )
+
+
+_MRL_DIMS = 8
+_MRL_CANDIDATES = 50
+
+
+@query(
+    "sim_ann_topk_matryoshka",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({_IDS})
+        ),
+        coarse AS (
+            SELECT q.query_id, c.vec_id, q.q_emb, c.embedding,
+                   {_cos_dims_sql("q.q_emb", "c.embedding", _MRL_DIMS)}
+                     AS ccos
+            FROM q CROSS JOIN embeddings c
+            WHERE q.query_id <> c.vec_id
+        ),
+        cand AS (
+            SELECT query_id, vec_id, q_emb, embedding
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY ccos DESC, vec_id
+                ) AS crn FROM coarse
+            ) WHERE crn <= {_MRL_CANDIDATES}
+        ),
+        exact AS (
+            SELECT query_id, vec_id,
+                   round({_cos_dims_sql("q_emb", "embedding", 64)}, 6)
+                     AS cosine
+            FROM cand
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk FROM exact
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka cascade (similarity/ann.py
+    cosine_topk_matryoshka): an 8-dim prefix-cosine pass ranks the
+    whole corpus cheaply, the full 64-dim exact fold runs only on the
+    top-50 candidates per query.  Recall vs bruteforce is pinned in
+    tests/test_recall_gates.py; the cascade itself is deterministic
+    fold arithmetic, hash-checked against the identical two-stage
+    DuckDB plan."""
+    from ..similarity.ann import cosine_topk_matryoshka
+
+    t = Tables(spark, sf_dir)
+    return cosine_topk_matryoshka(
+        t.embeddings, QUERY_IDS, TOP_K,
+        coarse_dims=_MRL_DIMS, n_candidates=_MRL_CANDIDATES,
+    )

@@ -539,3 +539,71 @@ def quantized_cosine_pairs(
         .filter(F.col("qcosine") >= threshold)
         .select("vec_a", "vec_b", "qcosine")
     )
+
+
+def cosine_topk_matryoshka(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    coarse_dims: int = 8,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN: rank ALL vectors by cosine over
+    only the first ``coarse_dims`` dimensions (an 8× cheaper pass when
+    embeddings are trained front-loaded, MRL-style), keep the top
+    ``n_candidates`` per query, then score ONLY those candidates with
+    the full-dimension exact cosine and return the top ``k``.
+
+    The cascade is the point: the full-width fold — the expensive part
+    of every similarity scan — runs on candidates only, and the
+    coarse pass reads a prefix slice of the same stored vector (no
+    second index, unlike IVF/LSH; composes WITH them at 100 TB — the
+    coarse pass rides any candidate generator).  Both stages are
+    deterministic fold arithmetic, so the whole cascade is
+    oracle-checkable bit-for-bit."""
+    corpus = embeddings.select(
+        "vec_id", _as_double_array(F.col("embedding")).alias("c_emb")
+    ).withColumn("c_coarse", F.slice("c_emb", 1, coarse_dims))
+    corpus = corpus.withColumn(
+        "c_norm", dot_fold(F.col("c_emb"), F.col("c_emb"))
+    ).withColumn(
+        "cc_norm", dot_fold(F.col("c_coarse"), F.col("c_coarse"))
+    )
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double_array(F.col("embedding")).alias("q_emb"),
+        )
+        .withColumn("q_coarse", F.slice("q_emb", 1, coarse_dims))
+        .withColumn("q_norm", dot_fold(F.col("q_emb"), F.col("q_emb")))
+        .withColumn(
+            "qc_norm", dot_fold(F.col("q_coarse"), F.col("q_coarse"))
+        )
+    )
+    j = F.broadcast(q).crossJoin(corpus).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    coarse = j.withColumn(
+        "ccos",
+        dot_fold(F.col("q_coarse"), F.col("c_coarse"))
+        / F.sqrt(F.col("qc_norm") * F.col("cc_norm")),
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("vec_id")
+    )
+    cand = coarse.withColumn("crn", F.row_number().over(wc)).filter(
+        F.col("crn") <= n_candidates
+    )
+    exact = cand.withColumn(
+        "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )

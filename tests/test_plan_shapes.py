@@ -101,6 +101,7 @@ NLJ_ALLOWED = {
     "graph_pagerank",  # one-row node-count broadcast per round
     "agg_hll_distinct_customers",  # 1-row sketch × 1-row audit join
     "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
+    "sim_ann_topk_matryoshka",  # |Q|x n coarse prefix pass, like bruteforce
 }
 
 

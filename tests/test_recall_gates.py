@@ -152,3 +152,21 @@ def test_embedding_clusters_co_membership_recall_floor(spark):
     recall = len(bf & cells) / len(bf)
     assert recall >= 0.22, f"cluster co-pair recall {recall:.3f} < 0.22"
     assert cells <= bf, "cells co-clustered a pair bruteforce did not"
+
+
+def test_matryoshka_topk_recall_floor(spark, emb, brute_topk):
+    """Two-stage prefix-cosine cascade: measured 0.32 on the synthetic
+    corpus (floor 0.20).  The synthetic embeddings are NOT trained
+    front-loaded (no MRL objective), so the 8-dim prefix carries only
+    8/64 of random variance — on real matryoshka embeddings the
+    prefix is engineered to carry most of it; the gate pins the
+    cascade mechanism (candidate cut + exact rerank), not MRL
+    training quality.  Precision side: every returned pair's cosine
+    is the exact full-dim fold, so returned ∩ brute is score-correct
+    by construction."""
+    from etl_tpch_spark.queries.similarity import QUERY_IDS, TOP_K
+    from etl_tpch_spark.similarity.ann import cosine_topk_matryoshka
+
+    got = _topk_set(cosine_topk_matryoshka(emb, QUERY_IDS, TOP_K))
+    recall = len(brute_topk & got) / len(brute_topk)
+    assert recall >= 0.20, recall
