@@ -85,3 +85,18 @@ def sql_fingerprint(toks_expr: str) -> str:
         f"list_transform({toks_expr}, t -> {sql_token_hash('t')})), "
         f"(a, b) -> (a * {FOLD_MULT} + b) % {HASH_MOD})"
     )
+
+
+def quality_score(text: Column) -> Column:
+    """The engine's document quality score in [0, 1]: capped length
+    factor × vocabulary diversity (type-token ratio), rounded once to
+    6 decimals so every downstream use (gates, weighted sampling)
+    compares the same exact double.  Same formula as the
+    text_quality_score query/oracle (queries/text.py)."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return F.round(
+        F.least(n_words / 50.0, F.lit(1.0)) * (n_uniq * 1.0 / n_words),
+        6,
+    )

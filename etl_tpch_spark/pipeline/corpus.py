@@ -1,0 +1,134 @@
+"""The LLM-corpus daily tick — one call chaining the engine's
+curation stages over a new crawl batch, the training-data counterpart
+of ``run_cycle``'s TPC-H medallion tick (pipeline/workflow.py).
+
+Stage graph per tick (every stage idempotent on ``batch_id``):
+
+1. **dedup** — one MinHashIndex tick (dedup/index.py): sign ONLY the
+   new batch, band-join against the stored signature index, drop each
+   new doc that near-duplicates an earlier-id doc (first-seen wins —
+   deterministic, order-independent across ticks because ids are
+   global).  O(new) per tick.
+2. **quality gate** — drop docs under the quality floor
+   (functions/text.py quality_score); row-local, no shuffle.
+3. **split assignment** — leakage-safe 80/10/10 train/validation/test
+   by id-hash bucket (the sample_hash_split rule); membership is a
+   pure row function, so appended batches never move old docs.
+4. **corpus append** — survivors land in a TxTable with the tick's
+   batch_id: exactly-once (a replayed crawl batch appends nothing),
+   versioned (every tick's corpus is time-travelable), stats-bearing
+   (read_where prunes by doc_id/quality ranges for free).
+5. optional **OPTIMIZE** of corpus + index (maintenance cadence) and
+   **export** of the train split as deterministic shuffle-shards
+   (pipeline/export.py).
+
+The reference's pipeline has no corpus counterpart (it ships TPC-H
+orders through preprocess/reduce, reference workflow.py:12-39); this
+module is the north-star composition — the reason the dedup index,
+quality functions, split sampling, txlog and export machinery exist
+as separately-tested parts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.index import MinHashIndex
+from ..functions.text import quality_score
+from .export import export_shards
+from .txlog import TxTable
+
+SPLIT_BUCKETS = (80, 90)  # <80 train, <90 validation, else test
+
+
+def _split_col() -> F.Column:
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < SPLIT_BUCKETS[0], "train")
+        .when(bucket < SPLIT_BUCKETS[1], "validation")
+        .otherwise("test")
+    )
+
+
+def corpus_cycle(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    root_dir: str,
+    *,
+    batch_id: str,
+    threshold: float = 0.5,
+    quality_floor: float = 0.2,
+    compact: bool = False,
+    export: bool = False,
+    n_shards: int = 8,
+) -> dict[str, Any]:
+    """Run one corpus tick over ``new_docs`` (doc_id, text, lang,
+    source, ... — doc_id globally unique and monotone with arrival).
+    Returns a stage → outcome summary.  Replaying the same batch_id
+    recomputes the summary but mutates nothing."""
+    index = MinHashIndex(os.path.join(root_dir, "dedup_index"))
+    corpus = TxTable(os.path.join(root_dir, "corpus"))
+    out: dict[str, Any] = {"batch_id": batch_id}
+
+    n_new = new_docs.count()
+    pairs = index.tick(spark, new_docs, threshold, batch_id=batch_id)
+    # first-seen-wins: a new doc is dropped iff it pairs with any
+    # LOWER id (stored docs all have lower ids than a later crawl's;
+    # within-batch dups resolve the same way).  pairs are (doc_a <
+    # doc_b), so the victims are exactly the doc_b side.
+    victims = pairs.select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    deduped = new_docs.join(victims, "doc_id", "left_anti")
+
+    scored = deduped.withColumn("quality", quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality") >= quality_floor)
+
+    final = kept.withColumn("split", _split_col())
+    version = corpus.append(final, batch_id=batch_id)
+
+    n_dedup = deduped.count()
+    n_kept = final.count()
+    out.update(
+        n_new=n_new,
+        n_dup_dropped=n_new - n_dedup,
+        n_quality_dropped=n_dedup - n_kept,
+        n_appended=n_kept,
+        corpus_version=version,
+        splits={
+            r["split"]: r["count"]
+            for r in final.groupBy("split").count().collect()
+        },
+    )
+
+    if compact:
+        out["corpus_files"] = len(corpus.snapshot_files())
+        corpus.compact(spark, target_files=8, cluster_by=("doc_id",))
+        index.compact(spark)
+    if export:
+        train = corpus.read(spark).filter(F.col("split") == "train")
+        out["export"] = export_shards(
+            train,
+            os.path.join(root_dir, "export"),
+            ["doc_id"],
+            n_shards,
+        )
+    return out
+
+
+def corpus_snapshot(
+    spark: SparkSession, root_dir: str, version: int | None = None
+) -> DataFrame:
+    """The curated corpus as of ``version`` (default latest)."""
+    return TxTable(os.path.join(root_dir, "corpus")).read(spark, version)
