@@ -123,6 +123,34 @@ def _footer_stats(path: str) -> dict:
     return {"rows": md.num_rows, "cols": cols}
 
 
+def _with_zorder_key(
+    df: DataFrame, cols: tuple[str, str], bits: int
+) -> DataFrame:
+    """Append a ``_zkey`` column interleaving quantile-bucket ids of
+    the two columns (pipeline/layout.py zorder_key_2d).  Bucketing by
+    approx-quantile cut points keeps the whole computation
+    distributed — a rank/ntile window would funnel the table through
+    one reducer, which an OPTIMIZE of a 100 TB table cannot afford;
+    layout quality only needs roughly-equal buckets."""
+    from .layout import zorder_key_2d
+
+    a, b = cols
+    probs = [i / (1 << bits) for i in range(1, (1 << bits))]
+    cuts_a, cuts_b = (
+        df.stat.approxQuantile(a, probs, 0.01),
+        df.stat.approxQuantile(b, probs, 0.01),
+    )
+
+    def bucket(col: str, cuts: list[float]) -> Column:
+        arr = F.array(*[F.lit(c) for c in cuts])
+        return F.size(F.filter(arr, lambda c: c <= F.col(col)))
+
+    return df.withColumn(
+        "_zkey",
+        zorder_key_2d(bucket(a, cuts_a), bucket(b, cuts_b), bits=bits),
+    )
+
+
 class TxTable:
     """A parquet table with a versioned commit log under ``path``."""
 
@@ -392,16 +420,30 @@ class TxTable:
         target_files: int = 1,
         *,
         cluster_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, str] | None = None,
+        zorder_bits: int = 4,
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         files and commit the swap (reference preprocess.py:70-73).
 
-        ``cluster_by`` is the ZORDER-style layout knob (Delta's
-        ``OPTIMIZE ... ZORDER BY``): the rewrite range-partitions and
-        sorts on the given columns, so each output file owns a disjoint
-        key range and any later filter on those columns prunes to the
-        files whose range matches (the same win pipeline/layout.py
-        measures — fewer files touched per selective scan).
+        ``cluster_by`` is the 1-D layout knob: the rewrite
+        range-partitions and sorts on the given columns, so each output
+        file owns a disjoint key range and any later filter on those
+        columns prunes to the files whose range matches (the same win
+        pipeline/layout.py measures — fewer files touched per
+        selective scan).
+
+        ``zorder_by`` is the true 2-D form (Delta's ``OPTIMIZE ...
+        ZORDER BY (a, b)``): each column is bucketed into 2^bits
+        quantile cells (cut points from approx quantiles — layout
+        needs no exactness, and the computation stays distributed; no
+        single-reducer ntile window), the two bucket ids interleave
+        into a Z-key (pipeline/layout.py zorder_key_2d) and the
+        rewrite clusters on THAT — every file then covers a compact
+        rectangle-ish region of (a, b) space, so the recorded min/max
+        stats prune selective reads on EITHER column, which no 1-D
+        sort can give both of.  The Z-key is dropped before write;
+        only the layout changes.
 
         Op-aware conflict reconcile (the rules Delta's OPTIMIZE
         applies): rival APPENDS landing between the compaction read and
@@ -421,11 +463,18 @@ class TxTable:
         if start_v is None:
             return 0
         base = self.snapshot_files(start_v)
-        if len(base) <= target_files and not cluster_by:
+        if len(base) <= target_files and not cluster_by and not zorder_by:
             return start_v
         compacted_away = set(base)
         df = self.read(spark, version=start_v)
-        if cluster_by:
+        if zorder_by:
+            df = _with_zorder_key(df, zorder_by, zorder_bits)
+            df = (
+                df.repartitionByRange(target_files, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif cluster_by:
             df = df.repartitionByRange(
                 target_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)

@@ -205,3 +205,34 @@ def test_old_checkpoints_garbage_collected(spark, orders, tmp_path):
         f for f in os.listdir(t.log_dir) if f.startswith("ckpt-v")
     ]
     assert len(ckpts) == 1  # only the newest checkpoint is kept
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, orders, tmp_path):
+    """OPTIMIZE ZORDER BY (custkey, totalprice): after the 2-D
+    rewrite, selective predicates on EITHER column prune files —
+    the property no 1-D sort gives both of (a custkey-clustered
+    layout leaves every file spanning the full totalprice range)."""
+    t1 = TxTable(str(tmp_path / "zorder"))
+    t1.append(orders)
+    t1.compact(
+        spark, target_files=16,
+        zorder_by=("o_orderkey", "o_totalprice"),
+    )
+    t2 = TxTable(str(tmp_path / "oned"))
+    t2.append(orders)
+    t2.compact(spark, target_files=16, cluster_by=("o_orderkey",))
+
+    key_probe = orders.agg(F.min("o_orderkey")).first()[0]
+    price_cut = orders.approxQuantile("o_totalprice", [0.1], 0.01)[0]
+    n = 16
+    z_key = len(t1.pruned_files([("o_orderkey", "=", key_probe)]))
+    z_price = len(t1.pruned_files([("o_totalprice", "<", price_cut)]))
+    d_key = len(t2.pruned_files([("o_orderkey", "=", key_probe)]))
+    d_price = len(t2.pruned_files([("o_totalprice", "<", price_cut)]))
+    assert z_key < n and z_price < n  # BOTH dims prune under Z-order
+    assert d_key == 1  # 1-D layout: its own column prunes perfectly...
+    assert d_price == n  # ...the other dimension not at all
+    # results stay correct through the pruned read
+    got = t1.read_where(spark, [("o_totalprice", "<", price_cut)])
+    want = t1.read(spark).where(F.col("o_totalprice") < price_cut)
+    assert got.count() == want.count() > 0
