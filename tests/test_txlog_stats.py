@@ -236,3 +236,31 @@ def test_zorder_compact_prunes_both_dimensions(spark, orders, tmp_path):
     got = t1.read_where(spark, [("o_totalprice", "<", price_cut)])
     want = t1.read(spark).where(F.col("o_totalprice") < price_cut)
     assert got.count() == want.count() > 0
+
+
+def test_threaded_storm_with_checkpoints(spark, orders, tmp_path):
+    """The append storm with aggressive checkpointing (interval=2):
+    racing workers checkpoint concurrently — same-version checkpoint
+    claims collapse via exclusive create, the pointer is
+    last-writer-wins over valid checkpoints, and NO batch id is ever
+    lost to a stale checkpoint (ids are only ever added)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxTable(str(tmp_path / "t"), checkpoint_interval=2)
+    batch = orders.limit(5).coalesce(1)
+
+    def worker(k: int) -> None:
+        handle = TxTable(t.path, checkpoint_interval=2)
+        for j in range(3):
+            handle.append(batch, batch_id=f"w{k}-{j}")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(worker, range(4)))
+
+    assert t.latest_version() == 12
+    want = {f"w{k}-{j}" for k in range(4) for j in range(3)}
+    assert t.applied_batch_ids() == want
+    # replay from a fresh handle (cold caches, checkpoint-backed)
+    fresh = TxTable(t.path, checkpoint_interval=2)
+    fresh.append(batch, batch_id="w0-0")
+    assert fresh.latest_version() == 12
