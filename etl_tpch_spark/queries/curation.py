@@ -601,3 +601,69 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_report_card",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CASE WHEN {_SQL_DOC_HASH} % 100 < 80 THEN 'train'
+                        WHEN {_SQL_DOC_HASH} % 100 < 90 THEN 'validation'
+                        ELSE 'test' END AS split,
+                   CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+                   round(least(len({_SQL_TOKS}) / 50.0, 1.0)
+                         * (len(list_distinct({_SQL_TOKS})) * 1.0
+                            / len({_SQL_TOKS})), 6) AS quality
+            FROM documents
+        )
+        SELECT split,
+               count(*) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN quality >= 0.2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality_ok,
+               CAST(sum(CAST(quality AS DECIMAL(8,6))) AS DOUBLE)
+                 AS quality_mass,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM scored
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus card: per train/validation/test split (leakage-safe
+    hash buckets), document and token counts, quality-gate pass
+    counts, exact-decimal quality mass and language coverage — the
+    one-page summary a dataset release ships (and the number a daily
+    tick appends to its stats table).  One pass over documents, one
+    3-group aggregate; quality mass sums in DECIMAL(8,6) so the
+    report is bit-stable under any partitioning."""
+    from ..functions.text import quality_score
+
+    t = Tables(spark, sf_dir)
+    bucket = _doc_hash() % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    scored = t.documents.select(
+        split.alias("split"),
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.sum(
+                (F.col("quality") >= 0.2).cast("long")
+            ).alias("n_quality_ok"),
+            F.sum(F.col("quality").cast("decimal(8,6)"))
+            .cast("double")
+            .alias("quality_mass"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("split")
+    )

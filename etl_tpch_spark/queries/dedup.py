@@ -411,3 +411,55 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.sum("cluster_size") - F.count(F.lit(1))).alias("removable_docs"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+        WITH pairs AS ({_MINHASH_PAIRS_SQL})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs,
+               CAST(sum(CAST(jaccard AS DECIMAL(8,6))) AS DOUBLE)
+                 AS jaccard_mass
+        FROM pairs
+        JOIN documents da ON pairs.doc_a = da.doc_id
+        JOIN documents db ON pairs.doc_b = db.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source contamination matrix — which source pairs share
+    near-duplicate content, the report that decides licensing/mixing
+    questions ("how much of src3 is re-hosted src1?") before any doc
+    is dropped.  Rides the LSH pair operator (same 100 TB band-join
+    path), then two broadcast-sized dim joins onto sources and a
+    vocab-sized matrix aggregate; jaccard mass sums in DECIMAL(8,6)
+    so the per-cell total is order-independent."""
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t.documents, JACCARD_THRESHOLD)
+    src = t.documents.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.col("jaccard").cast("decimal(8,6)").alias("jdec"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jdec").cast("double").alias("jaccard_mass"),
+        )
+        .orderBy("source_a", "source_b")
+    )
