@@ -19,6 +19,11 @@ reduce.py:43-54 snapshot reads) on plain parquet:
   commit; an append whose batch_id already appears in the log is a
   no-op (the streaming foreachBatch replay contract, like
   pipeline/matview.py).
+- **MERGE (keyed upsert)**: matching keys replace, new keys insert,
+  committed copy-on-write and pinned to the snapshot it was computed
+  from — any rival commit aborts the merge (Delta's serializable
+  ConcurrentModificationException contract), with exactly-once CDC
+  batch replay.
 - **compaction (OPTIMIZE)**: rewrite current files into fewer, commit
   the swapped manifest; old versions still reference the old files.
 - **vacuum**: delete data files referenced ONLY by versions older than
@@ -65,6 +70,12 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 _MAX_COMMIT_RETRIES = 20
+
+
+class _MergeConflict(Exception):
+    """A rival commit landed between a merge's snapshot read and its
+    commit — the copy-on-write result is stale (internal control flow;
+    merge() returns None to the caller)."""
 
 # predicate spec for read_where: (col, op, value) conjunctions
 _PRED_OPS = ("=", "<", "<=", ">", ">=")
@@ -413,6 +424,66 @@ class TxTable:
         return self._commit_with_retry(
             lambda base_v, base_files: {"op": "overwrite", "files": new_files}
         )
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        *,
+        batch_id: str | None = None,
+    ) -> int | None:
+        """MERGE (keyed upsert): rows of ``updates`` whose ``key``
+        matches a current row REPLACE it; the rest insert — Delta's
+        ``DeltaTable.merge`` whenMatched-update/whenNotMatched-insert
+        on the commit log, as copy-on-write:
+
+            merged = target ⟕(anti) updates ∪ updates
+
+        Serializability: the merged rows are a function of the
+        snapshot they were computed FROM, so the commit is pinned to
+        that version — ANY rival commit landing in between (even a
+        plain append: its rows would be silently erased by our
+        overwrite) ABORTS the merge, returning None; the caller
+        re-runs against the new state.  This is exactly Delta's
+        ConcurrentModificationException contract, while ``append``
+        keeps composing lock-free.  Completes the op set:
+        append / overwrite / MERGE / OPTIMIZE / VACUUM.
+
+        ``batch_id`` gives exactly-once merge replay (a re-delivered
+        CDC batch mutates nothing).  Prior versions stay readable
+        (time travel shows the pre-merge table)."""
+        if batch_id is not None and batch_id in self.applied_batch_ids():
+            return self.latest_version() or 0
+        start_v = self.latest_version()
+        if start_v is None:
+            return self.append(updates, batch_id=batch_id)
+        target = self.read(spark, version=start_v)
+        merged = target.join(
+            updates.select(key).distinct(), key, "left_anti"
+        ).unionByName(updates)
+        new_files = self._write_data(merged)
+
+        def build(base_v: int, base_files: list[str]):
+            if (
+                batch_id is not None
+                and batch_id in self.applied_batch_ids()
+            ):
+                return None
+            if base_v != start_v:
+                # table moved under us → the merged rows are stale;
+                # abort (orphaned files swept by vacuum)
+                raise _MergeConflict(start_v, base_v)
+            return {
+                "op": "merge",
+                "files": new_files,
+                "batch_id": batch_id,
+            }
+
+        try:
+            return self._commit_with_retry(build)
+        except _MergeConflict:
+            return None
 
     def compact(
         self,
