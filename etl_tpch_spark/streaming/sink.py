@@ -66,3 +66,52 @@ def stream_upsert_sink(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_merge_txtable(
+    updates_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    key: str,
+    order_col: str,
+    max_conflict_retries: int = 5,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """The transaction-log variant of the CDC applier: each
+    micro-batch collapses to its latest row per key (``order_col``)
+    and MERGEs into a TxTable (pipeline/txlog.py) keyed by the epoch
+    batch id — TRUE exactly-once (a replayed epoch mutates nothing,
+    not merely "re-merges to an identical result"), with every
+    pre-merge version time-travelable.  A merge abort (rival writer
+    on the same table) retries against the new state — the per-key
+    latest-wins result is order-insensitive across appliers, so the
+    retry is always safe."""
+    import os
+
+    from ..pipeline.txlog import TxTable
+    from ..pipeline.upsert import latest_per_key
+
+    t = TxTable(table_path)
+    ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = latest_per_key(batch_df, key, order_col)
+        bid = f"{ckpt_name}-{epoch_id}"
+        for _ in range(max_conflict_retries):
+            if t.merge(batch_df.sparkSession, latest, key,
+                       batch_id=bid) is not None:
+                return
+        raise RuntimeError(
+            f"merge conflict persisted {max_conflict_retries} retries"
+        )
+
+    q = (
+        updates_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
