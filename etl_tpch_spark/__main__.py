@@ -111,6 +111,21 @@ def main(argv: list[str] | None = None) -> int:
                      help="query names (default: every oracle-backed query)")
     ver.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    ctk = sub.add_parser(
+        "corpus-tick",
+        help="run one LLM-corpus curation tick (dedup-index → quality "
+        "gate → splits → exactly-once corpus append; pipeline/corpus.py)",
+    )
+    ctk.add_argument("--root", required=True)
+    ctk.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ctk.add_argument("--batch-id", required=True,
+                     help="tick identity; replaying an id mutates nothing")
+    ctk.add_argument("--doc-id-min", type=int, default=None)
+    ctk.add_argument("--doc-id-max", type=int, default=None,
+                     help="optional doc_id window simulating one crawl day")
+    ctk.add_argument("--compact", action="store_true")
+    ctk.add_argument("--export", action="store_true")
+
     dash = sub.add_parser(
         "dashboard",
         help="render the gold-zone results as formatted tables "
@@ -218,6 +233,30 @@ def main(argv: list[str] | None = None) -> int:
             format_for_display(spark.read.parquet(seg_path)).show(
                 args.limit, truncate=False
             )
+        return 0
+
+    if args.cmd == "corpus-tick":
+        from pyspark.sql import functions as F
+
+        from .catalog import load_table
+        from .pipeline.corpus import corpus_cycle
+
+        spark = get_spark("etl_tpch_spark-cli")
+        docs = load_table(spark, args.sf_dir, "documents")
+        if args.doc_id_min is not None:
+            docs = docs.filter(F.col("doc_id") >= args.doc_id_min)
+        if args.doc_id_max is not None:
+            docs = docs.filter(F.col("doc_id") < args.doc_id_max)
+        out = corpus_cycle(
+            spark,
+            docs,
+            args.root,
+            batch_id=args.batch_id,
+            compact=args.compact,
+            export=args.export,
+        )
+        for stage, result in out.items():
+            print(f"{stage}: {result}")
         return 0
 
     if args.cmd == "cycle":
