@@ -317,7 +317,11 @@ def join_bloom_semi_orders(
     rich = t.customer.filter(F.col("c_acctbal") > 9000).select(
         "c_custkey"
     )
-    hits = bloom_semi_join(t.orders, rich, "o_custkey", "c_custkey")
+    # m_bits pinned (≥10 bits/key through sf1) instead of auto-sized:
+    # skips the build-side count job — one less fixed-cost stage
+    hits = bloom_semi_join(
+        t.orders, rich, "o_custkey", "c_custkey", m_bits=16384
+    )
     return (
         hits.groupBy("o_orderpriority")
         .agg(
