@@ -141,7 +141,7 @@ def bloom_semi_join(
         bloom_might_contain(F.col(probe_key), words, k=k)
     )
     return filtered.join(
-        F.broadcast(build.select(build_key).distinct()),
+        F.broadcast(keys),
         filtered[probe_key] == F.col(build_key),
         "left_semi",
     )

@@ -38,27 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dedup.index import MinHashIndex
+from ..functions.splits import hash_split
 from ..functions.text import quality_score
 from .export import export_shards
 from .txlog import TxTable
-
-SPLIT_BUCKETS = (80, 90)  # <80 train, <90 validation, else test
-
-
-def _split_col() -> F.Column:
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    return (
-        F.when(bucket < SPLIT_BUCKETS[0], "train")
-        .when(bucket < SPLIT_BUCKETS[1], "validation")
-        .otherwise("test")
-    )
 
 
 def corpus_cycle(
@@ -90,27 +73,35 @@ def corpus_cycle(
     victims = pairs.select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
-    deduped = new_docs.join(victims, "doc_id", "left_anti")
-
-    scored = deduped.withColumn("quality", quality_score(F.col("text")))
-    kept = scored.filter(F.col("quality") >= quality_floor)
-
-    final = kept.withColumn("split", _split_col())
-    version = corpus.append(final, batch_id=batch_id)
-
-    n_dedup = deduped.count()
-    n_kept = final.count()
-    out.update(
-        n_new=n_new,
-        n_dup_dropped=n_new - n_dedup,
-        n_quality_dropped=n_dedup - n_kept,
-        n_appended=n_kept,
-        corpus_version=version,
-        splits={
+    # the dedup anti-join + quality scoring feed the append AND three
+    # summary aggregates — persist for the tick's duration or the LSH
+    # verify lineage re-executes once per consumer
+    scored = (
+        new_docs.join(victims, "doc_id", "left_anti")
+        .withColumn("quality", quality_score(F.col("text")))
+        .persist()
+    )
+    try:
+        n_dedup = scored.count()  # materializes the cache
+        final = scored.filter(
+            F.col("quality") >= quality_floor
+        ).withColumn("split", hash_split())
+        version = corpus.append(final, batch_id=batch_id)
+        split_counts = {
             r["split"]: r["count"]
             for r in final.groupBy("split").count().collect()
-        },
-    )
+        }
+        n_kept = sum(split_counts.values())
+        out.update(
+            n_new=n_new,
+            n_dup_dropped=n_new - n_dedup,
+            n_quality_dropped=n_dedup - n_kept,
+            n_appended=n_kept,
+            corpus_version=version,
+            splits=split_counts,
+        )
+    finally:
+        scored.unpersist()
 
     if compact:
         out["corpus_files"] = len(corpus.snapshot_files())

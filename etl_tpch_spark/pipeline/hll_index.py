@@ -106,9 +106,24 @@ class HllIndex:
             ),
         ).orderBy("day")
 
-    def fold(self, spark: SparkSession) -> int:
+    def fold(self, spark: SparkSession) -> int | None:
         """Sketch-aware OPTIMIZE: overwrite accumulated tick rows with
         their merge, one row per (day, register).  Estimates are
         unchanged (max is associative); the table size becomes
-        days×64 regardless of how many ticks ever ran."""
-        return self.table.overwrite(self.registers(spark))
+        days×64 regardless of how many ticks ever ran.
+
+        The overwrite is PINNED to the version the merge was read
+        from: a rival tick landing in between would otherwise be
+        baked out of the replacement while its batch_id stays in the
+        log — a lost update that exactly-once replay could never
+        repair.  On conflict fold returns None (skip — folding is
+        optional hygiene; the next maintenance pass retries)."""
+        start_v = self.table.latest_version()
+        if start_v is None:
+            return None
+        merged = (
+            self.table.read(spark, version=start_v)
+            .groupBy("day", "reg")
+            .agg(F.max("m_rho").alias("m_rho"))
+        )
+        return self.table.overwrite(merged, expect_version=start_v)

@@ -85,13 +85,18 @@ def _enc(v):
     """Normalize a stats/predicate value into its JSON-comparable form.
     Dates/timestamps become ISO strings (lexicographic order == time
     order, so range pruning stays sound); tz-aware timestamps are
-    reduced to naive UTC so footer stats and user predicates agree."""
+    reduced to naive UTC so footer stats and user predicates agree.
+    Dates encode PADDED to midnight ('...T00:00:00') so a date-valued
+    predicate compares correctly against a timestamp column's stats
+    (Spark coerces date → midnight in the real filter; an unpadded
+    '1995-06-17' sorts BELOW '1995-06-17T00:00:00' and would prune a
+    file whose rows the filter matches)."""
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        return v.isoformat() + "T00:00:00"
     if isinstance(v, (int, float, str, bool)):
         return v
     return None  # unsupported type → no stats / no pruning
@@ -266,12 +271,17 @@ class TxTable:
             json.dump({"version": v}, f)
         os.replace(ptr_tmp, self._last_ckpt_pointer)
         os.remove(tmp)
-        # keep only the newest checkpoint file
+        # keep only the newest checkpoint file; a concurrent
+        # checkpointer may sweep the same stale file first — losing
+        # that race is fine (the file is gone either way)
         for f in os.listdir(self.log_dir):
             if f.startswith("ckpt-v") and f != f"ckpt-v{v:010d}.json":
                 old = int(f[6:16])
                 if old < v:
-                    os.remove(os.path.join(self.log_dir, f))
+                    try:
+                        os.remove(os.path.join(self.log_dir, f))
+                    except FileNotFoundError:
+                        pass
         return v
 
     def _try_commit_at(self, v: int, entry: dict) -> bool:
@@ -354,6 +364,12 @@ class TxTable:
                 }
             if self._try_commit_at(base_v + 1, entry):
                 v = base_v + 1
+                # committed stats now live in the entry (and carry
+                # forward); anything else staged belongs to abandoned
+                # attempts whose files are orphans — drop both, or a
+                # long-lived handle (a streaming CDC applier) grows a
+                # stats dict per epoch forever
+                self._staged_stats.clear()
                 if v % self.checkpoint_interval == 0:
                     self.checkpoint()
                 return v
@@ -418,12 +434,29 @@ class TxTable:
 
         return self._commit_with_retry(build)
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the table contents; prior versions remain readable."""
+    def overwrite(
+        self, df: DataFrame, *, expect_version: int | None = None
+    ) -> int | None:
+        """Replace the table contents; prior versions remain readable.
+
+        ``expect_version`` makes the overwrite CONDITIONAL: commit only
+        if the table is still at that version, else return None (the
+        compare-and-swap a derived rewrite needs — e.g. a sketch
+        index's fold computes its replacement FROM version N, and
+        blindly overwriting after a rival tick landed at N+1 would
+        erase the rival's rows while its batch_id stays recorded,
+        permanently losing that batch to exactly-once replay)."""
         new_files = self._write_data(df)
-        return self._commit_with_retry(
-            lambda base_v, base_files: {"op": "overwrite", "files": new_files}
-        )
+
+        def build(base_v: int, base_files: list[str]):
+            if expect_version is not None and base_v != expect_version:
+                raise _MergeConflict(expect_version, base_v)
+            return {"op": "overwrite", "files": new_files}
+
+        try:
+            return self._commit_with_retry(build)
+        except _MergeConflict:
+            return None
 
     def merge(
         self,
@@ -455,6 +488,21 @@ class TxTable:
         (time travel shows the pre-merge table)."""
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return self.latest_version() or 0
+        dup = (
+            updates.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .take(1)
+        )
+        if dup:
+            # Delta's multiple-source-matches error: two update rows
+            # for one key would BOTH land, corrupting the keyed table
+            # silently.  CDC callers collapse first (latest_per_key).
+            raise ValueError(
+                f"merge updates contain duplicate {key!r} values "
+                f"(e.g. {dup[0][0]!r}); collapse with latest_per_key "
+                "before merging"
+            )
         start_v = self.latest_version()
         if start_v is None:
             return self.append(updates, batch_id=batch_id)
@@ -719,12 +767,15 @@ class TxTable:
         touches storage."""
         files = self.pruned_files(predicates, version)
         if not files:
-            # provably-empty result; keep the schema via an empty read
-            return (
-                self.read(spark, version)
-                .where(F.lit(False))
-                .where(self._pred_column(predicates))
-            )
+            # provably-empty result: recover the schema from ONE file
+            # (schema enforcement keeps all files identical) instead
+            # of handing Spark the whole snapshot just to read nothing
+            all_files = self.snapshot_files(version)
+            if not all_files:
+                raise ValueError("table has no committed data")
+            return spark.read.parquet(
+                os.path.join(self.path, all_files[0])
+            ).where(F.lit(False))
         df = spark.read.parquet(
             *[os.path.join(self.path, f) for f in files]
         )

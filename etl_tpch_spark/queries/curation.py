@@ -21,20 +21,23 @@ from pyspark.sql import functions as F
 from ..catalog import Tables
 from ..dedup.clusters import connected_components
 from ..dedup.operators import shingle_sets, word_shingles
-from ..functions.text import fingerprint, sql_fingerprint, tokens
+from ..functions.splits import SQL_DOC_HASH, doc_hash, hash_split
+from ..functions.text import (
+    fingerprint,
+    quality_score,
+    sql_fingerprint,
+    tokens,
+)
 from ..registry import REGISTRY, query
 from ..similarity.ann import cosine_pairs_threshold
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
-_SQL_DOC_HASH = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
 
-
-def _doc_hash() -> F.Column:
-    """32-bit md5 hash of the doc id — the engine's split/sample key."""
-    return (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-    )
+# split/sample hashing is the SHARED definition in functions/splits.py —
+# the corpus tick and the report card must stay bit-identical to the
+# registered split queries (leakage safety)
+_SQL_DOC_HASH = SQL_DOC_HASH
+_doc_hash = doc_hash
 
 
 # --------------------------------------------------------------- splits
@@ -59,15 +62,9 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle to assign, stable under re-runs and appends (new docs land
     in splits without moving old ones).  One aggregation to report."""
     t = Tables(spark, sf_dir)
-    bucket = _doc_hash() % 100
-    split = (
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "validation")
-        .otherwise("test")
-    )
     return (
         t.documents.select(
-            split.alias("split"),
+            hash_split().alias("split"),
             F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
         )
         .groupBy("split")
@@ -569,18 +566,11 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source retention audit; quality mass sums in DECIMAL(8,6) so
     the total is order-independent (functions/agg.py discipline)."""
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_words = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    quality = F.round(
-        F.least(n_words / 50.0, F.lit(1.0)) * (n_uniq * 1.0 / n_words),
-        6,
-    )
     scored = t.documents.select(
         "doc_id",
         "source",
-        F.size(toks).cast("long").alias("ws_tokens"),
-        quality.alias("quality"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        quality_score(F.col("text")).alias("quality"),
     )
     kept = _doc_hash() < F.col("quality") * F.lit(4294967296.0)
     return (
@@ -637,17 +627,9 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     tick appends to its stats table).  One pass over documents, one
     3-group aggregate; quality mass sums in DECIMAL(8,6) so the
     report is bit-stable under any partitioning."""
-    from ..functions.text import quality_score
-
     t = Tables(spark, sf_dir)
-    bucket = _doc_hash() % 100
-    split = (
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "validation")
-        .otherwise("test")
-    )
     scored = t.documents.select(
-        split.alias("split"),
+        hash_split().alias("split"),
         "lang",
         F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
         quality_score(F.col("text")).alias("quality"),

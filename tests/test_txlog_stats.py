@@ -264,3 +264,46 @@ def test_threaded_storm_with_checkpoints(spark, orders, tmp_path):
     fresh = TxTable(t.path, checkpoint_interval=2)
     fresh.append(batch, batch_id="w0-0")
     assert fresh.latest_version() == 12
+
+
+def test_date_predicate_on_timestamp_column_never_drops_rows(
+    spark, sf_dir, tmp_path
+):
+    """Regression: a date-valued predicate against a TIMESTAMP
+    column's stats — unpadded '1995-06-17' sorts BELOW
+    '1995-06-17T00:00:00' lexicographically, which once pruned the
+    very file whose midnight rows Spark's real filter matches.
+    _enc pads dates to midnight so both sides compare in the same
+    shape."""
+    import datetime as dt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    t = TxTable(str(tmp_path / "t"))
+    t.append(ev)
+    t.compact(spark, target_files=4, cluster_by=("ts",))
+    some_day = ev.selectExpr("date_trunc('day', ts) d").first()[0]
+    probe = dt.date(some_day.year, some_day.month, some_day.day)
+    for op in ("<=", "<", ">=", ">", "="):
+        got = t.read_where(spark, [("ts", op, probe)]).count()
+        want = t.read(spark).where(
+            TxTable._pred_column([("ts", op, probe)])
+        ).count()
+        assert got == want, (op, got, want)
+
+
+def test_conditional_overwrite_aborts_on_rival(spark, orders, tmp_path):
+    """overwrite(expect_version=N): a rival commit landing first must
+    abort the replacement (None) — the compare-and-swap a derived
+    rewrite (e.g. HllIndex.fold) needs to avoid erasing a rival tick
+    whose batch_id is already recorded."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders.limit(5).coalesce(1))
+    start = t.latest_version()
+    rival = TxTable(t.path)
+    rival.append(orders.limit(3).coalesce(1), batch_id="tick-9")
+    out = t.overwrite(orders.limit(1), expect_version=start)
+    assert out is None
+    assert t.read(spark).count() == 8  # rival's rows intact
+    assert "tick-9" in t.applied_batch_ids()
+    # unconditional overwrite still works
+    assert t.overwrite(orders.limit(1)) == 3
