@@ -503,3 +503,148 @@ def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, QUERY_IDS, TOP_K,
         coarse_dims=_MRL_DIMS, n_candidates=_MRL_CANDIDATES,
     )
+
+
+# ----------------------------------------------------------- product quant
+
+_PQ_M = 8
+_PQ_SUB = 8
+_PQ_K = 16
+_PQ_ITERS = 1
+
+
+def _pq_d2(qv: str, cv: str, d: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {d + 1}), "
+        f"j -> ({qv}[j] - {cv}[j]) * ({qv}[j] - {cv}[j]))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _pq_assign(src_q: str, src_c: str, out: str, d: int) -> str:
+    return f"""
+        {out} AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT q.vec_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_pq_d2('q.qv', 'c.cv', d)}, c.cent_id
+                       ) AS rn
+                FROM {src_q} q CROSS JOIN {src_c} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _pq_update(src_a: str, src_q: str, out: str, d: int) -> str:
+    return f"""
+        {out} AS (
+            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv FROM (
+                SELECT a.cluster, dim,
+                       CAST(sum(q.qv[dim]) // count(*) AS BIGINT) AS m
+                FROM {src_a} a JOIN {src_q} q USING (vec_id),
+                     unnest(range(1, {d + 1})) AS t(dim)
+                GROUP BY a.cluster, dim
+            ) GROUP BY cluster
+        )"""
+
+
+def _pq_chain() -> str:
+    """CTE chain replicating similarity/pq.py: per-subspace quantized
+    Lloyd codebooks, corpus codes, query LUTs, summed ADC distances,
+    top-k.  Ends with the final SELECT's source ``ranked``."""
+    m, sub, k, iters = _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    parts = [
+        """q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000
+                                       + 0.5) AS BIGINT)) AS qv
+            FROM embeddings
+        )""",
+        f"""qq AS (
+            SELECT vec_id AS query_id, qv FROM q
+            WHERE vec_id IN ({_IDS})
+        )""",
+    ]
+    contribs = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"q{j} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)"
+        )
+        parts.append(
+            f"""c0_{j} AS (
+            SELECT cent_id, qv AS cv FROM (
+                SELECT qv, min(vec_id) AS cent_id FROM q{j} GROUP BY qv
+            ) ORDER BY cent_id LIMIT {k}
+        )"""
+        )
+        for i in range(iters):
+            parts.append(
+                _pq_assign(f"q{j}", f"c{i}_{j}", f"a{i + 1}_{j}", sub)
+            )
+            parts.append(
+                _pq_update(
+                    f"a{i + 1}_{j}", f"q{j}", f"c{i + 1}_{j}", sub
+                )
+            )
+        parts.append(
+            _pq_assign(f"q{j}", f"c{iters}_{j}", f"af_{j}", sub)
+        )
+        parts.append(
+            f"""lut_{j} AS (
+            SELECT s.query_id, c.cent_id,
+                   {_pq_d2('s.qv', 'c.cv', sub)} AS d2q
+            FROM (SELECT query_id, qv[{lo}:{hi}] AS qv FROM qq) s
+            CROSS JOIN c{iters}_{j} c
+        )"""
+        )
+        contribs.append(
+            f"SELECT a.vec_id, l.query_id, l.d2q "
+            f"FROM af_{j} a JOIN lut_{j} l ON a.cluster = l.cent_id"
+        )
+    union = " UNION ALL ".join(contribs)
+    parts.append(f"contrib AS ({union})")
+    parts.append(
+        """scored AS (
+            SELECT query_id, vec_id, CAST(sum(d2q) AS BIGINT) AS pq_d2
+            FROM contrib WHERE vec_id <> query_id
+            GROUP BY 1, 2
+        )"""
+    )
+    parts.append(
+        """ranked AS (
+            SELECT query_id, vec_id, pq_d2,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY pq_d2, vec_id
+                   ) AS rnk
+            FROM scored
+        )"""
+    )
+    return ",\n        ".join(parts)
+
+
+@query(
+    "sim_ann_topk_pq",
+    oracle=f"""
+        WITH {_pq_chain()}
+        SELECT query_id, vec_id, pq_d2, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity/pq.py): 8 subspace
+    codebooks of 16 integer-Lloyd centroids compress each vector to
+    8 codes; query scoring is ADC — M lookup-table probes + an int64
+    sum per corpus vector, ONE Arrow map pass, no per-pair vector
+    math.  Trained, quantized, and still hash-checked: the oracle
+    re-trains the identical codebooks in unrolled CTEs and reproduces
+    every pq_d2 bit-for-bit.  Recall floor vs exact quantized-L2 is
+    pinned in tests/test_recall_gates.py."""
+    from ..similarity.pq import pq_topk
+
+    t = Tables(spark, sf_dir)
+    return pq_topk(t.embeddings, QUERY_IDS, TOP_K).withColumn(
+        "rnk", F.col("rnk").cast("int")
+    )

@@ -1,0 +1,179 @@
+"""Product quantization (PQ) ANN — the faiss IVF-PQ recipe's
+compression half, built on the engine's integer-exact Lloyd
+(similarity/kmeans.py) so even a *trained, quantized* index stays
+oracle-checkable bit-for-bit.
+
+The idea: split each 64-dim vector into M=8 subspaces of 8 dims,
+train a tiny k=16 codebook per subspace, and store each vector as 8
+small codes (one byte each at k≤256) — an 8-byte sketch of a 256-byte
+vector.  Query scoring is ADC (asymmetric distance computation): per
+query, precompute the M×K lookup table of query-subvector ↔ centroid
+distances, then every corpus vector's approximate distance is M table
+lookups + a sum — no per-pair vector arithmetic at all.
+
+Scale shape: training collects M·K tiny centroid rows per round
+(the standard Lloyd driver round-trip); encoding and scoring are ONE
+Arrow-batched map pass over the corpus (no shuffle until the final
+top-k), and the scored width is |Q| distances per row.  At 100 TB the
+codes table is ~32× smaller than the raw embeddings and the scan is
+memory-bandwidth-bound on codes, not vectors — the reason PQ is the
+billion-vector standard.
+
+Exactness: coordinates quantize once (kmeans.py), every distance is
+an int64 sum, codebooks are deterministic (duplicate-robust init,
+integer means), and numpy int64 reductions are associative — so
+pq_d2 values are bit-identical to the relational oracle that joins
+per-subspace assignments to per-subspace query LUTs in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kmeans import _assign_numpy, _init_centroids, _update, quantize
+
+M_SUB = 8
+SUB_DIM = 8
+K_CODES = 16
+PQ_ITERS = 1
+
+
+def _train_codebooks(
+    q: DataFrame, m_sub: int, sub_dim: int, k_codes: int, iters: int
+) -> list[list[tuple[int, list[int]]]]:
+    """One integer-Lloyd codebook per subspace; each is the sorted
+    [(cent_id, centroid)] list (ids = owning vec_ids from the
+    deterministic init, exactly kmeans.py's convention)."""
+    books = []
+    for j in range(m_sub):
+        sub = q.select(
+            "vec_id",
+            F.slice("qv", j * sub_dim + 1, sub_dim).alias("qv"),
+        )
+        cents = [
+            (r.cent_id, list(r.cv))
+            for r in _init_centroids(sub, k_codes).collect()
+        ]
+        for _ in range(iters):
+            assign = _assign_numpy(sub, cents)
+            cents = [
+                (r.cent_id, list(r.cv))
+                for r in _update(assign).collect()
+            ]
+        books.append(sorted(cents))
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    m_sub: int = M_SUB,
+    sub_dim: int = SUB_DIM,
+    k_codes: int = K_CODES,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query under the PQ-approximate
+    squared-L2 distance (quantized integer space).  Returns
+    (query_id, vec_id, pq_d2, rnk) — pq_d2 is the exact integer ADC
+    sum, reproducible on any engine."""
+    q = quantize(embeddings)
+    books = _train_codebooks(q, m_sub, sub_dim, k_codes, iters)
+    # per-subspace centroid matrices, sorted by cent_id (the code is
+    # the POSITION in this order; the oracle joins on cent_id, which
+    # is order-isomorphic)
+    cent_mats = [
+        np.array([cv for (_cid, cv) in book], dtype="int64")
+        for book in books
+    ]
+    qids = sorted(query_ids)
+    qrows = {
+        r["vec_id"]: list(r["qv"])
+        for r in q.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    # LUT[qi][j][c] = d2(query qi's subvector j, centroid c of book j)
+    luts = np.zeros(
+        (len(qids), m_sub, max(len(b) for b in books)), dtype="int64"
+    )
+    for qi, qid in enumerate(qids):
+        qv = np.array(qrows[qid], dtype="int64")
+        for j in range(m_sub):
+            sub = qv[j * sub_dim : (j + 1) * sub_dim]
+            diff = cent_mats[j] - sub[None, :]
+            luts[qi, j, : len(books[j])] = (diff * diff).sum(axis=1)
+
+    n_q = len(qids)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def adc(qv: pd.Series) -> pd.Series:
+        X = np.stack(qv.to_numpy()).astype("int64")  # (batch, dim)
+        scores = np.zeros((len(X), n_q), dtype="int64")
+        for j in range(m_sub):
+            sub = X[:, j * sub_dim : (j + 1) * sub_dim]
+            # encode: argmin over the codebook (first-min ==
+            # (d2, cent_id) tie-break, centroids sorted by id)
+            diff = sub[:, None, :] - cent_mats[j][None, :, :]
+            d2 = (diff * diff).sum(axis=2)  # (batch, K)
+            codes = d2.argmin(axis=1)
+            scores += luts[:, j, :][:, codes].T  # (batch, n_q)
+        return pd.Series(list(scores))
+
+    qid_arr = F.array(*[F.lit(int(i)).cast("long") for i in qids])
+    scored = (
+        q.withColumn("scores", adc("qv"))
+        .select("vec_id", F.posexplode("scores").alias("qi", "pq_d2"))
+        .withColumn(
+            "query_id", F.element_at(qid_arr, F.col("qi") + 1)
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("pq_d2").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "pq_d2", "rnk")
+    )
+
+
+def l2_topk_exact(
+    embeddings: DataFrame, query_ids: list[int], k: int
+) -> DataFrame:
+    """Exact quantized-L2 top-k — the recall reference for pq_topk
+    (same integer space, no codebook approximation)."""
+    q = quantize(embeddings)
+    corpus = q.select(
+        F.col("vec_id").alias("c_id"), F.col("qv").alias("cqv")
+    )
+    queries = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qqv"), F.col("cqv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("c_id"))
+        .withColumn("d2", d2)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("c_id"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", F.col("c_id").alias("vec_id"), "d2", "rnk"
+        )
+    )

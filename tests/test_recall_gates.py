@@ -170,3 +170,18 @@ def test_matryoshka_topk_recall_floor(spark, emb, brute_topk):
     got = _topk_set(cosine_topk_matryoshka(emb, QUERY_IDS, TOP_K))
     recall = len(brute_topk & got) / len(brute_topk)
     assert recall >= 0.20, recall
+
+
+def test_pq_topk_recall_floor(spark, emb):
+    """PQ/ADC vs exact top-k in the SAME quantized-L2 space (the
+    honest reference — cosine would conflate metric change with
+    quantization loss): measured 0.36 at 16 codes × 8 subspaces on
+    the synthetic corpus; floor 0.20.  A codebook/LUT indexing bug
+    (wrong subspace order, off-by-one code) drops this to ~0."""
+    from etl_tpch_spark.queries.similarity import QUERY_IDS, TOP_K
+    from etl_tpch_spark.similarity.pq import l2_topk_exact, pq_topk
+
+    got = _topk_set(pq_topk(emb, QUERY_IDS, TOP_K))
+    ref = _topk_set(l2_topk_exact(emb, QUERY_IDS, TOP_K))
+    recall = len(got & ref) / len(ref)
+    assert recall >= 0.20, recall
