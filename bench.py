@@ -59,6 +59,7 @@ HEADLINE = [
     "agg_hll_distinct_customers",
     "join_bloom_semi_orders",
     "text_bm25_topk",
+    "sim_ann_topk_pq",
 ]
 
 
