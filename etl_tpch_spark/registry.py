@@ -103,10 +103,15 @@ _QUERY_MODULES = (
 # dedup_ngram_jaccard, sample_stratified, events_json_extract,
 # sim_kmeans_clusters — kmeans stays exercised through sim_ann_topk_ivf
 # and sim_cosine_pairs_cells, both trained on its Lloyd rounds).
+#
+# Second late-round-3 swap: PQ, matryoshka and the corpus-analytics
+# queries take the slots of five more r2-certified siblings whose
+# families keep live rows (flagship_all_segments_union,
+# dedup_canonical_documents, text_pack_sequences, text_pii_redact,
+# events_tumbling_window).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
-    "flagship_all_segments_union",
     "topk_per_segment_window",
     "serving_top_orders_display",
     # dedup family
@@ -114,7 +119,6 @@ DRIVER_WINDOW = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_canonical_documents",
     "dedup_incremental",
     # similarity search / ANN (product paths; baselines rotated out r3)
     "sim_ann_topk_lsh",
@@ -124,8 +128,6 @@ DRIVER_WINDOW = (
     # corpus curation
     "sample_hash_split",
     "text_chunking",
-    "text_pack_sequences",
-    "text_pii_redact",
     "text_contamination",
     "dedup_embedding_clusters",
     # similarity graph analytics
@@ -139,7 +141,6 @@ DRIVER_WINDOW = (
     "udtf_tokenize_positions",
     "text_top_terms_per_lang",
     # event analytics / streaming batch-twins
-    "events_tumbling_window",
     "events_session_window",
     "events_funnel",
     # time-series family (first driver certification, VERDICT r2 #6)
@@ -165,6 +166,12 @@ DRIVER_WINDOW = (
     "events_hll_daily_users",
     "join_bloom_semi_orders",
     "text_bm25_topk",
+    # latest-session surface (PQ, matryoshka, corpus analytics)
+    "sim_ann_topk_pq",
+    "sim_ann_topk_matryoshka",
+    "dedup_cross_source_matrix",
+    "corpus_report_card",
+    "sample_quality_weighted",
 )
 
 _loaded = False
