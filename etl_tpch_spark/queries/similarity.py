@@ -648,3 +648,136 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(t.embeddings, QUERY_IDS, TOP_K).withColumn(
         "rnk", F.col("rnk").cast("int")
     )
+
+
+# ----------------------------------------------------------------- IVF-PQ
+
+_RES_OFF = 2_000_000  # similarity/pq.py RES_OFFSET
+
+
+def _ivfpq_chain() -> str:
+    """CTE chain replicating similarity/pq.py ivfpq_topk: integer-Lloyd
+    coarse cells (the _km_chain), offset residuals, per-subspace
+    residual codebooks, probe ranking, per-(query, cell) residual
+    LUTs, ADC sums over probed cells only.  Ends with ``ranked``."""
+    m, sub, k, iters = _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    cit = N_IVF_ITERS
+    parts = [
+        _km_chain(N_CELLS, cit),
+        f"""res AS (
+            SELECT a.vec_id, a.cluster AS cell,
+                   list_transform(range(1, 65),
+                       j -> a.qv[j] - c.cv[j] + {_RES_OFF}) AS qv
+            FROM afinal a JOIN c{cit} c ON a.cluster = c.cent_id
+        )""",
+        f"""qq2 AS (
+            SELECT vec_id AS query_id, qv FROM q
+            WHERE vec_id IN ({_IDS})
+        )""",
+        f"""probes AS (
+            SELECT query_id, cell FROM (
+                SELECT qq2.query_id, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY qq2.query_id
+                           ORDER BY {_km_d2('qq2.qv', 'c.cv')}, c.cent_id
+                       ) AS prn
+                FROM qq2 CROSS JOIN c{cit} c
+            ) WHERE prn <= {N_PROBE}
+        )""",
+        f"""qres AS (
+            SELECT p.query_id, p.cell,
+                   list_transform(range(1, 65),
+                       j -> qq2.qv[j] - c.cv[j] + {_RES_OFF}) AS qv
+            FROM probes p
+            JOIN qq2 USING (query_id)
+            JOIN c{cit} c ON p.cell = c.cent_id
+        )""",
+    ]
+    contribs = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"r{j} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM res)"
+        )
+        parts.append(
+            f"""rc0_{j} AS (
+            SELECT cent_id, qv AS cv FROM (
+                SELECT qv, min(vec_id) AS cent_id FROM r{j} GROUP BY qv
+            ) ORDER BY cent_id LIMIT {k}
+        )"""
+        )
+        for i in range(iters):
+            parts.append(
+                _pq_assign(f"r{j}", f"rc{i}_{j}", f"ra{i + 1}_{j}", sub)
+            )
+            parts.append(
+                _pq_update(
+                    f"ra{i + 1}_{j}", f"r{j}", f"rc{i + 1}_{j}", sub
+                )
+            )
+        parts.append(
+            _pq_assign(f"r{j}", f"rc{iters}_{j}", f"raf_{j}", sub)
+        )
+        parts.append(
+            f"""rlut_{j} AS (
+            SELECT s.query_id, s.cell, cb.cent_id,
+                   {_pq_d2('s.qv', 'cb.cv', sub)} AS d2q
+            FROM (SELECT query_id, cell, qv[{lo}:{hi}] AS qv
+                  FROM qres) s
+            CROSS JOIN rc{iters}_{j} cb
+        )"""
+        )
+        contribs.append(
+            f"SELECT r.vec_id, l.query_id, l.d2q "
+            f"FROM raf_{j} a "
+            f"JOIN res r USING (vec_id) "
+            f"JOIN rlut_{j} l "
+            f"  ON l.cell = r.cell AND l.cent_id = a.cluster"
+        )
+    union = " UNION ALL ".join(contribs)
+    parts.append(f"rcontrib AS ({union})")
+    parts.append(
+        """rscored AS (
+            SELECT query_id, vec_id, CAST(sum(d2q) AS BIGINT) AS pq_d2
+            FROM rcontrib WHERE vec_id <> query_id
+            GROUP BY 1, 2
+        )"""
+    )
+    parts.append(
+        """ranked AS (
+            SELECT query_id, vec_id, pq_d2,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY pq_d2, vec_id
+                   ) AS rnk
+            FROM rscored
+        )"""
+    )
+    return ",\n        ".join(parts)
+
+
+@query(
+    "sim_ann_topk_ivfpq",
+    oracle=f"""
+        WITH {_ivfpq_chain()}
+        SELECT query_id, vec_id, pq_d2, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (similarity/pq.py ivfpq_topk) — the faiss billion-vector
+    architecture composed from the engine's trained-but-exact parts:
+    16 integer-Lloyd coarse cells shortlist n_probe/n_cells of the
+    corpus, 8 residual codebooks ADC-score only those rows (M lookup
+    probes per touched row, one Arrow map pass, shuffle only at the
+    top-k).  Every stage — coarse training, offset residuals,
+    residual codebooks, LUT sums — is integer arithmetic, so the
+    whole trained double-quantized index hash-matches the oracle's
+    unrolled CTE replica bit-for-bit.  Recall floor pinned vs exact
+    quantized-L2 in tests/test_recall_gates.py."""
+    from ..similarity.pq import ivfpq_topk
+
+    t = Tables(spark, sf_dir)
+    return ivfpq_topk(
+        t.embeddings, QUERY_IDS, TOP_K,
+        n_cells=N_CELLS, n_probe=N_PROBE, cell_iters=N_IVF_ITERS,
+    ).withColumn("rnk", F.col("rnk").cast("int"))

@@ -250,3 +250,142 @@ def l2_topk_exact(
             "query_id", F.col("c_id").alias("vec_id"), "d2", "rnk"
         )
     )
+
+
+RES_OFFSET = 2_000_000  # shifts residuals (qv - centroid) non-negative
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_iters: int = 1,
+    m_sub: int = M_SUB,
+    sub_dim: int = SUB_DIM,
+    k_codes: int = K_CODES,
+    pq_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ — the faiss billion-vector architecture, composed from
+    the engine's two trained-and-still-exact parts: integer-Lloyd
+    coarse cells (similarity/kmeans.py, the IVF shortlist) and
+    product-quantized RESIDUALS (vector − cell centroid — the classic
+    refinement: residuals concentrate near zero, so the same 16-code
+    books quantize them better than raw vectors).  A query ranks the
+    cell centroids, probes ``n_probe`` cells, and ADC-scores ONLY
+    rows in probed cells — n_probe/n_cells of the corpus touched, M
+    lookups per touched row.
+
+    Residuals are offset by ``RES_OFFSET`` to stay non-negative:
+    the codebook update's integer mean uses truncating division,
+    and Spark's ``div`` (toward zero) only agrees with DuckDB's
+    ``//`` (floor) on non-negative operands — the offset cancels in
+    every distance, so results are unchanged and the oracle stays
+    bit-exact.
+
+    Scale shape: coarse training = O(cell_iters) broadcast+argmin
+    passes; residual computation, PQ training and scoring are each
+    ONE Arrow map pass over the corpus (cell + residual + codes
+    recomputed in-pass — at 100 TB these would be stored columns,
+    see similarity/index.py for the persisted lifecycle); shuffle
+    only at the final per-query top-k."""
+    from .kmeans import kmeans_fit
+
+    q = quantize(embeddings)
+    _, cents = kmeans_fit(
+        embeddings, n_cells, cell_iters, materialize=False
+    )
+    cell_ids = np.array([c for c, _cv in cents], dtype="int64")
+    cell_mat = np.array([cv for _c, cv in cents], dtype="int64")
+
+    @F.pandas_udf("cell long, rv array<long>")
+    def cell_res(qv: pd.Series) -> pd.DataFrame:
+        X = np.stack(qv.to_numpy()).astype("int64")
+        diff = X[:, None, :] - cell_mat[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        best = d2.argmin(axis=1)  # first-min == (d2, cent_id)
+        rv = X - cell_mat[best] + RES_OFFSET
+        return pd.DataFrame(
+            {"cell": cell_ids[best], "rv": list(rv)}
+        )
+
+    res = q.withColumn("cr", cell_res("qv")).select(
+        "vec_id",
+        F.col("cr.cell").alias("cell"),
+        F.col("cr.rv").alias("qv"),
+    )
+    books = _train_codebooks(
+        res.select("vec_id", "qv"), m_sub, sub_dim, k_codes, pq_iters
+    )
+    book_mats = [
+        np.array([cv for (_c, cv) in b], dtype="int64") for b in books
+    ]
+
+    qids = sorted(query_ids)
+    qrows = {
+        r["vec_id"]: np.array(list(r["qv"]), dtype="int64")
+        for r in q.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    # probe ranking + per-(query, probed-cell) residual LUTs
+    n_q = len(qids)
+    kmax = max(len(b) for b in books)
+    probe_cells = np.zeros((n_q, n_probe), dtype="int64")
+    luts = {}  # (qi, cell_id) -> (m_sub, kmax) int64
+    for qi, qid in enumerate(qids):
+        qv = qrows[qid]
+        diff = cell_mat - qv[None, :]
+        d2 = (diff * diff).sum(axis=1)
+        order = np.lexsort((cell_ids, d2))[:n_probe]
+        probe_cells[qi] = cell_ids[order]
+        for ci in order:
+            rq = qv - cell_mat[ci] + RES_OFFSET
+            lut = np.zeros((m_sub, kmax), dtype="int64")
+            for j in range(m_sub):
+                sub = rq[j * sub_dim : (j + 1) * sub_dim]
+                d = book_mats[j] - sub[None, :]
+                lut[j, : len(books[j])] = (d * d).sum(axis=1)
+            luts[(qi, int(cell_ids[ci]))] = lut
+    probe_sets = [set(map(int, probe_cells[qi])) for qi in range(n_q)]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def adc(qv: pd.Series) -> pd.Series:
+        X = np.stack(qv.to_numpy()).astype("int64")
+        diff = X[:, None, :] - cell_mat[None, :, :]
+        best = (diff * diff).sum(axis=2).argmin(axis=1)
+        cells = cell_ids[best]
+        rv = X - cell_mat[best] + RES_OFFSET
+        codes = np.zeros((len(X), m_sub), dtype="int64")
+        for j in range(m_sub):
+            sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
+            d = sub[:, None, :] - book_mats[j][None, :, :]
+            codes[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+        out = np.full((len(X), n_q), -1, dtype="int64")
+        for qi in range(n_q):
+            mask = np.isin(cells, list(probe_sets[qi]))
+            for ri in np.nonzero(mask)[0]:
+                lut = luts[(qi, int(cells[ri]))]
+                out[ri, qi] = lut[
+                    np.arange(m_sub), codes[ri]
+                ].sum()
+        return pd.Series(list(out))
+
+    qid_arr = F.array(*[F.lit(int(i)).cast("long") for i in qids])
+    scored = (
+        q.withColumn("scores", adc("qv"))
+        .select("vec_id", F.posexplode("scores").alias("qi", "pq_d2"))
+        .filter(F.col("pq_d2") >= 0)
+        .withColumn(
+            "query_id", F.element_at(qid_arr, F.col("qi") + 1)
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("pq_d2").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "pq_d2", "rnk")
+    )
