@@ -781,3 +781,33 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, QUERY_IDS, TOP_K,
         n_cells=N_CELLS, n_probe=N_PROBE, cell_iters=N_IVF_ITERS,
     ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@query(
+    "sim_ann_topk_ivfpq_indexed",
+    oracle=REGISTRY["sim_ann_topk_ivfpq"].oracle,
+)
+def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ lifecycle (similarity/pq.py IVFPQIndex):
+    build = train coarse cells + residual codebooks and materialize
+    the code table (~8 bytes/vector, 32× smaller than raw embeddings)
+    clustered by cell; query = rank STORED centroids, build residual
+    LUTs from STORED books, scan only the probed cells' code files
+    (manifest-stats skipping + pushed In filter) and sum M lookups
+    per row — embeddings are never read at query time.  Identical
+    training ⇒ identical results ⇒ the sim_ann_topk_ivfpq oracle
+    applies verbatim (tests/test_ivfpq_index.py pins equality, file
+    pruning and rebuild determinism)."""
+    import tempfile
+
+    from ..similarity.pq import IVFPQIndex
+
+    t = Tables(spark, sf_dir)
+    idx = IVFPQIndex.build(
+        tempfile.mkdtemp(prefix="ivfpq-idx-"), t.embeddings,
+        n_cells=N_CELLS, cell_iters=N_IVF_ITERS,
+    )
+    queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
+    return idx.topk(
+        spark, queries_df, TOP_K, n_probe=N_PROBE
+    ).withColumn("rnk", F.col("rnk").cast("int"))

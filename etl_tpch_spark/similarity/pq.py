@@ -389,3 +389,219 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "pq_d2", "rnk")
     )
+
+
+class IVFPQIndex:
+    """Persisted IVF-PQ — the billion-vector index as a STORED
+    artifact (the lifecycle twin of similarity/index.py IVFIndex,
+    with PQ codes instead of raw vectors in the inverted lists).
+    Three TxTables under one root:
+
+    - ``centroids/`` (cent_id, cv) — K coarse integer centroids;
+    - ``books/`` (j, cent_id, cv) — the M residual codebooks;
+    - ``codes/`` (vec_id, cell, codes) — the inverted file: every
+      vector as M small codes (~8 bytes of payload vs 256 for the
+      raw vector — the 32× compression that makes the 100 TB corpus
+      a ~3 TB index), OPTIMIZE'd ``cluster_by=("cell",)`` so probes
+      skip unprobed files via the manifest stats.
+
+    Queries never touch embeddings: rank stored centroids, build the
+    per-(query, cell) residual LUTs from stored books, scan only the
+    probed cells' code files, sum M lookups per row.  Training is
+    shared with ivfpq_topk, so stored-index results are BIT-IDENTICAL
+    to the per-run operator and the same oracle applies verbatim."""
+
+    def __init__(self, path: str) -> None:
+        import os
+
+        from ..pipeline.txlog import TxTable
+
+        self.path = path
+        self.codes_t = TxTable(os.path.join(path, "codes"))
+        self.cent_t = TxTable(os.path.join(path, "centroids"))
+        self.books_t = TxTable(os.path.join(path, "books"))
+
+    @classmethod
+    def build(
+        cls,
+        path: str,
+        embeddings: DataFrame,
+        *,
+        n_cells: int = 16,
+        cell_iters: int = 1,
+        m_sub: int = M_SUB,
+        sub_dim: int = SUB_DIM,
+        k_codes: int = K_CODES,
+        pq_iters: int = PQ_ITERS,
+    ) -> "IVFPQIndex":
+        from .kmeans import kmeans_fit
+
+        spark = embeddings.sparkSession
+        q = quantize(embeddings)
+        _, cents = kmeans_fit(
+            embeddings, n_cells, cell_iters, materialize=False
+        )
+        cell_ids = np.array([c for c, _cv in cents], dtype="int64")
+        cell_mat = np.array([cv for _c, cv in cents], dtype="int64")
+
+        @F.pandas_udf("cell long, rv array<long>")
+        def cell_res(qv: pd.Series) -> pd.DataFrame:
+            X = np.stack(qv.to_numpy()).astype("int64")
+            diff = X[:, None, :] - cell_mat[None, :, :]
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            rv = X - cell_mat[best] + RES_OFFSET
+            return pd.DataFrame(
+                {"cell": cell_ids[best], "rv": list(rv)}
+            )
+
+        res = q.withColumn("cr", cell_res("qv")).select(
+            "vec_id",
+            F.col("cr.cell").alias("cell"),
+            F.col("cr.rv").alias("qv"),
+        )
+        books = _train_codebooks(
+            res.select("vec_id", "qv"),
+            m_sub, sub_dim, k_codes, pq_iters,
+        )
+        mats = [
+            np.array([cv for (_c, cv) in b], dtype="int64")
+            for b in books
+        ]
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def encode(rv: pd.Series) -> pd.Series:
+            X = np.stack(rv.to_numpy()).astype("int64")
+            out = np.zeros((len(X), m_sub), dtype="int64")
+            for j in range(m_sub):
+                sub = X[:, j * sub_dim : (j + 1) * sub_dim]
+                d = sub[:, None, :] - mats[j][None, :, :]
+                # store the POSITION (0..K-1) in sorted-cent_id order
+                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            return pd.Series(list(out))
+
+        idx = cls(path)
+        idx.codes_t.overwrite(
+            res.withColumn("codes", encode("qv")).select(
+                "vec_id", "cell", "codes"
+            )
+        )
+        idx.codes_t.compact(
+            spark,
+            target_files=max(1, n_cells // 2),
+            cluster_by=("cell",),
+        )
+        idx.cent_t.overwrite(
+            spark.createDataFrame(
+                cents, "cent_id long, cv array<long>"
+            )
+        )
+        idx.books_t.overwrite(
+            spark.createDataFrame(
+                [
+                    (j, cid, cv)
+                    for j, b in enumerate(books)
+                    for (cid, cv) in b
+                ],
+                "j long, cent_id long, cv array<long>",
+            )
+        )
+        return idx
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int,
+        *,
+        n_probe: int = 4,
+        m_sub: int = M_SUB,
+        sub_dim: int = SUB_DIM,
+    ) -> DataFrame:
+        """Top-k per query row (vec_id, embedding) from STORED
+        artifacts only — no training, no embedding scan."""
+        cents = sorted(
+            (r["cent_id"], list(r["cv"]))
+            for r in self.cent_t.read(spark).collect()
+        )
+        cell_ids = np.array([c for c, _cv in cents], dtype="int64")
+        cell_mat = np.array([cv for _c, cv in cents], dtype="int64")
+        book_rows = self.books_t.read(spark).collect()
+        books: list[list[tuple[int, list[int]]]] = [
+            [] for _ in range(m_sub)
+        ]
+        for r in book_rows:
+            books[r["j"]].append((r["cent_id"], list(r["cv"])))
+        books = [sorted(b) for b in books]
+        mats = [
+            np.array([cv for (_c, cv) in b], dtype="int64")
+            for b in books
+        ]
+
+        q = quantize(queries)
+        qrows = sorted(
+            (r["vec_id"], np.array(list(r["qv"]), dtype="int64"))
+            for r in q.collect()
+        )
+        n_q = len(qrows)
+        kmax = max(len(b) for b in books)
+        luts = {}
+        probe_sets = []
+        for qi, (_qid, qv) in enumerate(qrows):
+            diff = cell_mat - qv[None, :]
+            d2 = (diff * diff).sum(axis=1)
+            order = np.lexsort((cell_ids, d2))[:n_probe]
+            probe_sets.append(set(map(int, cell_ids[order])))
+            for ci in order:
+                rq = qv - cell_mat[ci] + RES_OFFSET
+                lut = np.zeros((m_sub, kmax), dtype="int64")
+                for j in range(m_sub):
+                    sub = rq[j * sub_dim : (j + 1) * sub_dim]
+                    d = mats[j] - sub[None, :]
+                    lut[j, : len(books[j])] = (d * d).sum(axis=1)
+                luts[(qi, int(cell_ids[ci]))] = lut
+
+        probed = sorted(set().union(*probe_sets))
+        # manifest stats skip unprobed cells' files before Spark opens
+        # them; the residual In-filter also pushes to the scan
+        codes = self.codes_t.read_where(
+            spark,
+            [("cell", ">=", probed[0]), ("cell", "<=", probed[-1])],
+        ).filter(F.col("cell").isin(probed))
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def adc(cell: pd.Series, codes_s: pd.Series) -> pd.Series:
+            cells = cell.to_numpy().astype("int64")
+            C = np.stack(codes_s.to_numpy()).astype("int64")
+            out = np.full((len(cells), n_q), -1, dtype="int64")
+            for qi in range(n_q):
+                mask = np.isin(cells, list(probe_sets[qi]))
+                for ri in np.nonzero(mask)[0]:
+                    lut = luts[(qi, int(cells[ri]))]
+                    out[ri, qi] = lut[
+                        np.arange(m_sub), C[ri]
+                    ].sum()
+            return pd.Series(list(out))
+
+        qid_arr = F.array(
+            *[F.lit(int(qid)).cast("long") for qid, _ in qrows]
+        )
+        scored = (
+            codes.withColumn("scores", adc("cell", "codes"))
+            .select(
+                "vec_id",
+                F.posexplode("scores").alias("qi", "pq_d2"),
+            )
+            .filter(F.col("pq_d2") >= 0)
+            .withColumn(
+                "query_id", F.element_at(qid_arr, F.col("qi") + 1)
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("pq_d2").asc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "pq_d2", "rnk")
+        )
