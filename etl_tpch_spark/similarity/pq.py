@@ -362,13 +362,15 @@ def ivfpq_topk(
             d = sub[:, None, :] - book_mats[j][None, :, :]
             codes[:, j] = (d * d).sum(axis=2).argmin(axis=1)
         out = np.full((len(X), n_q), -1, dtype="int64")
+        sub_idx = np.arange(m_sub)
         for qi in range(n_q):
-            mask = np.isin(cells, list(probe_sets[qi]))
-            for ri in np.nonzero(mask)[0]:
-                lut = luts[(qi, int(cells[ri]))]
-                out[ri, qi] = lut[
-                    np.arange(m_sub), codes[ri]
-                ].sum()
+            for cell in probe_sets[qi]:
+                rows = np.nonzero(cells == cell)[0]
+                if len(rows):
+                    lut = luts[(qi, cell)]
+                    out[rows, qi] = lut[
+                        sub_idx[None, :], codes[rows]
+                    ].sum(axis=1)
         return pd.Series(list(out))
 
     qid_arr = F.array(*[F.lit(int(i)).cast("long") for i in qids])
@@ -573,13 +575,15 @@ class IVFPQIndex:
             cells = cell.to_numpy().astype("int64")
             C = np.stack(codes_s.to_numpy()).astype("int64")
             out = np.full((len(cells), n_q), -1, dtype="int64")
+            sub_idx = np.arange(m_sub)
             for qi in range(n_q):
-                mask = np.isin(cells, list(probe_sets[qi]))
-                for ri in np.nonzero(mask)[0]:
-                    lut = luts[(qi, int(cells[ri]))]
-                    out[ri, qi] = lut[
-                        np.arange(m_sub), C[ri]
-                    ].sum()
+                for pc in probe_sets[qi]:
+                    rows = np.nonzero(cells == pc)[0]
+                    if len(rows):
+                        lut = luts[(qi, pc)]
+                        out[rows, qi] = lut[
+                            sub_idx[None, :], C[rows]
+                        ].sum(axis=1)
             return pd.Series(list(out))
 
         qid_arr = F.array(
