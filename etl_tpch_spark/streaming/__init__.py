@@ -17,6 +17,7 @@ T1-T6).  Spark replaces that machinery natively:
 """
 
 from .dedup_index import accumulated_pairs, stream_dedup_ticks
+from .corpus import stream_corpus_ticks
 from .hll_index import stream_hll_ticks
 from .ingest import stream_ingest_all, stream_ingest_table
 from .joins import stream_orders_lineitem_join
@@ -40,4 +41,5 @@ __all__ = [
     "stream_dedup_ticks",
     "accumulated_pairs",
     "stream_hll_ticks",
+    "stream_corpus_ticks",
 ]
