@@ -65,6 +65,22 @@ def corpus_cycle(
     out: dict[str, Any] = {"batch_id": batch_id}
 
     n_new = new_docs.count()
+    # per-DOC idempotence, not just per-batch: a crawler retry or a
+    # checkpoint-wiped stream can re-bundle already-ingested docs with
+    # genuinely new ones under a NEW batch id — ids already in the
+    # corpus are dropped up front, so the re-bundle neither duplicates
+    # corpus rows nor re-appends their signatures to the dedup index.
+    # Cost: one anti-join against the corpus's doc_id column (columnar
+    # scan; at 100 TB put a bloom of corpus ids in front — the same
+    # operators/bloom.py primitive — to keep the common all-new case
+    # scan-free).
+    n_seen = 0
+    if corpus.latest_version() is not None:
+        existing = corpus.read(spark).select("doc_id")
+        fresh = new_docs.join(existing, "doc_id", "left_anti")
+        n_fresh = fresh.count()
+        n_seen = n_new - n_fresh
+        new_docs = fresh
     pairs = index.tick(spark, new_docs, threshold, batch_id=batch_id)
     # first-seen-wins: a new doc is dropped iff it pairs with any
     # LOWER id (stored docs all have lower ids than a later crawl's;
@@ -94,7 +110,8 @@ def corpus_cycle(
         n_kept = sum(split_counts.values())
         out.update(
             n_new=n_new,
-            n_dup_dropped=n_new - n_dedup,
+            n_seen_dropped=n_seen,
+            n_dup_dropped=n_new - n_seen - n_dedup,
             n_quality_dropped=n_dedup - n_kept,
             n_appended=n_kept,
             corpus_version=version,

@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -157,7 +157,8 @@ def pq_topk(
     squared-L2 distance (quantized integer space).  Returns
     (query_id, vec_id, pq_d2, rnk) — pq_d2 is the exact integer ADC
     sum, reproducible on any engine."""
-    q = quantize(embeddings)
+    q = quantize(embeddings).persist()  # training collects + LUT
+    # collect + final scoring all read it; unpersisted before return
     books = _train_codebooks(q, m_sub, sub_dim, k_codes, iters)
     # per-subspace centroid matrices, sorted by cent_id (the code is
     # the POSITION in this order; the oracle joins on cent_id, which
@@ -171,6 +172,10 @@ def pq_topk(
         r["vec_id"]: list(r["qv"])
         for r in q.filter(F.col("vec_id").isin(qids)).collect()
     }
+    missing = [i for i in qids if i not in qrows]
+    if missing:
+        raise ValueError(f"query ids not in embeddings: {missing}")
+    q.unpersist()  # final scoring recomputes the map-only quantize
     # LUT[qi][j][c] = d2(query qi's subvector j, centroid c of book j)
     luts = np.zeros(
         (len(qids), m_sub, max(len(b) for b in books)), dtype="int64"
@@ -315,10 +320,11 @@ def ivfpq_topk(
         "vec_id",
         F.col("cr.cell").alias("cell"),
         F.col("cr.rv").alias("qv"),
-    )
+    ).persist()  # read by the init aggregation + every Lloyd round
     books = _train_codebooks(
         res.select("vec_id", "qv"), m_sub, sub_dim, k_codes, pq_iters
     )
+    res.unpersist()  # scoring recomputes cell+residual map-side
     book_mats = [
         np.array([cv for (_c, cv) in b], dtype="int64") for b in books
     ]
@@ -328,6 +334,9 @@ def ivfpq_topk(
         r["vec_id"]: np.array(list(r["qv"]), dtype="int64")
         for r in q.filter(F.col("vec_id").isin(qids)).collect()
     }
+    missing = [i for i in qids if i not in qrows]
+    if missing:
+        raise ValueError(f"query ids not in embeddings: {missing}")
     # probe ranking + per-(query, probed-cell) residual LUTs
     n_q = len(qids)
     kmax = max(len(b) for b in books)
@@ -507,6 +516,23 @@ class IVFPQIndex:
                 "j long, cent_id long, cv array<long>",
             )
         )
+        # the build/query contract is cross-process: persist the
+        # geometry so a later opener can't misparse stored books with
+        # different assumed parameters
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "m_sub": m_sub,
+                    "sub_dim": sub_dim,
+                    "n_cells": n_cells,
+                    "k_codes": k_codes,
+                    "pq_iters": pq_iters,
+                },
+                f,
+            )
         return idx
 
     def topk(
@@ -520,7 +546,17 @@ class IVFPQIndex:
         sub_dim: int = SUB_DIM,
     ) -> DataFrame:
         """Top-k per query row (vec_id, embedding) from STORED
-        artifacts only — no training, no embedding scan."""
+        artifacts only — no training, no embedding scan.  Index
+        geometry (m_sub/sub_dim) comes from the stored meta.json when
+        present — the caller's defaults cannot misparse the books."""
+        import json
+        import os
+
+        meta_p = os.path.join(self.path, "meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            m_sub, sub_dim = meta["m_sub"], meta["sub_dim"]
         cents = sorted(
             (r["cent_id"], list(r["cv"]))
             for r in self.cent_t.read(spark).collect()
@@ -544,6 +580,10 @@ class IVFPQIndex:
             (r["vec_id"], np.array(list(r["qv"]), dtype="int64"))
             for r in q.collect()
         )
+        if not qrows:  # empty query set → empty, correctly-typed frame
+            return spark.createDataFrame(
+                [], "query_id long, vec_id long, pq_d2 long, rnk int"
+            )
         n_q = len(qrows)
         kmax = max(len(b) for b in books)
         luts = {}

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline.corpus import corpus_cycle
+from .batchid import batch_content_id
 
 CRAWL_SCHEMA = T.StructType(
     [
@@ -55,11 +56,15 @@ def stream_corpus_ticks(
     ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
 
     def tick(batch: DataFrame, epoch_id: int) -> None:
+        # epoch id for ordering + content fingerprint for identity: a
+        # wiped checkpoint whose epoch 0 re-bundles old AND newly
+        # staged files must not no-op the new docs (streaming/batchid.py)
+        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'doc_id')}"
         out = corpus_cycle(
             batch.sparkSession,
             batch,
             root_dir,
-            batch_id=f"{ckpt_name}-{epoch_id}",
+            batch_id=bid,
             threshold=threshold,
             quality_floor=quality_floor,
         )

@@ -9,7 +9,9 @@ them, and ``foreachBatch`` runs one index tick per micro-batch:
 
 - **exactly-once, twice over**: the file source's checkpoint prevents
   re-reading a crawl file, and the index append is keyed
-  ``batch_id=f"{checkpoint_name}-{epoch_id}"`` — a replayed epoch
+  ``batch_id=f"{checkpoint_name}-{epoch_id}-{content-fingerprint}"``
+  (streaming/batchid.py — the fingerprint keeps a checkpoint-wiped
+  re-bundle of old+NEW files from no-op'ing the new docs) — a replayed epoch
   (crash between sink commit and checkpoint advance, the classic
   foreachBatch replay window) re-signs nothing and re-emits the same
   pairs (TxTable batch-id no-op, the same contract as
@@ -35,6 +37,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..dedup.index import MinHashIndex
+from .batchid import batch_content_id
 from ..pipeline.txlog import TxTable
 
 DOC_SCHEMA = T.StructType(
@@ -73,7 +76,7 @@ def stream_dedup_ticks(
     ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
 
     def tick(batch: DataFrame, epoch_id: int) -> None:
-        bid = f"{ckpt_name}-{epoch_id}"
+        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'doc_id')}"
         pairs = idx.tick(
             batch.sparkSession, batch, threshold, batch_id=bid
         )

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline.hll_index import HllIndex
+from .batchid import batch_content_id
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -61,7 +62,8 @@ def stream_hll_ticks(
     ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
 
     def tick(batch: DataFrame, epoch_id: int) -> None:
-        idx.tick(batch, batch_id=f"{ckpt_name}-{epoch_id}")
+        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'event_id')}"
+        idx.tick(batch, batch_id=bid)
 
     reader = (
         spark.readStream.schema(schema)

@@ -35,9 +35,11 @@ def test_two_ticks_build_a_curated_corpus(spark, sf_dir, tmp_path):
     assert s1["corpus_version"] == 1 and s2["corpus_version"] == 2
     # conservation per tick: new = dropped(dup) + dropped(quality) + kept
     for s in (s1, s2):
-        assert (
-            s["n_new"]
-            == s["n_dup_dropped"] + s["n_quality_dropped"] + s["n_appended"]
+        assert s["n_new"] == (
+            s["n_seen_dropped"]
+            + s["n_dup_dropped"]
+            + s["n_quality_dropped"]
+            + s["n_appended"]
         )
         assert sum(s["splits"].values()) == s["n_appended"]
 

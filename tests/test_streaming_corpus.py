@@ -88,3 +88,30 @@ def test_streamed_corpus_replay_is_noop(spark, sf_dir, tmp_path):
     stream_corpus_ticks(spark, crawl, root, ckpt)
     assert corpus.latest_version() == v
     assert corpus_snapshot(spark, root).count() == n
+
+
+def test_wiped_checkpoint_with_new_files_still_lands_new_docs(
+    spark, sf_dir, tmp_path
+):
+    """Regression (content-derived batch ids, streaming/batchid.py):
+    checkpoint lost AFTER new crawl files were staged — the restarted
+    stream's epoch 0 re-bundles old+new docs; a positional batch id
+    would silently no-op the whole bundle, dropping the new docs."""
+    d1, d2 = _days(spark, sf_dir)
+    crawl = str(tmp_path / "crawl")
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    _stage(spark, d1, crawl, 1)
+    stream_corpus_ticks(spark, crawl, root, ckpt)
+    n1 = corpus_snapshot(spark, root).count()
+
+    import shutil
+
+    shutil.rmtree(ckpt)  # checkpoint lost...
+    _stage(spark, d2, crawl, 2)  # ...after new files were staged
+    stream_corpus_ticks(spark, crawl, root, ckpt)
+    n2 = corpus_snapshot(spark, root).count()
+    assert n2 > n1  # the new day's docs landed
+    # and the old day's docs did not double up
+    snap = corpus_snapshot(spark, root)
+    assert snap.count() == snap.select("doc_id").distinct().count()
