@@ -896,3 +896,196 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------- round 3
+# (continuation): span-level exact substring dedup (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better" — ExactSubstr).
+# Doc-level dedup (minhash/simhash/SemDeDup) removes whole near-identical
+# documents; span-level dedup finds the VERBATIM REGIONS shared across
+# otherwise-distinct documents (licenses, headers, quoted passages) that
+# doc-level similarity is blind to.
+
+_SPAN_W = 8  # minimum duplicated run, in tokens (the paper uses 50 BPE
+# tokens; fixture docs are ~100 words, so 8 keeps span statistics real)
+
+_SQL_SPAN_GRAM = (
+    "W[i] || ' ' || W[i+1] || ' ' || W[i+2] || ' ' || W[i+3] || ' ' || "
+    "W[i+4] || ' ' || W[i+5] || ' ' || W[i+6] || ' ' || W[i+7]"
+)
+
+# gaps-and-islands over duplicated window positions: windows at p1 < p2
+# cover a contiguous token run iff p2 <= p1 + W (overlap or exact abut),
+# so a gap STRICTLY greater than W starts a new maximal span.  Two-level
+# window (lag flag, then running sum) because SQL forbids nesting window
+# functions.  Shared CTE text for both span queries.
+_SQL_SPAN_ISLANDS = f"""
+        w AS (
+            SELECT doc_id, i - 1 AS pos, {_SQL_SPAN_GRAM} AS gram
+            FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents),
+                 unnest(range(1, len(W) - {_SPAN_W} + 2)) AS t(i)
+        ),
+        dup AS (
+            SELECT gram FROM w
+            GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        ),
+        hit AS (SELECT doc_id, pos FROM w JOIN dup USING (gram)),
+        flg AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM hit
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flg
+        ),
+        spans AS (
+            SELECT doc_id,
+                   min(pos)                                  AS span_start,
+                   max(pos) + {_SPAN_W} - 1                  AS span_end,
+                   max(pos) + {_SPAN_W} - 1 - min(pos) + 1   AS n_tokens,
+                   count(*)                                  AS n_windows
+            FROM isl GROUP BY doc_id, isl
+        )
+"""
+
+
+def _duplicate_spans(t: Tables) -> DataFrame:
+    """Maximal duplicated-span intervals per document.
+
+    Plan (the 100 TB shape — everything linear in corpus token volume):
+    1. one map-side explode of sliding ``_SPAN_W``-token windows, each
+       carried as a 16-byte md5 of the gram text (internal pruning key,
+       oracle-exempt like the bloom/xxhash64 recipe — the OUTPUT is
+       integer positions, so the hash never crosses engines);
+    2. one shuffle keyed on the hash to find grams in >1 distinct doc
+       (partial aggregation applies);
+    3. one join back to window positions, then per-doc gaps-and-islands
+       (shuffle on doc_id — tiny: only duplicated windows survive) to
+       merge overlapping/abutting windows into maximal spans.
+    Nothing quadratic, no text re-crosses a shuffle after step 2."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col("text"))
+    d = t.documents.select("doc_id", toks.alias("W")).filter(
+        F.size("W") >= _SPAN_W
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(W) - {_SPAN_W}), "
+        f"i -> concat_ws(' ', slice(W, i + 1, {_SPAN_W})))"
+    )
+    wins = d.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.unhex(F.md5("gram")).alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select("doc_id", "pos")
+    wlag = W.partitionBy("doc_id").orderBy("pos")
+    flg = hits.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(wlag) > _SPAN_W, 1).otherwise(
+            0
+        ),
+    )
+    isl = flg.withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            wlag.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + _SPAN_W - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+
+
+@query(
+    "text_duplicate_spans",
+    oracle=f"""
+        WITH {_SQL_SPAN_ISLANDS}
+        SELECT doc_id,
+               CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end   AS BIGINT) AS span_end,
+               CAST(n_tokens   AS BIGINT) AS n_tokens,
+               CAST(n_windows  AS BIGINT) AS n_windows
+        FROM spans
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. 2021 ExactSubstr at
+    window width {_SPAN_W}): every maximal token interval whose
+    {_SPAN_W}-grams all appear verbatim in at least one OTHER document.
+    The suffix-array machinery of the paper is replaced by the
+    shuffle-native equivalent: duplicated fixed-width windows, merged
+    into maximal spans by gaps-and-islands — same output contract
+    (duplicated regions with positions), expressed in three linear
+    passes instead of a quadratic suffix sort.  Within-doc repeats are
+    deliberately excluded (count DISTINCT doc_id > 1): self-repetition
+    is text_repetition_filter's job."""
+    return _duplicate_spans(Tables(spark, sf_dir))
+
+
+@query(
+    "text_span_dedup_stats",
+    oracle=f"""
+        WITH {_SQL_SPAN_ISLANDS},
+        per_doc AS (
+            SELECT doc_id, sum(n_tokens) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.W) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(COALESCE(p.dup_tokens, 0) * 1.0
+                     / greatest(len(d.W), 1), 6) AS dup_frac
+        FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token budget from the span table: how
+    many of each document's tokens sit inside a cross-document
+    duplicated span, and the fraction a cleaning pass would cut.  The
+    islands are disjoint and non-abutting by construction, so summing
+    span lengths IS the union size — no double counting.  This is the
+    corpus-health number the ExactSubstr paper reports (what % of the
+    corpus is verbatim duplicate text)."""
+    t = Tables(spark, sf_dir)
+    spans = _duplicate_spans(t)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("dup_tokens")
+    )
+    docs = t.documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0))
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup_tokens.cast("long").alias("dup_tokens"),
+        F.round(
+            dup_tokens * 1.0 / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("dup_frac"),
+    )

@@ -109,6 +109,12 @@ _QUERY_MODULES = (
 # families keep live rows (flagship_all_segments_union,
 # dedup_canonical_documents, text_pack_sequences, text_pii_redact,
 # events_tumbling_window).
+#
+# Third late-round-3 swap: the span-level exact-substring dedup pair
+# (text_duplicate_spans, text_span_dedup_stats) takes the slots of two
+# r2-certified text siblings (text_lang_id, text_quality_score — the
+# quality definition stays live through corpus_report_card and
+# sample_quality_weighted, both of which consume quality_score).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -135,8 +141,8 @@ DRIVER_WINDOW = (
     "graph_triangle_count",
     "graph_pagerank",
     # text analysis
-    "text_lang_id",
-    "text_quality_score",
+    "text_duplicate_spans",
+    "text_span_dedup_stats",
     "corpus_curation",
     "udtf_tokenize_positions",
     "text_top_terms_per_lang",
