@@ -1,0 +1,227 @@
+"""BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — the vocabulary-build
+step of every LLM data pipeline, as a Spark-first operator.
+
+The published algorithm is: collect the corpus word-frequency table,
+then repeatedly merge the most frequent adjacent symbol pair inside
+words.  The corpus-sized work is ONLY the word count (one shuffle);
+every merge iteration runs on the vocabulary frame (orders of magnitude
+smaller than the corpus — ~31 rows on the fixture, a few million for a
+real corpus), with a single 1-row argmax collect per round (the
+kmeans-Lloyd driver pattern, allowlisted in PLANS.md).
+
+Cross-engine determinism: self-pairs (l == r) are excluded from merge
+candidates.  For l != r, adjacent-pair matches can never overlap
+(position i and i+1 matching both would need tok[i+1] = r = l), so
+"merge every match" is well-defined and order-free — exactly the
+property that makes the merge expressible as one relational transform
+in BOTH engines, where greedy left-to-right merging of self-pair runs
+(aaa) is inherently sequential.  Ties break on (count DESC, lhs, rhs):
+a total order, because (lhs, rhs) is the grouping key.
+
+The DuckDB oracle re-derives the whole trainer as K unrolled CTE
+rounds (the PQ/IVF-PQ recipe) and matches bit-for-bit: pair counts are
+exact integers and merges are string concatenation.
+
+Reference scope note: coiled/etl-tpch has no tokenizer counterpart
+(its pipeline is relational only); this module is part of the
+north-star LLM-data surface (SURVEY.md §2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Tables
+from ..functions.text import tokens
+from ..registry import query
+
+_BPE_K = 6  # merge rounds (fixture vocabulary saturates quickly; real
+# tokenizers run 30k-100k rounds of the same per-round plan)
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------- oracle
+# (generated: K unrolled rounds of pair-count -> argmax -> merge-apply)
+
+
+def _sql_merge_apply(tcol: str, bcte: str) -> str:
+    """DuckDB list expression applying merge (l, r) everywhere in T.
+    Element i becomes l||r when it starts a match; the consumed element
+    (previous is l, self is r) drops; everything else passes through.
+    The two conditions are mutually exclusive because l != r."""
+    return (
+        f"list_filter(list_transform(range(1, len({tcol})+1), i -> "
+        f"CASE WHEN i < len({tcol}) AND {tcol}[i] = {bcte}.l "
+        f"AND {tcol}[i+1] = {bcte}.r THEN {tcol}[i] || {tcol}[i+1] "
+        f"WHEN i > 1 AND {tcol}[i-1] = {bcte}.l AND {tcol}[i] = {bcte}.r "
+        f"THEN NULL ELSE {tcol}[i] END), x -> x IS NOT NULL)"
+    )
+
+
+def _bpe_ctes() -> str:
+    parts = [
+        f"""wf AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+            GROUP BY w
+        ), v0 AS (
+            SELECT word, freq,
+                   list_transform(range(1, length(word)+1), i -> word[i]) AS T
+            FROM wf
+        )"""
+    ]
+    for k in range(1, _BPE_K + 1):
+        parts.append(
+            f"""p{k} AS (
+            SELECT T[i] AS l, T[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM v{k-1}, unnest(range(1, len(T))) AS t(i)
+            WHERE T[i] <> T[i+1] GROUP BY 1, 2
+        ), b{k} AS (
+            SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+        ), v{k} AS (
+            SELECT word, freq, {_sql_merge_apply('T', f'b{k}')} AS T
+            FROM v{k-1} CROSS JOIN b{k}
+        )"""
+        )
+    return ",\n".join(parts)
+
+
+_SQL_BPE_MERGES = (
+    "WITH "
+    + _bpe_ctes()
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"l || r AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_K + 1)
+    )
+)
+
+_SQL_BPE_SEGMENT = (
+    "WITH "
+    + _bpe_ctes()
+    + f"""
+    SELECT word, freq,
+           CAST(len(T) AS BIGINT) AS n_subwords,
+           array_to_string(T, ' ') AS segmentation
+    FROM v{_BPE_K}"""
+)
+
+
+# ---------------------------------------------------------------- engine
+
+
+def _spark_merge_expr(l: str, r: str) -> str:
+    """Spark SQL twin of _sql_merge_apply with (l, r) bound as literals
+    (the 1-row argmax is collected, kmeans-style).  try_element_at keeps
+    the boundary probes NULL-safe under ANSI mode; transform's lambda
+    index i is 0-based, try_element_at is 1-based, so i+2 is the next
+    element and i the previous."""
+    ls = l.replace("\\", "\\\\").replace("'", "\\'")
+    rs = r.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        "filter(transform(T, (x, i) -> "
+        f"CASE WHEN x = '{ls}' AND try_element_at(T, i + 2) = '{rs}' "
+        f"THEN x || '{rs}' "
+        f"WHEN x = '{rs}' AND i > 0 AND try_element_at(T, i) = '{ls}' "
+        "THEN NULL "
+        "ELSE x END), x -> x IS NOT NULL)"
+    )
+
+
+def _word_vocab(t: Tables) -> DataFrame:
+    """(word, freq, T=chars) — the ONLY corpus-sized stage (one explode
+    + one count shuffle); everything after runs on the vocabulary."""
+    wf = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    return wf.select("word", "freq", chars.alias("T"))
+
+
+def _train(t: Tables) -> tuple[list[Row], DataFrame]:
+    """Run K merge rounds; returns (merge table rows, final vocab frame)."""
+    v = _word_vocab(t).cache()
+    merges: list[Row] = []
+    for k in range(1, _BPE_K + 1):
+        pairs = (
+            v.filter(F.size("T") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(T) - 1), "
+                        "i -> struct(element_at(T, i) AS l, "
+                        "element_at(T, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.l", "p.r")
+            .filter(F.col("l") != F.col("r"))
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r")
+        ).first()
+        if best is None:  # vocabulary fully merged
+            break
+        merges.append(
+            Row(
+                merge_rank=k,
+                lhs=best.l,
+                rhs=best.r,
+                merged=best.l + best.r,
+                pair_count=int(best.cnt),
+            )
+        )
+        nxt = v.select(
+            "word", "freq", F.expr(_spark_merge_expr(best.l, best.r)).alias("T")
+        )
+        # keep the lineage shallow and the frame hot for the next round
+        nxt = nxt.cache()
+        nxt.count()
+        v.unpersist()
+        v = nxt
+    return merges, v
+
+
+@query("text_bpe_merges", oracle=_SQL_BPE_MERGES)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table: rank, pair, merged symbol, and the
+    weighted pair count at selection time — the artifact a tokenizer
+    ships (merges.txt)."""
+    merges, v = _train(Tables(spark, sf_dir))
+    v.unpersist()
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.LongType()),
+            T.StructField("lhs", T.StringType()),
+            T.StructField("rhs", T.StringType()),
+            T.StructField("merged", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+@query("text_bpe_segment", oracle=_SQL_BPE_SEGMENT)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer applied to its own vocabulary: each word's
+    subword segmentation after all K merges, with the subword count the
+    corpus token budget is computed from.  (Tokenizing NEW text is the
+    same transform chain replayed from the stored merge table.)"""
+    merges, v = _train(Tables(spark, sf_dir))
+    out = v.select(
+        "word",
+        "freq",
+        F.size("T").cast("long").alias("n_subwords"),
+        F.concat_ws(" ", "T").alias("segmentation"),
+    )
+    return out

@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.events",
     "etl_tpch_spark.queries.timeseries",
     "etl_tpch_spark.queries.text",
+    "etl_tpch_spark.queries.bpe",
     "etl_tpch_spark.queries.dedup",
     "etl_tpch_spark.queries.similarity",
     "etl_tpch_spark.queries.curation",  # after similarity: reuses its oracle
@@ -115,13 +116,18 @@ _QUERY_MODULES = (
 # r2-certified text siblings (text_lang_id, text_quality_score — the
 # quality definition stays live through corpus_report_card and
 # sample_quality_weighted, both of which consume quality_score).
+#
+# Fourth late-round-3 swap: the BPE tokenizer-training pair
+# (text_bpe_merges, text_bpe_segment) takes the slots of dedup_exact
+# (r2-certified; the dedup family keeps five live rows) and
+# events_funnel (r2-certified; events keeps session/rolling/anomaly/hll
+# rows live).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
     "topk_per_segment_window",
     "serving_top_orders_display",
     # dedup family
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -148,7 +154,9 @@ DRIVER_WINDOW = (
     "text_top_terms_per_lang",
     # event analytics / streaming batch-twins
     "events_session_window",
-    "events_funnel",
+    # tokenizer training (BPE — the vocabulary-build step)
+    "text_bpe_merges",
+    "text_bpe_segment",
     # time-series family (first driver certification, VERDICT r2 #6)
     "ts_gapfill_hourly",
     "ts_locf_hourly",

@@ -1,0 +1,84 @@
+"""BPE trainer (queries/bpe.py) vs an independent pure-Python
+reference implementation of the same algorithm — a third opinion
+besides the DuckDB unrolled-CTE oracle, and the place where the merge
+semantics (no self-pairs, merge-all-matches, (count, lhs, rhs)
+tie-break) are spelled out executably."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from etl_tpch_spark.queries.bpe import (
+    _BPE_K,
+    text_bpe_merges,
+    text_bpe_segment,
+)
+
+
+def _ref_bpe(word_freq: dict[str, int], k: int):
+    """Reference trainer: dict/Counter only, no Spark, no SQL."""
+    vocab = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: Counter = Counter()
+        for w, toks in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    counts[(a, b)] += f
+        if not counts:
+            break
+        # (count DESC, lhs, rhs): lexicographically-least pair among
+        # the maximal-count pairs
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        cnt = counts[best_pair]
+        l, r = best_pair
+        merges.append((rank, l, r, l + r, cnt))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_matches_pure_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wf: Counter = Counter()
+    for row in docs:
+        for w in row.text.split(" "):
+            if w:
+                wf[w] += 1
+    ref_merges, ref_vocab = _ref_bpe(dict(wf), _BPE_K)
+
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in text_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
+
+    seg = {r.word: r for r in text_bpe_segment(spark, sf_dir).collect()}
+    assert set(seg) == set(ref_vocab)
+    for w, toks in ref_vocab.items():
+        assert seg[w].segmentation == " ".join(toks)
+        assert seg[w].n_subwords == len(toks)
+        # subwords reassemble the word exactly
+        assert seg[w].segmentation.replace(" ", "") == w
+        assert seg[w].freq == wf[w]
+
+
+def test_bpe_merges_are_real(spark, sf_dir):
+    rows = text_bpe_merges(spark, sf_dir).collect()
+    assert len(rows) == _BPE_K
+    ranks = sorted(r.merge_rank for r in rows)
+    assert ranks == list(range(1, _BPE_K + 1))
+    for r in rows:
+        assert r.lhs != r.rhs  # self-pairs excluded by contract
+        assert r.merged == r.lhs + r.rhs
+        assert r.pair_count > 0
