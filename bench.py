@@ -60,6 +60,8 @@ HEADLINE = [
     "join_bloom_semi_orders",
     "text_bm25_topk",
     "sim_ann_topk_pq",
+    "text_duplicate_spans",
+    "text_bpe_merges",
 ]
 
 

@@ -147,7 +147,8 @@ def _word_vocab(t: Tables) -> DataFrame:
 
 def _train(t: Tables) -> tuple[list[Row], DataFrame]:
     """Run K merge rounds; returns (merge table rows, final vocab frame)."""
-    v = _word_vocab(t).cache()
+    v0 = _word_vocab(t).cache()
+    v = v0
     merges: list[Row] = []
     for k in range(1, _BPE_K + 1):
         pairs = (
@@ -181,14 +182,14 @@ def _train(t: Tables) -> tuple[list[Row], DataFrame]:
                 pair_count=int(best.cnt),
             )
         )
-        nxt = v.select(
+        # localCheckpoint truncates the lineage each round (the
+        # clusters/pagerank iterative pattern) — without it the final
+        # frame's plan nests K rounds of the merge expression and the
+        # printed plan grows 2^K scan nodes
+        v = v.select(
             "word", "freq", F.expr(_spark_merge_expr(best.l, best.r)).alias("T")
-        )
-        # keep the lineage shallow and the frame hot for the next round
-        nxt = nxt.cache()
-        nxt.count()
-        v.unpersist()
-        v = nxt
+        ).localCheckpoint(eager=True)
+    v0.unpersist()
     return merges, v
 
 
@@ -197,8 +198,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table: rank, pair, merged symbol, and the
     weighted pair count at selection time — the artifact a tokenizer
     ships (merges.txt)."""
-    merges, v = _train(Tables(spark, sf_dir))
-    v.unpersist()
+    merges, _ = _train(Tables(spark, sf_dir))
     schema = T.StructType(
         [
             T.StructField("merge_rank", T.LongType()),
