@@ -969,8 +969,19 @@ def _duplicate_spans(t: Tables) -> DataFrame:
        (shuffle on doc_id — tiny: only duplicated windows survive) to
        merge overlapping/abutting windows into maximal spans.
     Nothing quadratic, no text re-crosses a shuffle after step 2."""
-    from pyspark.sql import Window as W
+    wins = _window_hashes(t)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    return _merge_islands(wins.join(dup, "h").select("doc_id", "pos"))
 
+
+def _window_hashes(t: Tables) -> DataFrame:
+    """(doc_id, pos, h): every _SPAN_W-token sliding window, keyed by
+    the 16-byte md5 of its text (internal pruning key, oracle-exempt)."""
     toks = tokens(F.col("text"))
     d = t.documents.select("doc_id", toks.alias("W")).filter(
         F.size("W") >= _SPAN_W
@@ -979,16 +990,15 @@ def _duplicate_spans(t: Tables) -> DataFrame:
         f"transform(sequence(0, size(W) - {_SPAN_W}), "
         f"i -> concat_ws(' ', slice(W, i + 1, {_SPAN_W})))"
     )
-    wins = d.select(
+    return d.select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     ).select("doc_id", "pos", F.unhex(F.md5("gram")).alias("h"))
-    dup = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    hits = wins.join(dup, "h").select("doc_id", "pos")
+
+
+def _merge_islands(hits: DataFrame) -> DataFrame:
+    """(doc_id, pos) window hits → maximal disjoint span intervals."""
+    from pyspark.sql import Window as W
+
     wlag = W.partitionBy("doc_id").orderBy("pos")
     flg = hits.withColumn(
         "new_isl",
@@ -1088,4 +1098,129 @@ def text_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             dup_tokens * 1.0 / F.greatest("n_tokens", F.lit(1)), 6
         ).alias("dup_frac"),
+    )
+
+
+@query(
+    "text_span_dedup_clean",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, i - 1 AS pos, {_SQL_SPAN_GRAM} AS gram
+            FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents),
+                 unnest(range(1, len(W) - {_SPAN_W} + 2)) AS t(i)
+        ),
+        own AS (
+            SELECT gram, min(doc_id) AS owner FROM w
+            GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        ),
+        hit AS (
+            SELECT w.doc_id, w.pos FROM w JOIN own USING (gram)
+            WHERE w.doc_id > own.owner
+        ),
+        flg AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM hit
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flg
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + {_SPAN_W} - 1 AS span_end
+            FROM isl GROUP BY doc_id, isl
+        ),
+        tok AS (
+            SELECT doc_id, i - 1 AS pos, W[i] AS tok
+            FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents),
+                 unnest(range(1, len(W) + 1)) AS t(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tok t LEFT JOIN spans s
+              ON t.doc_id = s.doc_id
+             AND t.pos BETWEEN s.span_start AND s.span_end
+            WHERE s.doc_id IS NULL
+        ),
+        re AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.W) AS BIGINT) AS n_tokens,
+               CAST(len(d.W) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM (SELECT doc_id, {_SQL_TOKS} AS W FROM documents) d
+        LEFT JOIN re r USING (doc_id)
+    """,
+)
+def text_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CLEANING transform — the step Lee et al. actually
+    ship: every duplicated span is kept in exactly one place (the
+    lowest doc_id containing the window — first-seen-wins, matching the
+    corpus-tick victim policy) and cut everywhere else, with the
+    surviving tokens reassembled into the cleaned text.
+
+    Ownership is per window: a window hit is removable iff its gram's
+    first-seen doc is a different document, so partially-owned regions
+    cut only the windows this doc does not own.  Removable windows
+    merge to maximal disjoint intervals (gaps-and-islands, shared with
+    text_duplicate_spans); tokens inside any interval drop via one
+    anti range-join on (doc_id, pos) — equi on doc_id, so it shuffles
+    once on the doc key, never pairwise.  Reassembly is an ordered
+    aggregation per doc (array_sort of (pos, tok) structs — the
+    deterministic collect recipe).  Docs that own everything (or share
+    nothing) pass through verbatim; a fully-duplicated doc cleans to
+    the empty string, i.e. span dedup subsumes exact-doc dedup."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    d = t.documents.select("doc_id", toks.alias("W"))
+    wins = _window_hashes(t)
+    own = (
+        wins.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("h", "owner")
+    )
+    hits = (
+        wins.join(own, "h")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    spans = _merge_islands(hits).select("doc_id", "span_start", "span_end")
+    tok = d.select("doc_id", F.posexplode("W").alias("pos", "tok"))
+    s = spans.withColumnRenamed("doc_id", "s_doc")
+    kept = tok.join(
+        s,
+        (tok.doc_id == s.s_doc)
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return d.join(re, "doc_id", "left").select(
+        "doc_id",
+        F.size("W").cast("long").alias("n_tokens"),
+        (F.size("W") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

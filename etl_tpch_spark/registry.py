@@ -121,7 +121,10 @@ _QUERY_MODULES = (
 # (text_bpe_merges, text_bpe_segment) takes the slots of dedup_exact
 # (r2-certified; the dedup family keeps five live rows) and
 # events_funnel (r2-certified; events keeps session/rolling/anomaly/hll
-# rows live).
+# rows live).  text_span_dedup_clean (the ExactSubstr cleaning
+# transform) then takes text_contamination's slot (r2-certified; the
+# curation family keeps sample_hash_split/chunking/report-card/
+# quality-weighted rows live).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -140,7 +143,7 @@ DRIVER_WINDOW = (
     # corpus curation
     "sample_hash_split",
     "text_chunking",
-    "text_contamination",
+    "text_span_dedup_clean",
     "dedup_embedding_clusters",
     # similarity graph analytics
     "graph_degree_distribution",

@@ -25,7 +25,7 @@ def test_window_covers_differentiating_operators():
         "events_session_window",
         "corpus_curation",
         "graph_pagerank",
-        "text_contamination",
+        "text_span_dedup_clean",
         "inference_batch_scores",
     }
     assert must_have <= set(DRIVER_WINDOW)

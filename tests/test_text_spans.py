@@ -52,3 +52,35 @@ def test_stats_roll_up_from_span_table(spark, sf_dir):
         assert abs(row.dup_frac - round(row.dup_tokens / max(row.n_tokens, 1), 6)) < 1e-12
     # the fixture's planted near-dups must surface as a real dup budget
     assert sum(dup.values()) > 0
+
+
+def _is_subsequence(small: list[str], big: list[str]) -> bool:
+    it = iter(big)
+    return all(tok in it for tok in (iter(small)))
+
+
+def test_clean_transform_invariants(spark, sf_dir):
+    from etl_tpch_spark.queries.text import text_span_dedup_clean
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = text_span_dedup_clean(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    removed_total = 0
+    for r in rows:
+        orig = [t for t in docs[r.doc_id].split(" ") if t]
+        clean = [t for t in r.clean_text.split(" ") if t]
+        # conservation: removed + kept == original token count
+        assert r.n_tokens == len(orig)
+        assert r.n_removed == len(orig) - len(clean)
+        assert 0 <= r.n_removed <= r.n_tokens
+        # kept tokens are an order-preserving subsequence of the original
+        assert _is_subsequence(clean, orig), r.doc_id
+        removed_total += r.n_removed
+    # the fixture's planted near-dups must actually get cut somewhere
+    assert removed_total > 0
+    # first-seen-wins: the globally lowest doc_id can never lose a span
+    # (no owner can precede it)
+    assert next(r for r in rows if r.doc_id == min(docs)).n_removed == 0
