@@ -1,0 +1,146 @@
+"""Span-level exact-substring dedup kernels + the persisted window
+index (the ExactSubstr counterpart of the MinHash lifecycle in
+dedup/index.py).
+
+The batch operator (queries/text.py text_duplicate_spans) re-windows
+the whole corpus per run.  Window keys are content hashes — a stored
+document's (pos, md5(gram)) rows never change — so at scale the window
+table is a stored artifact: a TxTable of (doc_id, pos, h) clustered by
+append order, with exactly-once crawl-batch ids.  A daily tick then
+windows ONLY the new batch (one pass over new text), appends, and
+finds duplicated spans touching the new docs entirely from stored
+hashes — O(new) hash work per tick, the corpus contributes a columnar
+index scan.
+
+Reference parity note: the reference keeps derived state in Delta
+tables between runs (reference pipeline/preprocess.py:41-76); same
+lifecycle, applied to the span-dedup index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..pipeline.txlog import TxTable
+
+SPAN_W = 8  # minimum duplicated run, in tokens (Lee et al. use 50 BPE
+# tokens; fixture docs are ~100 words, so 8 keeps span statistics real)
+
+
+def window_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): every SPAN_W-token sliding window of ``docs``
+    (doc_id, text), keyed by the 16-byte md5 of its text — an internal
+    pruning key (oracle-exempt: outputs are integer positions)."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("W")).filter(
+        F.size("W") >= SPAN_W
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(W) - {SPAN_W}), "
+        f"i -> concat_ws(' ', slice(W, i + 1, {SPAN_W})))"
+    )
+    return d.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.unhex(F.md5("gram")).alias("h"))
+
+
+def merge_islands(hits: DataFrame) -> DataFrame:
+    """(doc_id, pos) duplicated-window hits → maximal span intervals
+    (doc_id, span_start, span_end, n_tokens, n_windows), all BIGINT.
+
+    Gaps-and-islands: windows at p1 < p2 cover one contiguous token
+    run iff p2 <= p1 + SPAN_W, so a gap strictly greater than SPAN_W
+    starts a new island — making the result intervals disjoint AND
+    non-abutting (maximality), which is what lets consumers sum their
+    lengths as an exact union size."""
+    from pyspark.sql import Window as W
+
+    wlag = W.partitionBy("doc_id").orderBy("pos")
+    flg = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wlag) > SPAN_W, 1
+        ).otherwise(0),
+    )
+    isl = flg.withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            wlag.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_W - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+
+
+class SpanIndex:
+    """A TxTable of (doc_id, pos, h) window rows — the persisted state
+    of daily-crawl span dedup."""
+
+    def __init__(self, path: str) -> None:
+        self.table = TxTable(path)
+
+    def ingest(self, docs: DataFrame, *, batch_id: str | None = None) -> int:
+        """Window ``docs`` (one pass over the new text only) and append
+        atomically; a replayed ``batch_id`` ingests nothing."""
+        return self.table.append(window_hashes(docs), batch_id=batch_id)
+
+    def windows(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of the stored window rows."""
+        return self.table.read(spark, version)
+
+    def spans_touching(
+        self, spark: SparkSession, new_ids: DataFrame
+    ) -> DataFrame:
+        """Duplicated spans in the ``new_ids`` documents, computed
+        ENTIRELY from stored hashes: the new docs' stored windows join
+        the full index on h (any OTHER doc ⇒ duplicated), then islands
+        merge per doc.  No text is tokenized or hashed in this plan
+        (pinned by tests/test_span_index.py's plan audit)."""
+        idx = self.windows(spark)
+        mine = idx.join(F.broadcast(new_ids.select("doc_id")), "doc_id")
+        other = idx.select(
+            F.col("doc_id").alias("o_doc"), F.col("h").alias("h")
+        )
+        hits = (
+            mine.join(other, "h")
+            .filter(F.col("doc_id") != F.col("o_doc"))
+            .select("doc_id", "pos")
+            .distinct()
+        )
+        return merge_islands(hits)
+
+    def tick(
+        self,
+        spark: SparkSession,
+        new_docs: DataFrame,
+        *,
+        batch_id: str | None = None,
+    ) -> DataFrame:
+        """One daily-crawl tick: ingest the new batch's windows
+        (idempotent), then return the duplicated spans in it.  Cost:
+        one windowing pass over the NEW batch + columnar index scans —
+        O(new), not O(corpus)."""
+        self.ingest(new_docs, batch_id=batch_id)
+        return self.spans_touching(spark, new_docs.select("doc_id"))
+
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """OPTIMIZE the accreted daily appends (file-count hygiene)."""
+        return self.table.compact(spark, target_files=target_files)

@@ -906,8 +906,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # otherwise-distinct documents (licenses, headers, quoted passages) that
 # doc-level similarity is blind to.
 
-_SPAN_W = 8  # minimum duplicated run, in tokens (the paper uses 50 BPE
-# tokens; fixture docs are ~100 words, so 8 keeps span statistics real)
+# windowing/island kernels + the persisted index live in dedup/spans.py
+# (shared with the incremental tick); _SPAN_W aliases the one constant.
+from ..dedup.spans import (  # noqa: E402
+    SPAN_W as _SPAN_W,
+    merge_islands as _merge_islands,
+    window_hashes,
+)
 
 _SQL_SPAN_GRAM = (
     "W[i] || ' ' || W[i+1] || ' ' || W[i+2] || ' ' || W[i+3] || ' ' || "
@@ -969,7 +974,7 @@ def _duplicate_spans(t: Tables) -> DataFrame:
        (shuffle on doc_id — tiny: only duplicated windows survive) to
        merge overlapping/abutting windows into maximal spans.
     Nothing quadratic, no text re-crosses a shuffle after step 2."""
-    wins = _window_hashes(t)
+    wins = window_hashes(t.documents)
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -977,58 +982,6 @@ def _duplicate_spans(t: Tables) -> DataFrame:
         .select("h")
     )
     return _merge_islands(wins.join(dup, "h").select("doc_id", "pos"))
-
-
-def _window_hashes(t: Tables) -> DataFrame:
-    """(doc_id, pos, h): every _SPAN_W-token sliding window, keyed by
-    the 16-byte md5 of its text (internal pruning key, oracle-exempt)."""
-    toks = tokens(F.col("text"))
-    d = t.documents.select("doc_id", toks.alias("W")).filter(
-        F.size("W") >= _SPAN_W
-    )
-    grams = F.expr(
-        f"transform(sequence(0, size(W) - {_SPAN_W}), "
-        f"i -> concat_ws(' ', slice(W, i + 1, {_SPAN_W})))"
-    )
-    return d.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    ).select("doc_id", "pos", F.unhex(F.md5("gram")).alias("h"))
-
-
-def _merge_islands(hits: DataFrame) -> DataFrame:
-    """(doc_id, pos) window hits → maximal disjoint span intervals."""
-    from pyspark.sql import Window as W
-
-    wlag = W.partitionBy("doc_id").orderBy("pos")
-    flg = hits.withColumn(
-        "new_isl",
-        F.when(F.col("pos") - F.lag("pos").over(wlag) > _SPAN_W, 1).otherwise(
-            0
-        ),
-    )
-    isl = flg.withColumn(
-        "isl",
-        F.sum("new_isl").over(
-            wlag.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    return (
-        isl.groupBy("doc_id", "isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + _SPAN_W - 1).alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
-        )
-        .select(
-            "doc_id",
-            F.col("span_start").cast("long").alias("span_start"),
-            F.col("span_end").cast("long").alias("span_end"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("n_tokens"),
-            F.col("n_windows").cast("long").alias("n_windows"),
-        )
-    )
 
 
 @query(
@@ -1182,7 +1135,7 @@ def text_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     toks = tokens(F.col("text"))
     d = t.documents.select("doc_id", toks.alias("W"))
-    wins = _window_hashes(t)
+    wins = window_hashes(t.documents)
     own = (
         wins.groupBy("h")
         .agg(
@@ -1224,3 +1177,39 @@ def text_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+@query(
+    "text_span_dedup_incremental",
+    oracle=f"""
+        WITH {_SQL_SPAN_ISLANDS}
+        SELECT doc_id,
+               CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end   AS BIGINT) AS span_end,
+               CAST(n_tokens   AS BIGINT) AS n_tokens,
+               CAST(n_windows  AS BIGINT) AS n_windows
+        FROM spans WHERE doc_id % 2 = 1
+    """,
+)
+def text_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl span dedup through the PERSISTED window index
+    (dedup/spans.py SpanIndex): even doc_ids play the existing corpus
+    (ingested as yesterday's index state), odd ids the new batch.  The
+    tick windows ONLY the new batch, appends to the index TxTable
+    (exactly-once batch ids), and finds the new docs' duplicated spans
+    entirely from STORED hashes — O(new) hash work per tick; the
+    corpus contributes a columnar index scan, never a re-tokenization.
+    Output ≡ text_duplicate_spans restricted to the new batch (islands
+    are per-doc, so restricting the doc set commutes with the merge);
+    the equivalence and the no-re-hashing plan audit are pinned in
+    tests/test_span_index.py."""
+    import tempfile
+
+    from ..dedup.spans import SpanIndex
+
+    t = Tables(spark, sf_dir)
+    corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
+    new = t.documents.filter(F.col("doc_id") % 2 == 1)
+    idx = SpanIndex(tempfile.mkdtemp(prefix="span-idx-"))
+    idx.ingest(corpus, batch_id="corpus-day0")
+    return idx.tick(spark, new, batch_id="crawl-day1")

@@ -124,7 +124,9 @@ _QUERY_MODULES = (
 # rows live).  text_span_dedup_clean (the ExactSubstr cleaning
 # transform) then takes text_contamination's slot (r2-certified; the
 # curation family keeps sample_hash_split/chunking/report-card/
-# quality-weighted rows live).
+# quality-weighted rows live).  text_span_dedup_incremental (the
+# persisted-index daily tick) then takes udtf_tokenize_positions's
+# slot (r2-certified API demo; the UDTF surface stays pytest-covered).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -153,7 +155,7 @@ DRIVER_WINDOW = (
     "text_duplicate_spans",
     "text_span_dedup_stats",
     "corpus_curation",
-    "udtf_tokenize_positions",
+    "text_span_dedup_incremental",
     "text_top_terms_per_lang",
     # event analytics / streaming batch-twins
     "events_session_window",
