@@ -169,3 +169,103 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components hash-checkable.  Per round: one shuffle join
     edges⋈ranks + one aggregate."""
     return pagerank(_edges(spark, sf_dir), iterations=3)
+
+
+# ---------------------------------------------------------------- round 3
+# (continuation): k-core decomposition — the density-peel measurement.
+
+_KCORE_K = 4  # minimum within-core degree
+_KCORE_ROUNDS = 6  # fixed peel rounds (both engines run exactly this
+# many, so cross-engine equality holds whether or not the peel has
+# converged; at the default fixture it reaches the true fixpoint —
+# pinned by tests/test_graph_kcore.py)
+_KCORE_THRESHOLD = 0.2  # looser than PAIR_THRESHOLD: the k-core is a
+# DENSITY question, interesting on the borderline-similarity graph
+# (at 0.4 the graph is only tight near-dup cliques and the 4-core
+# peels to nothing)
+
+
+def _kcore_round_sql(prev: str, this: str) -> str:
+    """One unrolled peel round: keep edges whose endpoints both
+    survived, recount degrees, keep nodes at >= K."""
+    return f"""
+        e{this} AS (
+            SELECT e.vec_a, e.vec_b FROM e
+            JOIN k{prev} a ON e.vec_a = a.vec_id
+            JOIN k{prev} b ON e.vec_b = b.vec_id
+        ),
+        d{this} AS (
+            SELECT v AS vec_id, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT vec_a AS v FROM e{this}
+                  UNION ALL SELECT vec_b AS v FROM e{this})
+            GROUP BY v
+        ),
+        k{this} AS (
+            SELECT vec_id FROM d{this} WHERE deg >= {_KCORE_K}
+        )"""
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+        WITH e AS MATERIALIZED (
+            -- referenced 2x per peel round; MATERIALIZED stops the
+            -- optimizer inlining the whole pair kernel 12x (which
+            -- exhausts file handles re-opening the parquet per copy)
+            SELECT vec_a, vec_b
+            FROM ({cell_pairs_sql(_KCORE_THRESHOLD)}) pairs
+        ),
+        k0 AS (
+            SELECT DISTINCT v AS vec_id
+            FROM (SELECT vec_a AS v FROM e UNION ALL SELECT vec_b FROM e)
+        ),
+        {",".join(_kcore_round_sql(str(r - 1), str(r))
+                  for r in range(1, _KCORE_ROUNDS + 1))}
+        SELECT vec_id, deg AS core_degree
+        FROM d{_KCORE_ROUNDS} WHERE deg >= {_KCORE_K}
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the similarity graph (k={_KCORE_K},
+    bounded at {_KCORE_ROUNDS} peel rounds): iteratively strip nodes
+    with fewer than k surviving neighbors; what remains is the densely
+    interconnected content region — the standard graph-density
+    curation signal (a large k-core = a heavily cross-duplicated
+    content cluster that per-pair dedup underestimates; SemDeDup-style
+    pruning targets exactly these regions).
+
+    Plan per round: re-join the (checkpointed-once) edge list against
+    the surviving-node set on each endpoint, recount degrees — two
+    node-keyed shuffles per round, nothing touches embeddings after
+    the initial cell-scoped pair kernel.  Peel-round frames shrink
+    monotonically; the fixed round budget keeps both engines on the
+    identical computation whether or not the peel has converged (at
+    the test fixture it has — asserted in tests/test_graph_kcore.py)."""
+    t = Tables(spark, sf_dir)
+    e = (
+        cosine_pairs_threshold_cells(t.embeddings, _KCORE_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    both = e.select(F.col("vec_a").alias("vec_id")).unionAll(
+        e.select(F.col("vec_b").alias("vec_id"))
+    )
+    keep = both.distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        ka = keep.select(F.col("vec_id").alias("a_id"))
+        kb = keep.select(F.col("vec_id").alias("b_id"))
+        er = e.join(ka, e.vec_a == ka.a_id).join(kb, e.vec_b == kb.b_id)
+        deg = (
+            er.select(F.col("vec_a").alias("vec_id"))
+            .unionAll(er.select(F.col("vec_b").alias("vec_id")))
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("vec_id")
+        # node frames shrink monotonically; checkpoint keeps the plan
+        # linear in rounds instead of exponential in self-references
+        keep = keep.localCheckpoint(eager=False)
+    return keep.join(deg, "vec_id").select(
+        "vec_id", F.col("deg").cast("long").alias("core_degree")
+    )

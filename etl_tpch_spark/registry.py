@@ -126,7 +126,9 @@ _QUERY_MODULES = (
 # curation family keeps sample_hash_split/chunking/report-card/
 # quality-weighted rows live).  text_span_dedup_incremental (the
 # persisted-index daily tick) then takes udtf_tokenize_positions's
-# slot (r2-certified API demo; the UDTF surface stays pytest-covered).
+# slot (r2-certified API demo; the UDTF surface stays pytest-covered),
+# and graph_kcore takes graph_degree_distribution's (r2-certified; the
+# graph family keeps triangle/pagerank/kcore rows live).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -148,7 +150,7 @@ DRIVER_WINDOW = (
     "text_span_dedup_clean",
     "dedup_embedding_clusters",
     # similarity graph analytics
-    "graph_degree_distribution",
+    "graph_kcore",
     "graph_triangle_count",
     "graph_pagerank",
     # text analysis
