@@ -80,3 +80,32 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     for name in names:
         if os.path.exists(table_path(sf_dir, name)):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scratch_index_dir(kind: str, sf_dir: str, *, wipe: bool = False) -> str:
+    """Deterministic scratch directory for a query-built index over
+    ``sf_dir``'s tables — one dir per (kind, dataset) REUSED across
+    invocations instead of a fresh mkdtemp leaked per run.
+
+    The key folds in the documents table's (mtime, size), so a
+    regenerated fixture at the same path can never hit a stale index.
+    ``wipe=False`` (append-style indexes with idempotent batch ids):
+    reuse IS the lifecycle — the second run finds a warm index and
+    ingests nothing.  ``wipe=True`` (overwrite-built indexes): start
+    clean so repeated builds don't accrete old table versions."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    real = os.path.realpath(sf_dir)
+    try:
+        st = os.stat(table_path(real, "documents"))
+        stamp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        stamp = "nodocs"
+    key = hashlib.md5(f"{real}|{stamp}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{kind}-{key}")
+    if wipe and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path

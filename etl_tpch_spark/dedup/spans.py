@@ -115,7 +115,10 @@ class SpanIndex:
         merge per doc.  No text is tokenized or hashed in this plan
         (pinned by tests/test_span_index.py's plan audit)."""
         idx = self.windows(spark)
-        mine = idx.join(F.broadcast(new_ids.select("doc_id")), "doc_id")
+        # no broadcast hint: a daily batch's id set is broadcastable at
+        # fixture scale but can be tens of millions of rows at 100 TB —
+        # leave the strategy to the optimizer/AQE
+        mine = idx.join(new_ids.select("doc_id"), "doc_id")
         other = idx.select(
             F.col("doc_id").alias("o_doc"), F.col("h").alias("h")
         )

@@ -37,11 +37,10 @@ from pyspark.sql import types as T
 from ..catalog import Tables
 from ..functions.text import tokens
 from ..registry import query
+from .text import _SQL_TOKS
 
 _BPE_K = 6  # merge rounds (fixture vocabulary saturates quickly; real
 # tokenizers run 30k-100k rounds of the same per-round plan)
-
-_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
 # ---------------------------------------------------------------- oracle
@@ -83,8 +82,14 @@ def _bpe_ctes() -> str:
         ), b{k} AS (
             SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
         ), v{k} AS (
-            SELECT word, freq, {_sql_merge_apply('T', f'b{k}')} AS T
-            FROM v{k-1} CROSS JOIN b{k}
+            -- LEFT JOIN, not CROSS: when merge candidates dry up
+            -- before round K (empty b{{k}}), the vocabulary must pass
+            -- through unchanged — matching the engine loop's break —
+            -- not annihilate to zero rows
+            SELECT word, freq,
+                   CASE WHEN b{k}.l IS NULL THEN T
+                        ELSE {_sql_merge_apply('T', f'b{k}')} END AS T
+            FROM v{k-1} LEFT JOIN b{k} ON TRUE
         )"""
         )
     return ",\n".join(parts)
@@ -225,3 +230,47 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "T").alias("segmentation"),
     )
     return out
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=(
+        "WITH "
+        + _bpe_ctes()
+        + f""",
+        seg AS (
+            SELECT word, CAST(len(T) AS BIGINT) AS n_sub FROM v{_BPE_K}
+        ),
+        tok AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS ws_tokens,
+               CAST(sum(n_sub) AS BIGINT) AS bpe_tokens
+        FROM tok JOIN seg USING (word)
+        GROUP BY doc_id"""
+    ),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token budget per document: apply the trained merge
+    table to every word (one join of the exploded corpus against the
+    trained vocabulary's segmentation — every corpus word is in the
+    vocabulary by construction) and sum subword counts.  Replaces the
+    regex proxy (text_token_counts bpe_ish_tokens) with the trained
+    tokenizer's own counts — the number that decides epochs, packing,
+    and cost for an LLM training run.
+
+    Scale shape: training as in text_bpe_merges; application is one
+    corpus-sized explode + one join keyed on word against the
+    vocabulary frame (optimizer picks broadcast vs shuffle by vocab
+    size) + one per-doc aggregate."""
+    t = Tables(spark, sf_dir)
+    _, v = _train(t)
+    seg = v.select("word", F.size("T").cast("long").alias("n_sub"))
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return tok.join(seg, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ws_tokens"),
+        F.sum("n_sub").alias("bpe_tokens"),
+    )

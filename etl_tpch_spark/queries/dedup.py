@@ -351,14 +351,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence with the batch operator minus corpus-internal pairs is
     pinned in tests/test_operators_unit.py, the index-path plan audit
     in tests/test_dedup_index.py."""
-    import tempfile
+    from ..catalog import scratch_index_dir
 
     from ..dedup.index import MinHashIndex
 
     t = Tables(spark, sf_dir)
     corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
     new = t.documents.filter(F.col("doc_id") % 2 == 1)
-    idx = MinHashIndex(tempfile.mkdtemp(prefix="minhash-idx-"))
+    idx = MinHashIndex(scratch_index_dir("minhash-idx", sf_dir))
     idx.ingest(corpus, batch_id="corpus-day0")
     return idx.tick(spark, new, JACCARD_THRESHOLD, batch_id="crawl-day1")
 

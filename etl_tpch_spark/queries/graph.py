@@ -175,10 +175,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (continuation): k-core decomposition — the density-peel measurement.
 
 _KCORE_K = 4  # minimum within-core degree
-_KCORE_ROUNDS = 6  # fixed peel rounds (both engines run exactly this
+_KCORE_ROUNDS = 10  # fixed peel rounds (both engines run exactly this
 # many, so cross-engine equality holds whether or not the peel has
-# converged; at the default fixture it reaches the true fixpoint —
-# pinned by tests/test_graph_kcore.py)
+# converged; 10 reaches the true fixpoint on BOTH fixture scales —
+# sf0.001 converges in 4 rounds, sf0.01 in 8 — pinned by
+# tests/test_graph_kcore.py)
 _KCORE_THRESHOLD = 0.2  # looser than PAIR_THRESHOLD: the k-core is a
 # DENSITY question, interesting on the borderline-similarity graph
 # (at 0.4 the graph is only tight near-dup cliques and the 4-core
@@ -200,7 +201,10 @@ def _kcore_round_sql(prev: str, this: str) -> str:
                   UNION ALL SELECT vec_b AS v FROM e{this})
             GROUP BY v
         ),
-        k{this} AS (
+        k{this} AS MATERIALIZED (
+            -- referenced twice by the next round's edge join; without
+            -- MATERIALIZED the optimizer inlines the whole peel chain
+            -- 2x per round (2^rounds blowup)
             SELECT vec_id FROM d{this} WHERE deg >= {_KCORE_K}
         )"""
 
@@ -226,8 +230,8 @@ def _kcore_round_sql(prev: str, this: str) -> str:
     """,
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition of the similarity graph (k={_KCORE_K},
-    bounded at {_KCORE_ROUNDS} peel rounds): iteratively strip nodes
+    """k-core decomposition of the similarity graph (k=4, bounded
+    at 10 peel rounds — _KCORE_K/_KCORE_ROUNDS): iteratively strip nodes
     with fewer than k surviving neighbors; what remains is the densely
     interconnected content region — the standard graph-density
     curation signal (a large k-core = a heavily cross-duplicated

@@ -401,13 +401,13 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the build runs on the maintenance cadence and queries never
     retrain (tests/test_ivf_index.py pins result equality, file
     pruning, and rebuild-on-append)."""
-    import tempfile
+    from ..catalog import scratch_index_dir
 
     from ..similarity.index import IVFIndex
 
     t = Tables(spark, sf_dir)
     idx = IVFIndex.build(
-        tempfile.mkdtemp(prefix="ivf-idx-"),
+        scratch_index_dir("ivf-idx", sf_dir, wipe=True),
         t.embeddings,
         n_cells=N_CELLS,
         iters=N_IVF_ITERS,
@@ -798,13 +798,13 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     training ⇒ identical results ⇒ the sim_ann_topk_ivfpq oracle
     applies verbatim (tests/test_ivfpq_index.py pins equality, file
     pruning and rebuild determinism)."""
-    import tempfile
+    from ..catalog import scratch_index_dir
 
     from ..similarity.pq import IVFPQIndex
 
     t = Tables(spark, sf_dir)
     idx = IVFPQIndex.build(
-        tempfile.mkdtemp(prefix="ivfpq-idx-"), t.embeddings,
+        scratch_index_dir("ivfpq-idx", sf_dir, wipe=True), t.embeddings,
         n_cells=N_CELLS, cell_iters=N_IVF_ITERS,
     )
     queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))

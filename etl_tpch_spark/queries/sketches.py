@@ -332,3 +332,183 @@ def join_bloom_semi_orders(
         )
         .orderBy("o_orderpriority")
     )
+
+
+_HLL_OVERLAP_ORACLE = f"""
+    WITH h AS (
+        SELECT date_trunc('day', ts) AS day,
+               {sql_token_hash("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    rr AS (
+        SELECT day, h % {_M_DAILY} AS reg,
+               CASE WHEN (h >> 6) = 0 THEN {_RANK_MAX_DAILY}
+                    ELSE {_RANK_MAX_DAILY} - length(bin(h >> 6)) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT day, reg, max(rho) AS m_rho FROM rr GROUP BY 1, 2
+    ),
+    -- union sketch of (p, p+1day): every register row feeds pair p=day
+    -- (as side A) and pair p=day-1 (as side B); max-merge per register
+    contrib AS (
+        SELECT day AS p, reg, m_rho FROM regs
+        UNION ALL
+        SELECT day - INTERVAL 1 DAY AS p, reg, m_rho FROM regs
+    ),
+    u_regs AS (
+        SELECT p, reg, max(m_rho) AS m_rho FROM contrib GROUP BY 1, 2
+    ),
+    est_day AS (
+        SELECT day AS k,
+               round(CASE WHEN raw_est <= {2.5 * _M_DAILY!r} AND v > 0
+                          THEN list_extract({_lc_sql_table(_M_DAILY)}, v)
+                          ELSE raw_est END, 4) AS est
+        FROM (
+            SELECT day,
+                   {_C_DAILY} / (s_hit + ({_M_DAILY} - hit)
+                                 * CAST(1 AS DOUBLE)) AS raw_est,
+                   CAST({_M_DAILY} - hit AS INT) AS v
+            FROM (
+                SELECT day, count(*) AS hit,
+                       sum(CAST(1 AS DOUBLE)
+                           / (CAST(1 AS BIGINT) << m_rho)) AS s_hit
+                FROM regs GROUP BY 1
+            )
+        )
+    ),
+    est_union AS (
+        SELECT p AS k,
+               round(CASE WHEN raw_est <= {2.5 * _M_DAILY!r} AND v > 0
+                          THEN list_extract({_lc_sql_table(_M_DAILY)}, v)
+                          ELSE raw_est END, 4) AS est
+        FROM (
+            SELECT p,
+                   {_C_DAILY} / (s_hit + ({_M_DAILY} - hit)
+                                 * CAST(1 AS DOUBLE)) AS raw_est,
+                   CAST({_M_DAILY} - hit AS INT) AS v
+            FROM (
+                SELECT p, count(*) AS hit,
+                       sum(CAST(1 AS DOUBLE)
+                           / (CAST(1 AS BIGINT) << m_rho)) AS s_hit
+                FROM u_regs GROUP BY 1
+            )
+        )
+    ),
+    du AS (SELECT DISTINCT day, user_id FROM
+           (SELECT date_trunc('day', ts) AS day, user_id FROM events)),
+    truth AS (
+        SELECT a.day AS day, CAST(count(*) AS BIGINT) AS true_overlap
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY 1
+    )
+    SELECT a.k AS day,
+           a.est AS est_day_users,
+           b.est AS est_next_users,
+           u.est AS est_union,
+           round(a.est + b.est - u.est, 4) AS est_overlap,
+           COALESCE(t.true_overlap, 0) AS true_overlap
+    FROM est_day a
+    JOIN est_day b ON b.k = a.k + INTERVAL 1 DAY
+    JOIN est_union u ON u.k = a.k
+    LEFT JOIN truth t ON t.day = a.k
+    ORDER BY day
+"""
+
+
+@query("events_hll_overlap", oracle=_HLL_OVERLAP_ORACLE)
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained users estimated ENTIRELY from HLL
+    registers: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+    sketch is the per-register MAX of the two days' stored registers —
+    the sketch set-operation that turns the persisted HLL index
+    (pipeline/hll_index.py) into a retention dashboard with ZERO raw
+    event re-scans (here events are read once to build the daily
+    registers; with the index the registers are already stored).
+    Exact day-pair overlap rides along as the accuracy audit
+    (inclusion-exclusion compounds the ±13% per-sketch error).
+
+    Scale shape: register frames are days×64 rows — the pair merge,
+    union estimate and final join all run on sketch-sized data however
+    many events exist."""
+    t = Tables(spark, sf_dir)
+    rows = t.events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    scored = _hll_spark(rows, F.col("k"), _M_DAILY, _RANK_MAX_DAILY)
+    regs = scored.groupBy("day", "reg").agg(F.max("rho").alias("m_rho"))
+
+    def _est(frame: DataFrame, key: str, out: str) -> DataFrame:
+        agg = frame.groupBy(key).agg(
+            F.count(F.lit(1)).alias("hit"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("shiftleft(CAST(1 AS BIGINT), m_rho)")
+            ).alias("s_hit"),
+        )
+        raw = F.lit(float(_C_DAILY)) / (
+            F.col("s_hit") + (F.lit(_M_DAILY) - F.col("hit")) * F.lit(1.0)
+        )
+        return agg.select(
+            F.col(key).alias("k"),
+            _corrected_est_spark(raw, F.col("hit"), _M_DAILY).alias(out),
+        )
+
+    contrib = regs.select(
+        F.col("day").alias("p"), "reg", "m_rho"
+    ).unionAll(
+        regs.select(
+            (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("p"),
+            "reg",
+            "m_rho",
+        )
+    )
+    u_regs = contrib.groupBy("p", "reg").agg(F.max("m_rho").alias("m_rho"))
+
+    est_day = _est(regs, "day", "est")
+    est_union = _est(u_regs, "p", "est")
+
+    du = (
+        t.events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    db = du.select(F.col("day").alias("day_b"), F.col("user_id").alias("u"))
+    truth = (
+        du.join(
+            db,
+            (F.col("user_id") == F.col("u"))
+            & (F.col("day_b") == F.col("day") + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_overlap"))
+    )
+
+    a = est_day.select(F.col("k").alias("day"), F.col("est").alias("est_day_users"))
+    b = est_day.select(
+        (F.col("k") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("est").alias("est_next_users"),
+    )
+    u = est_union.select(F.col("k").alias("day"), F.col("est").alias("est_union"))
+    return (
+        a.join(b, "day")
+        .join(u, "day")
+        .join(truth, "day", "left")
+        .select(
+            "day",
+            "est_day_users",
+            "est_next_users",
+            "est_union",
+            F.round(
+                F.col("est_day_users")
+                + F.col("est_next_users")
+                - F.col("est_union"),
+                4,
+            ).alias("est_overlap"),
+            F.coalesce("true_overlap", F.lit(0)).alias("true_overlap"),
+        )
+        .orderBy("day")
+    )

@@ -914,9 +914,10 @@ from ..dedup.spans import (  # noqa: E402
     window_hashes,
 )
 
-_SQL_SPAN_GRAM = (
-    "W[i] || ' ' || W[i+1] || ' ' || W[i+2] || ' ' || W[i+3] || ' ' || "
-    "W[i+4] || ' ' || W[i+5] || ' ' || W[i+6] || ' ' || W[i+7]"
+# generated from _SPAN_W so the oracle gram width can never desync
+# from the engine's window width
+_SQL_SPAN_GRAM = " || ' ' || ".join(
+    "W[i]" if j == 0 else f"W[i+{j}]" for j in range(_SPAN_W)
 )
 
 # gaps-and-islands over duplicated window positions: windows at p1 < p2
@@ -998,8 +999,9 @@ def _duplicate_spans(t: Tables) -> DataFrame:
 )
 def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact substring dedup (Lee et al. 2021 ExactSubstr at
-    window width {_SPAN_W}): every maximal token interval whose
-    {_SPAN_W}-grams all appear verbatim in at least one OTHER document.
+    window width 8, dedup/spans.py SPAN_W): every maximal token
+    interval whose 8-grams all appear verbatim in at least one OTHER
+    document.
     The suffix-array machinery of the paper is replaced by the
     shuffle-native equivalent: duplicated fixed-width windows, merged
     into maximal spans by gaps-and-islands — same output contract
@@ -1203,13 +1205,13 @@ def text_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     are per-doc, so restricting the doc set commutes with the merge);
     the equivalence and the no-re-hashing plan audit are pinned in
     tests/test_span_index.py."""
-    import tempfile
+    from ..catalog import scratch_index_dir
 
     from ..dedup.spans import SpanIndex
 
     t = Tables(spark, sf_dir)
     corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
     new = t.documents.filter(F.col("doc_id") % 2 == 1)
-    idx = SpanIndex(tempfile.mkdtemp(prefix="span-idx-"))
+    idx = SpanIndex(scratch_index_dir("span-idx", sf_dir))
     idx.ingest(corpus, batch_id="corpus-day0")
     return idx.tick(spark, new, batch_id="crawl-day1")

@@ -129,11 +129,15 @@ _QUERY_MODULES = (
 # slot (r2-certified API demo; the UDTF surface stays pytest-covered),
 # and graph_kcore takes graph_degree_distribution's (r2-certified; the
 # graph family keeps triangle/pagerank/kcore rows live).
+# text_bpe_token_counts and events_hll_overlap then take the slots of
+# serving_top_orders_display and sample_hash_split (both r2-certified;
+# flagship keeps 2 rows, curation keeps chunking/span-clean/
+# report-card/quality-weighted).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
     "topk_per_segment_window",
-    "serving_top_orders_display",
+    "text_bpe_token_counts",
     # dedup family
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -145,7 +149,7 @@ DRIVER_WINDOW = (
     "sim_ann_topk_lsh_multiprobe",
     "sim_cosine_pairs_cells",
     # corpus curation
-    "sample_hash_split",
+    "events_hll_overlap",
     "text_chunking",
     "text_span_dedup_clean",
     "dedup_embedding_clusters",

@@ -18,14 +18,13 @@ the curated corpus is always a consistent, time-travelable snapshot.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline.corpus import corpus_cycle
-from .batchid import batch_content_id
+from .ticks import stream_doc_ticks
 
 CRAWL_SCHEMA = T.StructType(
     [
@@ -53,13 +52,7 @@ def stream_corpus_ticks(
     """Drain staged crawl files (JSON-lines) through corpus ticks;
     AvailableNow trigger = one scheduler run.  ``summaries`` (if a
     list is passed) collects each tick's stage→outcome dict."""
-    ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
-
-    def tick(batch: DataFrame, epoch_id: int) -> None:
-        # epoch id for ordering + content fingerprint for identity: a
-        # wiped checkpoint whose epoch 0 re-bundles old AND newly
-        # staged files must not no-op the new docs (streaming/batchid.py)
-        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'doc_id')}"
+    def tick(batch: DataFrame, bid: str) -> None:
         out = corpus_cycle(
             batch.sparkSession,
             batch,
@@ -71,23 +64,12 @@ def stream_corpus_ticks(
         if summaries is not None:
             summaries.append(out)
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.json")
-        .option("recursiveFileLookup", "true")
+    return stream_doc_ticks(
+        spark,
+        crawl_dir,
+        checkpoint_dir,
+        tick,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
     )
-    if max_files_per_trigger:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
-    src = reader.json(crawl_dir).select(*[f.name for f in schema])
-
-    q = (
-        src.writeStream.foreachBatch(tick)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        q.awaitTermination()
-    return q

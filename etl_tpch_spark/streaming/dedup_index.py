@@ -30,22 +30,15 @@ cadence (index.compact), and no tick ever touches corpus text again.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..dedup.index import MinHashIndex
-from .batchid import batch_content_id
 from ..pipeline.txlog import TxTable
+from .ticks import DOC_SCHEMA, stream_doc_ticks
 
-DOC_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-    ]
-)
+__all__ = ["DOC_SCHEMA", "stream_dedup_ticks", "accumulated_pairs"]
 
 
 def stream_dedup_ticks(
@@ -73,40 +66,30 @@ def stream_dedup_ticks(
     disables.  Requires ``await_termination``."""
     idx = MinHashIndex(index_path)
     pairs_t = TxTable(pairs_path)
-    ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
 
-    def tick(batch: DataFrame, epoch_id: int) -> None:
-        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'doc_id')}"
+    def tick(batch: DataFrame, bid: str) -> None:
         pairs = idx.tick(
             batch.sparkSession, batch, threshold, batch_id=bid
         )
         pairs_t.append(pairs, batch_id=bid)
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.json")
-        .option("recursiveFileLookup", "true")
-    )
-    if max_files_per_trigger:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
-    src = reader.json(crawl_dir).select("doc_id", "text")
-
-    q = (
-        src.writeStream.foreachBatch(tick)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        q.awaitTermination()
+    def maybe_compact() -> None:
         if (
             compact_over_files
             and len(idx.table.snapshot_files()) > compact_over_files
         ):
             idx.compact(spark)
-    return q
+
+    return stream_doc_ticks(
+        spark,
+        crawl_dir,
+        checkpoint_dir,
+        tick,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
+        after_drain=maybe_compact,
+    )
 
 
 def accumulated_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:

@@ -21,14 +21,13 @@ one that re-shuffles every user id ever seen.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline.hll_index import HllIndex
-from .batchid import batch_content_id
+from .ticks import stream_doc_ticks
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -59,34 +58,25 @@ def stream_hll_ticks(
     (estimates unchanged; the table stops growing with tick count).
     None disables.  Requires ``await_termination``."""
     idx = HllIndex(index_path)
-    ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
 
-    def tick(batch: DataFrame, epoch_id: int) -> None:
-        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'event_id')}"
+    def tick(batch: DataFrame, bid: str) -> None:
         idx.tick(batch, batch_id=bid)
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.json")
-        .option("recursiveFileLookup", "true")
-    )
-    if max_files_per_trigger:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
-    src = reader.json(events_dir).select("event_id", "ts", "user_id")
-
-    q = (
-        src.writeStream.foreachBatch(tick)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        q.awaitTermination()
+    def maybe_fold() -> None:
         if (
             fold_over_files
             and len(idx.table.snapshot_files()) > fold_over_files
         ):
             idx.fold(spark)
-    return q
+
+    return stream_doc_ticks(
+        spark,
+        events_dir,
+        checkpoint_dir,
+        tick,
+        schema=schema,
+        id_col="event_id",
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
+        after_drain=maybe_fold,
+    )

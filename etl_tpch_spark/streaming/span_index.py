@@ -1,13 +1,13 @@
 """Streaming daily-crawl span dedup: a document stream ticks the
 persisted window index (dedup/spans.py SpanIndex) exactly-once per
-micro-batch — the span-family twin of streaming/dedup_index.py.
+micro-batch — the span-family twin of streaming/dedup_index.py, both
+riding the shared tick protocol in streaming/ticks.py.
 
 Each tick windows ONLY the micro-batch's documents, appends to the
 index TxTable, and appends the batch's duplicated spans to a results
-TxTable, both keyed by the same content-derived epoch batch id
-(streaming/batchid.py), so the foreachBatch replay window (crash
-between sink commit and checkpoint advance) re-signs nothing and
-re-emits nothing.
+TxTable, both keyed by the same content-derived epoch batch id, so the
+foreachBatch replay window (crash between sink commit and checkpoint
+advance) re-signs nothing and re-emits nothing.
 
 Semantics note (differs from the pair stream): spans are keyed per
 document, so a tick reports each new doc's duplicated spans **against
@@ -21,22 +21,13 @@ re-run of text_duplicate_spans over the stored index.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..dedup.spans import SpanIndex
 from ..pipeline.txlog import TxTable
-from .batchid import batch_content_id
-
-DOC_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-    ]
-)
+from .ticks import DOC_SCHEMA, stream_doc_ticks
 
 
 def stream_span_ticks(
@@ -59,38 +50,28 @@ def stream_span_ticks(
     requires ``await_termination``)."""
     idx = SpanIndex(index_path)
     spans_t = TxTable(spans_path)
-    ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
 
-    def tick(batch: DataFrame, epoch_id: int) -> None:
-        bid = f"{ckpt_name}-{epoch_id}-{batch_content_id(batch, 'doc_id')}"
+    def tick(batch: DataFrame, bid: str) -> None:
         spans = idx.tick(batch.sparkSession, batch, batch_id=bid)
         spans_t.append(spans, batch_id=bid)
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.json")
-        .option("recursiveFileLookup", "true")
-    )
-    if max_files_per_trigger:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
-    src = reader.json(crawl_dir).select("doc_id", "text")
-
-    q = (
-        src.writeStream.foreachBatch(tick)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        q.awaitTermination()
+    def maybe_compact() -> None:
         if (
             compact_over_files
             and len(idx.table.snapshot_files()) > compact_over_files
         ):
             idx.compact(spark)
-    return q
+
+    return stream_doc_ticks(
+        spark,
+        crawl_dir,
+        checkpoint_dir,
+        tick,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
+        after_drain=maybe_compact,
+    )
 
 
 def accumulated_spans(spark: SparkSession, spans_path: str) -> DataFrame:

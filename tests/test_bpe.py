@@ -82,3 +82,36 @@ def test_bpe_merges_are_real(spark, sf_dir):
         assert r.lhs != r.rhs  # self-pairs excluded by contract
         assert r.merged == r.lhs + r.rhs
         assert r.pair_count > 0
+
+
+def test_bpe_oracle_survives_early_saturation(spark, tmp_path):
+    """When merge candidates dry up before _BPE_K rounds (vocabulary of
+    single chars and same-char runs has no non-self pairs), the engine
+    breaks out of the loop — and the oracle's LEFT JOIN rounds must
+    pass the vocabulary through unchanged instead of annihilating it
+    (the CROSS JOIN bug this test pins)."""
+    import duckdb
+
+    from etl_tpch_spark import registry
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(i, "a bb a ccc a bb", "en", "s0", 15) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    reg = registry.load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(reg["text_bpe_segment"].oracle).df()
+    got = reg["text_bpe_segment"].fn(spark, sf).toPandas()
+    assert len(want) == len(got) == 3  # a / bb / ccc all survive
+    w = {r.word: r.segmentation for r in got.itertuples()}
+    assert w == dict(zip(want.word, want.segmentation))
+    # merges saturate identically: both sides emit the same short table
+    wm = con.execute(reg["text_bpe_merges"].oracle).df()
+    gm = reg["text_bpe_merges"].fn(spark, sf).toPandas()
+    assert list(map(tuple, wm.values)) == list(map(tuple, gm.values))
