@@ -683,3 +683,76 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_totalprice")).cast("double").alias("max_price"),
         F.min(F.col("o_totalprice")).cast("double").alias("min_price"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume,
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-02-01'
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank ((rank−1)/(n−1))
+    and cume_dist (rows ≤ current / n): the percentile-position
+    analytics the rank family doesn't cover.  Both are exact integer
+    ratios evaluated in one IEEE division, so doubles agree
+    cross-engine (rounded 6 for display parity).  Ties broken by
+    order key → fully deterministic."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "agg_unpivot_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS DOUBLE)                    AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS DOUBLE)   AS n_customers,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE)                             AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderpriority, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN (n_orders, n_customers, revenue))
+    """,
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of agg_pivot): a per-priority
+    metrics row melts into (metric, value) pairs via Spark's native
+    ``unpivot`` (STACK codegen, row-local — no shuffle beyond the
+    aggregation that built the wide frame).  Revenue sums through
+    exact decimals before the final double cast (functions/agg.py
+    recipe), so all three metrics hash-match as doubles."""
+    t = Tables(spark, sf_dir)
+    wide = t.orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "n_customers", "revenue"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

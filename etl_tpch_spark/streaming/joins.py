@@ -15,7 +15,13 @@ State-size contract (the thing to get right at 100 TB/day):
 - without the range bound the state store grows unboundedly and the
   join is still *allowed* — it just never evicts; always give one.
 
-Inner joins emit in append mode as soon as a match lands.
+Inner joins emit in append mode as soon as a match lands.  Outer joins
+(``how="left_outer"``) additionally emit null-padded rows for
+unmatched left rows — but only once the JOINT watermark (min of both
+sides) passes the row's eviction time, so a drained stream can hold
+back the tail's unmatched rows until a later trigger run advances the
+watermark (tests/test_streaming.py stages a sentinel batch to pin
+exactly this).
 """
 
 from __future__ import annotations
@@ -30,11 +36,15 @@ def stream_orders_lineitem_join(
     *,
     watermark: str = "30 days",
     horizon_days: int = 4,
+    how: str = "inner",
 ) -> DataFrame:
     """Join live orders and lineitem streams on order key with an
     event-time range bound (LIVE schema: string uuid keys,
     ``o_order_time``/``l_ship_time``; ship within ``horizon_days`` of
-    order time, per the generator's semantics data.py:96-108)."""
+    order time, per the generator's semantics data.py:96-108).
+    ``how="left_outer"`` keeps orders that never ship a line (the live
+    unshipped-orders feed): Spark pads them with nulls once the joint
+    watermark proves no match can still arrive."""
     o = orders.withWatermark("o_order_time", watermark).select(
         "o_orderkey", "o_custkey", "o_order_time", "o_orderpriority"
     )
@@ -49,7 +59,7 @@ def stream_orders_lineitem_join(
             F.col("l_ship_time")
             <= F.col("o_order_time") + F.expr(f"INTERVAL {horizon_days} DAYS")
         ),
-        "inner",
+        how,
     ).select(
         "o_orderkey",
         "o_custkey",

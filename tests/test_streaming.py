@@ -303,3 +303,107 @@ def test_transform_with_state_running_stats(spark, events_dir, ckpt):
     }
     for u in want:
         assert abs(latest[u][1] - want[u][1]) < 1e-6
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(
+    spark, tmp_path_factory
+):
+    """Watermarked LEFT OUTER stream-stream join: orders whose
+    lineitems never arrive must surface as null-padded rows — but only
+    once the joint watermark proves no match can still come.  A
+    far-future sentinel row on each side raises the watermark in the
+    final data batch; the trailing no-data micro-batch then evicts the
+    buffered state and emits the unmatched rows (the cross-run path is
+    NOT usable here: a restarted query restores the watermark from the
+    offset log, and the last batch's event-time stats die with the old
+    run — so the flush must happen inside one trigger run)."""
+    import json as _json
+
+    from etl_tpch_spark.pipeline import incrementalize, list_staged_files
+    from etl_tpch_spark.schemas import LIVE
+    from etl_tpch_spark.streaming import stream_orders_lineitem_join
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("ssoj")
+    staging = str(root / "staging")
+    incrementalize(spark, TEST_SF_DIR, staging, now=NOW, key_fn="hash")
+    o_dir = os.path.dirname(list_staged_files(staging, "orders")[0])
+    l_dir = os.path.dirname(list_staged_files(staging, "lineitem")[0])
+
+    # drop ~1/3 of orders' lineitems entirely (hash on the shared join
+    # key ⇒ whole orders lose every line and must surface unmatched).
+    # The sentinel must survive the filter: it is each side's watermark
+    # driver, and a filter runs BEFORE the watermark operator
+    keep = (F.xxhash64("l_orderkey") % 3 != 0) | (
+        F.col("l_orderkey") == "sentinel-l"
+    )
+
+    # sentinel rows on BOTH sides (joint watermark = min of sides),
+    # far enough ahead that every buffered row's eviction time passes
+    far = "2031-01-01T00:00:00.000Z"
+    with open(os.path.join(o_dir, "zz_sentinel.json"), "w") as f:
+        f.write(_json.dumps({
+            "o_orderkey": "sentinel-o", "o_custkey": "c0",
+            "o_order_time": far, "o_orderpriority": "1-URGENT",
+            "o_orderstatus": "O", "o_totalprice": 1.0,
+        }) + "\n")
+    with open(os.path.join(l_dir, "zz_sentinel.json"), "w") as f:
+        f.write(_json.dumps({
+            "l_orderkey": "sentinel-l", "l_extendedprice": 1.0,
+            "l_discount": 0.0, "l_ship_time": far,
+        }) + "\n")
+
+    def src(d, table):
+        return (
+            spark.readStream.schema(LIVE[table])
+            .option("pathGlobFilter", "*.json")
+            .option("recursiveFileLookup", "true")
+            .json(d)
+        )
+
+    out_dir = str(root / "out")
+    joined = stream_orders_lineitem_join(
+        src(o_dir, "orders"),
+        src(l_dir, "lineitem").filter(keep),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the run must contain a trailing no-data batch (the eviction one)
+    assert any(
+        p.get("eventTime", {}).get("avg") is None for p in q.recentProgress
+    ), [p.get("batchId") for p in q.recentProgress]
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("o_orderkey") != "sentinel-o")
+        .toPandas()
+    )
+
+    def batch_src(d, table):
+        return (
+            spark.read.schema(LIVE[table])
+            .option("pathGlobFilter", "*.json")
+            .option("recursiveFileLookup", "true")
+            .json(d)
+        )
+
+    exp = stream_orders_lineitem_join(
+        batch_src(o_dir, "orders").filter(F.col("o_orderkey") != "sentinel-o"),
+        batch_src(l_dir, "lineitem").filter(keep),
+        how="left_outer",
+    ).toPandas()
+
+    assert got.revenue.isna().sum() > 0, "some orders must be unmatched"
+    assert len(got) == len(exp)
+    cols = ["o_orderkey", "l_ship_time", "revenue"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(x)
