@@ -1215,3 +1215,46 @@ def text_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = SpanIndex(scratch_index_dir("span-idx", sf_dir))
     idx.ingest(corpus, batch_id="corpus-day0")
     return idx.tick(spark, new, batch_id="crawl-day1")
+
+
+@query(
+    "text_token_counts_arrow",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens
+        FROM documents
+    """,
+)
+def text_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (the lowest-overhead Python boundary Spark
+    offers): token counting via pyarrow.compute on raw RecordBatches —
+    no pandas materialization, no per-row Python, columns stay Arrow
+    buffers end to end.  Semantics identical to text_token_counts'
+    ws_tokens (same oracle expression), so this registers the API tier
+    itself: pandas UDF (inference) > mapInPandas (multimodal) >
+    mapInArrow (here) each trade convenience for copy overhead.
+    count_substring_regex('[^ ]+') ≡ non-empty whitespace split."""
+    import pyarrow as pa
+
+    t = Tables(spark, sf_dir)
+
+    def count_tokens(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(
+                        pc.count_substring_regex(
+                            batch.column("text"), "[^ ]+"
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "ws_tokens"],
+            )
+
+    return t.documents.select("doc_id", "text").mapInArrow(
+        count_tokens, "doc_id long, ws_tokens long"
+    )

@@ -75,3 +75,23 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+# State-store settings for large streaming state.  The default
+# HDFSBackedStateStoreProvider keeps every key in executor HEAP — fine
+# for fixture-scale state, a hard wall once stream-stream join /
+# dedup-within-watermark state outgrows memory (the 100 TB/day design
+# point).  RocksDB (bundled with Spark 4, no extra jars) spills state
+# to local disk with bounded memory, and changelog checkpointing ships
+# per-batch deltas instead of full snapshots.  Pass to ``get_spark``'s
+# ``extra_conf`` (the provider is fixed per query at start, so it must
+# be set before ``writeStream.start()``).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
