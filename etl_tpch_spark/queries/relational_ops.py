@@ -756,3 +756,47 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_salted_flag_totals",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS gross
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+)
+def agg_salted_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation machinery under the driver gate: two-stage
+    salted aggregation (operators/skew.py salted_aggregate — stage 1
+    groups on keys+salt so one hot key spreads over n_salts reducers,
+    stage 2 merges algebraic partials) must equal the plain GROUP BY.
+    Sums run through exact decimals, so partial-merge order cannot
+    drift the doubles (functions/agg.py recipe).  lineitem's
+    returnflag/linestatus is the engine's most skewed natural key
+    (3×2 groups over the whole fact table — precisely the shape where
+    per-key reducers saturate at 100 TB)."""
+    from ..operators.skew import salted_aggregate
+
+    t = Tables(spark, sf_dir)
+    df = t.lineitem.withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        df,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("l_orderkey", "count"),
+            "gross_dec": ("price_dec", "sum"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("gross_dec").cast("double").alias("gross"),
+    )

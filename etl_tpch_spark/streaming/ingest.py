@@ -45,6 +45,7 @@ def stream_ingest_table(
     max_files_per_trigger: int | None = None,
     clean_source: str | None = None,
     await_termination: bool = True,
+    observe_metrics: bool = False,
 ) -> StreamingQuery:
     """Drain every staged batch of ``table`` into
     ``<processed>/<table>/`` exactly once, then stop (AvailableNow).
@@ -52,6 +53,14 @@ def stream_ingest_table(
     The JSON "files" written by the generate stage are directories of
     part files (``<table>_<ISO>.json/``), so the source glob matches one
     level below them.
+
+    ``observe_metrics=True`` attaches ``Dataset.observe`` counters
+    (rows ingested, rows with a null first column — the
+    corrupt-record signal) computed INSIDE the ingest pass: they ride
+    each batch's StreamingQueryProgress ``observedMetrics`` with zero
+    extra scans — the production data-quality hook (a listener alerts
+    on them; pipeline/quality.py runs the full expectation suite on
+    the stored table).
     """
     s = schema or LIVE[table]
     reader = (
@@ -64,6 +73,15 @@ def stream_ingest_table(
     if clean_source:  # "delete" ≙ reference's consume-and-delete (S10)
         reader = reader.option("cleanSource", clean_source)
     src = reader.json(os.path.join(staging_dir, table))
+    if observe_metrics:
+        first = s.fields[0].name
+        src = src.observe(
+            "ingest_quality",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(first).isNull(), 1).otherwise(0)
+            ).alias("n_null_key"),
+        )
 
     q = (
         src.writeStream.format(fmt)

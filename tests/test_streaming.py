@@ -407,3 +407,35 @@ def test_stream_stream_left_outer_join_flushes_unmatched(
     g = got[cols].sort_values(cols).reset_index(drop=True)
     x = exp[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(x)
+
+
+def test_ingest_observe_metrics(spark, tmp_path_factory):
+    """Dataset.observe counters ride the ingest stream's progress
+    events — per-batch row and null-key counts with zero extra scans,
+    and they must sum to the true totals."""
+    from etl_tpch_spark.pipeline import incrementalize
+    from etl_tpch_spark.streaming.ingest import stream_ingest_table
+
+    root = tmp_path_factory.mktemp("obs")
+    staging = str(root / "staging")
+    incrementalize(spark, TEST_SF_DIR, staging, now=NOW, key_fn="hash")
+
+    q = stream_ingest_table(
+        spark,
+        staging,
+        str(root / "processed"),
+        str(root / "ckpt"),
+        "orders",
+        observe_metrics=True,
+    )
+    seen = [
+        p["observedMetrics"]["ingest_quality"]
+        for p in q.recentProgress
+        if "ingest_quality" in (p.get("observedMetrics") or {})
+    ]
+    assert seen, "at least one batch must report observed metrics"
+    total = sum(m["n_rows"] for m in seen)
+    nulls = sum(m["n_null_key"] for m in seen)
+    stored = spark.read.parquet(str(root / "processed" / "orders"))
+    assert total == stored.count() > 0
+    assert nulls == stored.filter(F.col("o_orderkey").isNull()).count() == 0
