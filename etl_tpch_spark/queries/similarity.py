@@ -811,3 +811,59 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(
         spark, queries_df, TOP_K, n_probe=N_PROBE
     ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+NEG_DUP_T = 0.3
+NEG_K_HARD = 5
+NEG_K_EASY = 5
+
+
+@query(
+    "sim_contrastive_negatives",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({_IDS})
+        ), scored AS (
+            SELECT q.query_id, c.vec_id, round({_COS}, 6) AS cosine
+            FROM q CROSS JOIN embeddings c
+            WHERE q.query_id <> c.vec_id
+        ), nonpos AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS r_hard
+            FROM scored WHERE cosine < {NEG_DUP_T}
+        ), easy AS (
+            SELECT query_id, vec_id, cosine, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY md5(CAST(query_id AS VARCHAR) || ':'
+                             || CAST(vec_id AS VARCHAR)), vec_id
+            ) AS r_rand
+            FROM nonpos WHERE r_hard > {NEG_K_HARD}
+        )
+        SELECT query_id, vec_id, cosine,
+               'hard' AS stratum, CAST(r_hard AS BIGINT) AS rnk
+        FROM nonpos WHERE r_hard <= {NEG_K_HARD}
+        UNION ALL
+        SELECT query_id, vec_id, cosine,
+               'easy' AS stratum, CAST(r_rand AS BIGINT) AS rnk
+        FROM easy WHERE r_rand <= {NEG_K_EASY}
+        ORDER BY query_id, stratum, rnk
+    """,
+)
+def contrastive_negs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified negative mining for contrastive training
+    (similarity/ann.py contrastive_negatives): per query, the 5
+    hardest non-positive candidates (highest cosine BELOW the 0.3
+    near-dup threshold — anything above it is a positive and labeling
+    it a negative poisons the loss) plus 5 md5-hash-sampled easy
+    negatives from the remaining pool, disjoint by construction.
+    Deterministic end to end: fold cosines, md5 addressing — the
+    sampler itself is hash-checked, not just the scorer."""
+    from ..similarity.ann import contrastive_negatives
+
+    t = Tables(spark, sf_dir)
+    return contrastive_negatives(
+        t.embeddings, QUERY_IDS,
+        dup_threshold=NEG_DUP_T, k_hard=NEG_K_HARD, k_easy=NEG_K_EASY,
+    )

@@ -1258,3 +1258,125 @@ def text_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select("doc_id", "text").mapInArrow(
         count_tokens, "doc_id long, ws_tokens long"
     )
+
+
+# ------------------------------------------- CCNet-style LM quality filter
+
+_LM_REF_SOURCE = "src0"  # the in-domain reference corpus (wiki stand-in)
+_LM_KEEP_MICRO = 33000  # keep floor on the avg bigram micro-probability
+
+_LM_PAIRS = (
+    "unnest(list_transform(range(1, len(W)), "
+    "i -> {'w1': W[i], 'w2': W[i+1]})) AS p"
+)
+
+
+@query(
+    "text_lm_quality_filter",
+    oracle=f"""
+        WITH ref_pairs AS (
+            SELECT {_LM_PAIRS}
+            FROM (SELECT {_SQL_TOKS} AS W FROM documents
+                  WHERE source = '{_LM_REF_SOURCE}')
+        ),
+        c AS (
+            SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+            FROM ref_pairs GROUP BY 1, 2
+        ),
+        tot AS (SELECT w1, sum(n_pair) AS n_w1 FROM c GROUP BY 1),
+        lm AS (
+            SELECT c.w1, c.w2,
+                   CAST(round(c.n_pair * 1000000.0 / tot.n_w1, 0)
+                        AS BIGINT) AS p_micro
+            FROM c JOIN tot USING (w1)
+        ),
+        doc_pairs AS (
+            SELECT doc_id, lang, source, {_LM_PAIRS}
+            FROM (SELECT doc_id, lang, source, {_SQL_TOKS} AS W
+                  FROM documents)
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(count(lm.p_micro) AS BIGINT) AS covered_bigrams,
+                   CAST(coalesce(sum(lm.p_micro), 0) AS BIGINT)
+                     AS score_sum_micro
+            FROM doc_pairs d
+            LEFT JOIN lm ON d.p.w1 = lm.w1 AND d.p.w2 = lm.w2
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, lang, source, n_bigrams, covered_bigrams,
+               CAST(round(score_sum_micro * 1.0 / n_bigrams, 0)
+                    AS BIGINT) AS avg_p_micro,
+               (CAST(round(score_sum_micro * 1.0 / n_bigrams, 0)
+                     AS BIGINT) >= {_LM_KEEP_MICRO}) AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def text_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical-LM quality filter: train a bigram LM on
+    the in-domain reference slice (source = 'src0' — the Wikipedia
+    stand-in; CCNet scores CommonCrawl against a wiki-trained KenLM),
+    then score EVERY document by its average bigram conditional
+    probability under that LM and keep the docs above the floor.  All
+    arithmetic is micro-probability integers (round(n_pair·1e6/n_w1)):
+    per-doc sums are BIGINT — order-free — so the score is bit-equal
+    cross-engine with zero log/float accumulation; unseen bigrams score
+    0 (the perplexity penalty that makes out-of-domain text sink).
+
+    Scale shape: the LM is a (w1, w2, p_micro) table built from the
+    reference slice only — one count shuffle over the REFERENCE corpus
+    (small by construction), one vocab-sized per-w1 aggregate.  Scoring
+    is one corpus-sized bigram explode joined against the LM (broadcast
+    when the LM fits, shuffle on (w1, w2) otherwise — Catalyst/AQE
+    picks) and one per-doc aggregate.  No text recrosses a shuffle; no
+    corpus×corpus work anywhere."""
+    t = Tables(spark, sf_dir)
+
+    def bigrams(df):
+        toks = tokens(F.col("text"))
+        sz = F.size(toks)
+        z = F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return df.withColumn("p", F.explode(z))
+
+    ref = bigrams(
+        t.documents.filter(F.col("source") == _LM_REF_SOURCE)
+    ).select("p.w1", "p.w2")
+    c = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    lm = c.join(tot, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.col("n_pair") * 1000000.0 / F.col("n_w1"), 0)
+        .cast("long")
+        .alias("p_micro"),
+    )
+    doc_pairs = bigrams(t.documents).select(
+        "doc_id", "lang", "source", "p.w1", "p.w2"
+    )
+    scored = (
+        doc_pairs.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("p_micro").alias("covered_bigrams"),
+            F.coalesce(F.sum("p_micro"), F.lit(0)).alias(
+                "score_sum_micro"
+            ),
+        )
+    )
+    avg = (
+        F.round(F.col("score_sum_micro") * 1.0 / F.col("n_bigrams"), 0)
+        .cast("long")
+    )
+    return (
+        scored.withColumn("avg_p_micro", avg)
+        .withColumn("keep", F.col("avg_p_micro") >= _LM_KEEP_MICRO)
+        .drop("score_sum_micro")
+        .orderBy("doc_id")
+    )

@@ -133,6 +133,13 @@ _QUERY_MODULES = (
 # serving_top_orders_display and sample_hash_split (both r2-certified;
 # flagship keeps 2 rows, curation keeps chunking/span-clean/
 # report-card/quality-weighted).
+#
+# Fifth late-round-3 swap: text_lm_quality_filter (the CCNet-style
+# cross-source bigram-LM filter) and sim_contrastive_negatives (the
+# stratified hard/easy negative-mining sampler) take the slots of
+# text_top_terms_per_lang and text_chunking (both r2-certified; the
+# text family keeps the span trio + BPE trio + BM25 + sketch rows
+# live, curation keeps span-clean/report-card/quality-weighted).
 DRIVER_WINDOW = (
     # flagship pipeline (reference reduce.py semantics)
     "flagship_unshipped_orders",
@@ -150,7 +157,7 @@ DRIVER_WINDOW = (
     "sim_cosine_pairs_cells",
     # corpus curation
     "events_hll_overlap",
-    "text_chunking",
+    "sim_contrastive_negatives",
     "text_span_dedup_clean",
     "dedup_embedding_clusters",
     # similarity graph analytics
@@ -162,7 +169,7 @@ DRIVER_WINDOW = (
     "text_span_dedup_stats",
     "corpus_curation",
     "text_span_dedup_incremental",
-    "text_top_terms_per_lang",
+    "text_lm_quality_filter",
     # event analytics / streaming batch-twins
     "events_session_window",
     # tokenizer training (BPE — the vocabulary-build step)

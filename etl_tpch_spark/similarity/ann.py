@@ -607,3 +607,81 @@ def cosine_topk_matryoshka(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+def contrastive_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    dup_threshold: float,
+    k_hard: int,
+    k_easy: int,
+) -> DataFrame:
+    """Negative mining for contrastive / embedding training: for each
+    query vector, a stratified negative set —
+
+    - ``hard``: the ``k_hard`` highest-cosine candidates BELOW
+      ``dup_threshold`` (anything at or above it is a near-duplicate /
+      positive and must not be labeled a negative — the classic
+      false-negative poisoning mode in contrastive batches);
+    - ``easy``: ``k_easy`` candidates hash-sampled (md5 of
+      ``query_id:vec_id`` — deterministic, append-stable, the same
+      addressing rule as the corpus split family) from the remaining
+      non-positive pool, disjoint from the hard set.
+
+    Scale shape: identical to the brute-force ANN pass — the query set
+    broadcasts, the corpus is scanned once, and both strata come from
+    two window ranks over the |Q|·n scored frame partitioned by
+    query_id.  At 100 TB the scored frame is the thing to bound: swap
+    the cross join for any candidate generator (IVF cells, LSH buckets,
+    matryoshka coarse pass) and the stratification is unchanged — it
+    only assumes a (query_id, vec_id, cosine) frame."""
+    corpus = _with_norm(embeddings, "vec_id", "c_emb", "c_norm")
+    q = _with_norm(
+        embeddings.filter(F.col("vec_id").isin(query_ids)),
+        "query_id", "q_emb", "q_norm",
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    nonpos = scored.filter(F.col("cosine") < dup_threshold)
+    w_hard = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    ranked = nonpos.withColumn("r_hard", F.row_number().over(w_hard))
+    hard = ranked.filter(F.col("r_hard") <= k_hard).select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        F.lit("hard").alias("stratum"),
+        F.col("r_hard").cast("long").alias("rnk"),
+    )
+    w_easy = W.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("vec_id").cast("string"),
+            )
+        ),
+        F.col("vec_id"),
+    )
+    easy = (
+        ranked.filter(F.col("r_hard") > k_hard)
+        .withColumn("r_rand", F.row_number().over(w_easy))
+        .filter(F.col("r_rand") <= k_easy)
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            F.lit("easy").alias("stratum"),
+            F.col("r_rand").cast("long").alias("rnk"),
+        )
+    )
+    return hard.unionAll(easy).orderBy("query_id", "stratum", "rnk")
