@@ -1,0 +1,97 @@
+"""Bigram-LM primitives shared by the CCNet-style quality-filter query
+(queries/text.py text_lm_quality_filter) and the persisted LM lifecycle
+(pipeline/lm_index.py) — ONE definition of counting, conditional
+derivation and document scoring, so the indexed path is equivalent to
+the query by construction (tests/test_lm_index.py pins it).
+
+All probability arithmetic is micro-probability integers
+(round(n_pair·1e6/n_w1) as BIGINT): per-document score sums are
+integer — order-free — so results are bit-equal across engines and
+across any partitioning.  Counts (not probabilities) are the stored
+representation: counts fold by plain summation, which makes the stored
+LM appendable (new reference batches) and compactable (fold = regroup)
+with no renormalization bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+MICRO = 1_000_000
+
+
+def bigram_pairs(docs: DataFrame) -> DataFrame:
+    """Explode each document into its (w1, w2) adjacent-token pairs
+    (multiplicity kept — it IS the statistic), carrying all original
+    columns.  Documents with fewer than two tokens contribute nothing
+    (explode of an empty array)."""
+    toks = tokens(F.col("text"))
+    sz = F.size(toks)
+    z = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return docs.withColumn("p", F.explode(z))
+
+
+def bigram_counts(ref_docs: DataFrame) -> DataFrame:
+    """(w1, w2, n_pair) counts over the reference slice — the stored
+    representation of the LM.  One pair explode + one count shuffle."""
+    return (
+        bigram_pairs(ref_docs)
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+def lm_from_counts(counts: DataFrame) -> DataFrame:
+    """Derive the conditional table (w1, w2, p_micro) from (possibly
+    multi-batch, unmerged) count rows.  The pre-aggregation makes the
+    result invariant to how counts were batched into the store."""
+    c = counts.groupBy("w1", "w2").agg(F.sum("n_pair").alias("n_pair"))
+    tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    return c.join(tot, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.col("n_pair") * float(MICRO) / F.col("n_w1"), 0)
+        .cast("long")
+        .alias("p_micro"),
+    )
+
+
+def score_docs(docs: DataFrame, lm: DataFrame) -> DataFrame:
+    """Per-document LM score: average bigram micro-probability under
+    ``lm`` (unseen bigrams score 0 — the perplexity penalty).  Returns
+    (doc_id, lang, source, n_bigrams, covered_bigrams, avg_p_micro),
+    ordered by doc_id.
+
+    Scale shape: one doc-sized bigram explode joined against the
+    LM-sized conditional table (broadcast when it fits, (w1, w2)
+    shuffle otherwise — Catalyst/AQE picks), one per-doc aggregate."""
+    doc_pairs = bigram_pairs(docs).select(
+        "doc_id", "lang", "source", "p.w1", "p.w2"
+    )
+    scored = (
+        doc_pairs.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("p_micro").alias("covered_bigrams"),
+            F.coalesce(F.sum("p_micro"), F.lit(0)).alias(
+                "score_sum_micro"
+            ),
+        )
+    )
+    avg = F.round(
+        F.col("score_sum_micro") * 1.0 / F.col("n_bigrams"), 0
+    ).cast("long")
+    return (
+        scored.withColumn("avg_p_micro", avg)
+        .drop("score_sum_micro")
+        .orderBy("doc_id")
+    )

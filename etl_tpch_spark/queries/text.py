@@ -1332,51 +1332,14 @@ def text_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the LM fits, shuffle on (w1, w2) otherwise — Catalyst/AQE
     picks) and one per-doc aggregate.  No text recrosses a shuffle; no
     corpus×corpus work anywhere."""
+    from ..functions.lm import bigram_counts, lm_from_counts, score_docs
+
     t = Tables(spark, sf_dir)
-
-    def bigrams(df):
-        toks = tokens(F.col("text"))
-        sz = F.size(toks)
-        z = F.zip_with(
-            F.slice(toks, 1, sz - 1),
-            F.slice(toks, 2, sz - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
-        return df.withColumn("p", F.explode(z))
-
-    ref = bigrams(
-        t.documents.filter(F.col("source") == _LM_REF_SOURCE)
-    ).select("p.w1", "p.w2")
-    c = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
-    lm = c.join(tot, "w1").select(
-        "w1",
-        "w2",
-        F.round(F.col("n_pair") * 1000000.0 / F.col("n_w1"), 0)
-        .cast("long")
-        .alias("p_micro"),
-    )
-    doc_pairs = bigrams(t.documents).select(
-        "doc_id", "lang", "source", "p.w1", "p.w2"
-    )
-    scored = (
-        doc_pairs.join(lm, ["w1", "w2"], "left")
-        .groupBy("doc_id", "lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count("p_micro").alias("covered_bigrams"),
-            F.coalesce(F.sum("p_micro"), F.lit(0)).alias(
-                "score_sum_micro"
-            ),
+    lm = lm_from_counts(
+        bigram_counts(
+            t.documents.filter(F.col("source") == _LM_REF_SOURCE)
         )
     )
-    avg = (
-        F.round(F.col("score_sum_micro") * 1.0 / F.col("n_bigrams"), 0)
-        .cast("long")
-    )
-    return (
-        scored.withColumn("avg_p_micro", avg)
-        .withColumn("keep", F.col("avg_p_micro") >= _LM_KEEP_MICRO)
-        .drop("score_sum_micro")
-        .orderBy("doc_id")
+    return score_docs(t.documents, lm).withColumn(
+        "keep", F.col("avg_p_micro") >= _LM_KEEP_MICRO
     )
