@@ -102,6 +102,8 @@ NLJ_ALLOWED = {
     "agg_hll_distinct_customers",  # 1-row sketch × 1-row audit join
     "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
     "sim_ann_topk_matryoshka",  # |Q|x n coarse prefix pass, like bruteforce
+    "sim_contrastive_negatives",  # broadcast-query corpus scan, like
+    # bruteforce — swap in any candidate generator at scale (docstring)
 }
 
 
