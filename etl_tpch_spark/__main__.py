@@ -134,6 +134,20 @@ def main(argv: list[str] | None = None) -> int:
     dash.add_argument("--root", required=True)
     dash.add_argument("--limit", type=int, default=10)
 
+    ltk = sub.add_parser(
+        "lm-tick",
+        help="score one crawl batch against the persisted bigram LM "
+        "(train-once, then O(new) scoring ticks; pipeline/lm_index.py)",
+    )
+    ltk.add_argument("--root", required=True,
+                     help="dir holding the lm/ and scores/ TxTables")
+    ltk.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ltk.add_argument("--batch-id", required=True,
+                     help="tick identity; replaying an id appends nothing")
+    ltk.add_argument("--doc-id-min", type=int, default=None)
+    ltk.add_argument("--doc-id-max", type=int, default=None,
+                     help="optional doc_id window simulating one crawl day")
+
     args = p.parse_args(argv)
     qs = registry.load_all()
 
@@ -257,6 +271,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         for stage, result in out.items():
             print(f"{stage}: {result}")
+        return 0
+
+    if args.cmd == "lm-tick":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .catalog import load_table
+        from .pipeline.lm_index import LmIndex
+        from .pipeline.txlog import TxTable
+        from .queries.text import _LM_REF_SOURCE
+
+        spark = get_spark("etl_tpch_spark-cli")
+        idx = LmIndex(os.path.join(args.root, "lm"))
+        if idx.table.latest_version() is None:
+            ref = load_table(spark, args.sf_dir, "documents").filter(
+                F.col("source") == _LM_REF_SOURCE
+            )
+            v = idx.ingest(ref, batch_id="ref-initial")
+            print(f"lm trained: version {v}")
+        docs = load_table(spark, args.sf_dir, "documents")
+        if args.doc_id_min is not None:
+            docs = docs.filter(F.col("doc_id") >= args.doc_id_min)
+        if args.doc_id_max is not None:
+            docs = docs.filter(F.col("doc_id") < args.doc_id_max)
+        scores = TxTable(os.path.join(args.root, "scores"))
+        v = scores.append(
+            idx.score(spark, docs), batch_id=args.batch_id
+        )
+        print(f"scores: version {v} ({scores.read(spark).count()} rows)")
         return 0
 
     if args.cmd == "cycle":

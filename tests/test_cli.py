@@ -50,3 +50,29 @@ def test_serve_then_dashboard(capsys, tmp_path):
     assert main(["dashboard", "--root", root, "--limit", "3"]) == 0
     out = capsys.readouterr().out
     assert "BUILDING" in out and "revenue_display" in out
+
+
+def test_lm_tick_trains_once_scores_idempotently(capsys, tmp_path):
+    """lm-tick: first call trains the LM and scores its window; a
+    replayed batch id appends nothing; a second window appends and the
+    LM is NOT retrained."""
+    root = str(tmp_path / "lmroot")
+    args = ["lm-tick", "--root", root,
+            "--sf-dir", "/root/testdata/sf0.001"]
+    assert main(args + ["--batch-id", "day0", "--doc-id-max", "25"]) == 0
+    out = capsys.readouterr().out
+    assert "lm trained: version 1" in out
+    assert "scores: version 1" in out
+
+    # replay: same batch id → same scores version
+    assert main(args + ["--batch-id", "day0", "--doc-id-max", "25"]) == 0
+    out = capsys.readouterr().out
+    assert "lm trained" not in out  # train-once
+    assert "scores: version 1" in out
+
+    # next crawl day appends
+    assert main(
+        args + ["--batch-id", "day1",
+                "--doc-id-min", "25", "--doc-id-max", "50"]
+    ) == 0
+    assert "scores: version 2" in capsys.readouterr().out
