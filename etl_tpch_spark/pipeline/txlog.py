@@ -533,6 +533,75 @@ class TxTable:
         except _MergeConflict:
             return None
 
+    def delete(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key: str,
+        *,
+        batch_id: str | None = None,
+    ) -> int | None:
+        """DELETE by key (Delta's ``DeltaTable.delete`` on the commit
+        log), FILE-SCOPED copy-on-write: only files whose recorded
+        min/max stats overlap the key set's [min, max] are read and
+        rewritten (anti-join against the keys); every other file is
+        carried into the new version unchanged — on a range-clustered
+        table a targeted delete (one day, one key band) rewrites one
+        file of N, which is exactly how Delta scopes deletes via data
+        skipping.
+
+        Same serializability contract as ``merge``: the rewritten
+        rows are a function of the snapshot they were computed from,
+        so ANY rival commit landing in between aborts (returns None;
+        caller re-runs).  ``batch_id`` gives exactly-once replay (the
+        TPC-H RF2 refresh stream re-delivered is a no-op).  Prior
+        versions stay readable — time travel shows the pre-delete
+        table, and VACUUM owns physical removal (Delta's
+        deletedFileRetentionDuration split)."""
+        if batch_id is not None and batch_id in self.applied_batch_ids():
+            return self.latest_version() or 0
+        start_v = self.latest_version()
+        if start_v is None:
+            return None  # nothing to delete from
+        k = keys.select(key).distinct()
+        bounds = k.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:  # empty key set
+            return start_v
+        touched = self.pruned_files(
+            [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])],
+            start_v,
+        )
+        if not touched:  # stats prove no row can match
+            return start_v
+        untouched = [
+            f for f in self.snapshot_files(start_v) if f not in touched
+        ]
+        remaining = spark.read.parquet(
+            *[os.path.join(self.path, f) for f in touched]
+        ).join(k, key, "left_anti")
+        new_files = self._write_data(remaining)
+
+        def build(base_v: int, base_files: list[str]):
+            if (
+                batch_id is not None
+                and batch_id in self.applied_batch_ids()
+            ):
+                return None
+            if base_v != start_v:
+                raise _MergeConflict(start_v, base_v)
+            return {
+                "op": "delete",
+                "files": untouched + new_files,
+                "batch_id": batch_id,
+            }
+
+        try:
+            return self._commit_with_retry(build)
+        except _MergeConflict:
+            return None
+
     def compact(
         self,
         spark: SparkSession,
