@@ -115,3 +115,87 @@ def stream_merge_txtable(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_apply_cdc(
+    updates_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    key: str,
+    order_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    max_conflict_retries: int = 5,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """The FULL change-data-capture applier (Debezium shape): each row
+    carries an operation tag — insert/update (anything but
+    ``delete_op``) or delete — and each micro-batch nets to one final
+    action per key before touching the table:
+
+    1. collapse to the latest row per ``key`` by ``order_col`` — an
+       insert followed by a delete inside one batch nets to a delete,
+       a delete followed by a re-insert nets to an upsert (the tag on
+       the LATEST row wins, exactly Delta's
+       ``whenMatchedDelete(condition)`` netting);
+    2. upsert keys MERGE, delete keys DELETE (pipeline/txlog.py) —
+       the key sets are disjoint by construction, so the two commits
+       compose in either order;
+    3. both commits are keyed by the epoch batch id (suffixes ``-u`` /
+       ``-d``), so a crash in the foreachBatch replay window — even
+       BETWEEN the two commits — replays to a no-op for whichever
+       half already landed.
+
+    Rival-writer aborts (snapshot CAS in merge/delete) retry against
+    the new state; per-key netting makes the retry order-insensitive
+    across appliers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..pipeline.txlog import TxTable
+    from ..pipeline.upsert import latest_per_key
+
+    t = TxTable(table_path)
+    ckpt_name = os.path.basename(os.path.normpath(checkpoint_dir))
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_per_key(batch_df, key, order_col).cache()
+        try:
+            upserts = latest.filter(
+                F.col(op_col) != delete_op
+            ).drop(op_col)
+            deletes = latest.filter(
+                F.col(op_col) == delete_op
+            ).select(key)
+            bid = f"{ckpt_name}-{epoch_id}"
+            if upserts.take(1):
+                for _ in range(max_conflict_retries):
+                    if t.merge(
+                        spark, upserts, key, batch_id=f"{bid}-u"
+                    ) is not None:
+                        break
+                else:
+                    raise RuntimeError("merge conflict persisted")
+            if deletes.take(1):
+                for _ in range(max_conflict_retries):
+                    if t.delete(
+                        spark, deletes, key, batch_id=f"{bid}-d"
+                    ) is not None:
+                        break
+                else:
+                    raise RuntimeError("delete conflict persisted")
+        finally:
+            latest.unpersist()
+
+    q = (
+        updates_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
