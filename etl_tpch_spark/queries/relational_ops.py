@@ -800,3 +800,78 @@ def agg_salted_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("gross_dec").cast("double").alias("gross"),
     )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ntile(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS INTEGER) AS quartile
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing — equal-frequency quartile assignment per
+    priority (the price-band segmentation the distribution windows
+    rank continuously).  NTILE's bucket rule (first n%4 buckets get
+    the extra row) is spec-identical across engines; ties broken by
+    order key → fully deterministic, integer output → bit-exact."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority,
+               max_by(o_orderstatus,
+                      n * 1000 + (999 - ascii(o_orderstatus)))
+                 AS mode_status,
+               CAST(max(n) AS BIGINT) AS mode_n
+        FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group — the most frequent order status per
+    priority, computed as count-then-argmax (two tiny aggregations;
+    no sort, no window over the fact table).  Ties break toward the
+    LOWEST status byte via the packed count·1000+(999−ascii) argmax
+    key (agg_argmax's single-BIGINT recipe: the oracle's max_by lacks
+    composite keys), so both engines pick the identical mode."""
+    t = Tables(spark, sf_dir)
+    c = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                F.col("o_orderstatus"),
+                F.col("n") * 1000
+                + (F.lit(999) - F.ascii("o_orderstatus")),
+            ).alias("mode_status"),
+            F.max("n").alias("mode_n"),
+        )
+        .orderBy("o_orderpriority")
+    )
