@@ -178,3 +178,38 @@ def test_delete_aborts_on_rival_commit(spark, sf_dir, tmp_path):
         == 0
     )
     assert remaining.count() == 13 - n_match
+
+
+def test_delete_all_leaves_readable_empty_table(
+    spark, sf_dir, tmp_path
+):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders)
+    v = t.delete(spark, orders.select("o_orderkey"), "o_orderkey")
+    assert v is not None
+    assert t.read(spark).count() == 0
+    assert t.read(spark).columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_stats_survive_delete_for_carried_files(
+    spark, sf_dir, tmp_path
+):
+    """Manifest stats carry through a DELETE's new version: a
+    selective read AFTER deleting a low band still prunes to one
+    file via the untouched files' recorded ranges."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders)
+    t.compact(spark, target_files=8, cluster_by=("o_orderkey",))
+    lo = orders.select("o_orderkey").orderBy("o_orderkey").limit(3)
+    assert t.delete(spark, lo, "o_orderkey") is not None
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    assert len(t.pruned_files([("o_orderkey", "=", hi)])) == 1
+    assert (
+        t.read_where(spark, [("o_orderkey", "=", hi)]).count() == 1
+    )
