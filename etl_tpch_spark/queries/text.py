@@ -1271,10 +1271,11 @@ _LM_PAIRS = (
 )
 
 
-@query(
-    "text_lm_quality_filter",
-    oracle=f"""
-        WITH ref_pairs AS (
+# CTE chain shared by the LM filter and the perplexity-bucket report
+# (one SQL definition of training + scoring, like functions/lm.py is
+# one Spark definition)
+_LM_CTES = f"""
+        ref_pairs AS (
             SELECT {_LM_PAIRS}
             FROM (SELECT {_SQL_TOKS} AS W FROM documents
                   WHERE source = '{_LM_REF_SOURCE}')
@@ -1304,13 +1305,23 @@ _LM_PAIRS = (
             FROM doc_pairs d
             LEFT JOIN lm ON d.p.w1 = lm.w1 AND d.p.w2 = lm.w2
             GROUP BY 1, 2, 3
-        )
+        ),
+        perdoc AS (
+            SELECT doc_id, lang, source, n_bigrams, covered_bigrams,
+                   CAST(round(score_sum_micro * 1.0 / n_bigrams, 0)
+                        AS BIGINT) AS avg_p_micro
+            FROM scored
+        )"""
+
+
+@query(
+    "text_lm_quality_filter",
+    oracle=f"""
+        WITH {_LM_CTES}
         SELECT doc_id, lang, source, n_bigrams, covered_bigrams,
-               CAST(round(score_sum_micro * 1.0 / n_bigrams, 0)
-                    AS BIGINT) AS avg_p_micro,
-               (CAST(round(score_sum_micro * 1.0 / n_bigrams, 0)
-                     AS BIGINT) >= {_LM_KEEP_MICRO}) AS keep
-        FROM scored
+               avg_p_micro,
+               (avg_p_micro >= {_LM_KEEP_MICRO}) AS keep
+        FROM perdoc
         ORDER BY doc_id
     """,
 )
@@ -1342,4 +1353,59 @@ def text_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return score_docs(t.documents, lm).withColumn(
         "keep", F.col("avg_p_micro") >= _LM_KEEP_MICRO
+    )
+
+
+@query(
+    "text_lm_perplexity_buckets",
+    oracle=f"""
+        WITH {_LM_CTES},
+        b AS (
+            SELECT lang, avg_p_micro,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY avg_p_micro DESC, doc_id
+                   ) AS INTEGER) AS bucket
+            FROM perdoc
+        )
+        SELECT lang, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(avg_p_micro) AS BIGINT) AS sum_score_micro,
+               CAST(min(avg_p_micro) AS BIGINT) AS floor_micro
+        FROM b GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def text_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual output shape: per-language head/middle/tail
+    terciles of LM score (bucket 1 = most in-domain).  NTILE over
+    (score desc, doc_id) makes tercile assignment deterministic even
+    across equal scores; the per-bucket report (count, integer score
+    mass, the tercile's floor score) is what drives CCNet's
+    keep-head/sample-middle/drop-tail policy downstream.  Shares the
+    scoring definition with text_lm_quality_filter on both engines
+    (functions/lm.py / the _LM_CTES chain)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.lm import bigram_counts, lm_from_counts, score_docs
+
+    t = Tables(spark, sf_dir)
+    lm = lm_from_counts(
+        bigram_counts(
+            t.documents.filter(F.col("source") == _LM_REF_SOURCE)
+        )
+    )
+    perdoc = score_docs(t.documents, lm)
+    w = W.partitionBy("lang").orderBy(
+        F.col("avg_p_micro").desc(), "doc_id"
+    )
+    b = perdoc.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("avg_p_micro").alias("sum_score_micro"),
+            F.min("avg_p_micro").alias("floor_micro"),
+        )
+        .orderBy("lang", "bucket")
     )
