@@ -348,6 +348,17 @@ class TxTable:
             entry = build_entry(base_v, base_files)
             if entry is None:  # e.g. replayed batch — nothing to do
                 return self.latest_version() or 0
+            # schema-evolution flag rides ops that CARRY base files
+            # (append/delete/vacuum); whole-table rewrites (overwrite,
+            # merge, compact) re-materialize one uniform schema and
+            # drop it
+            if (
+                "merged_schema" not in entry
+                and entry.get("op") in ("append", "delete", "vacuum")
+                and base_v
+                and self._read_entry(base_v).get("merged_schema")
+            ):
+                entry["merged_schema"] = True
             if "stats" not in entry:
                 # carry per-file stats forward: files retained from the
                 # base keep their recorded stats, files this writer just
@@ -407,14 +418,70 @@ class TxTable:
                 "use overwrite() to change the table schema"
             )
 
+    def _check_evolution(
+        self, df: DataFrame, files: list[str] | None = None
+    ) -> None:
+        """Delta's ``mergeSchema`` contract: an evolving append may ADD
+        columns and may OMIT existing ones (read as null), but a column
+        present on both sides must keep its type — silent type drift is
+        the corruption schema enforcement exists to stop."""
+        if files is None:
+            files = self.snapshot_files()
+        if not files:
+            return
+        spark = df.sparkSession
+        current = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(
+                os.path.join(self.path, files[0])
+            ).schema
+        }
+        for f in df.schema:
+            have = current.get(f.name)
+            if have is not None and have != f.dataType.simpleString():
+                raise ValueError(
+                    f"schema evolution cannot change column "
+                    f"{f.name!r} from {have} to "
+                    f"{f.dataType.simpleString()}"
+                )
+
     def append(
-        self, df: DataFrame, *, batch_id: str | None = None
+        self,
+        df: DataFrame,
+        *,
+        batch_id: str | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Append rows atomically; replaying a recorded batch_id is a
-        no-op.  Returns the committed (or current, on replay) version."""
+        no-op.  Returns the committed (or current, on replay) version.
+
+        ``merge_schema=True`` is Delta's additive schema evolution:
+        the incoming frame may add new columns (older files read as
+        null there) or omit existing ones; shared columns must keep
+        their types (:meth:`_check_evolution`).  The commit entry is
+        flagged ``merged_schema`` — snapshot reads then union file
+        schemas (parquet mergeSchema) — and the flag propagates along
+        append/delete/vacuum chains until a whole-table rewrite
+        (overwrite / MERGE / OPTIMIZE) re-materializes one uniform
+        schema and drops it (_commit_with_retry)."""
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return self.latest_version() or 0
-        self._enforce_schema(df)
+
+        def check(df_: DataFrame, files: list[str] | None = None) -> None:
+            # an evolved snapshot has no single file schema to sample —
+            # typed-compatibility (the evolution check) IS its
+            # enforcement until a rewrite normalizes the files
+            v = self.latest_version()
+            evolved = merge_schema or (
+                v is not None
+                and self._read_entry(v).get("merged_schema")
+            )
+            if evolved:
+                self._check_evolution(df_, files)
+            else:
+                self._enforce_schema(df_, files)
+
+        check(df)
         new_files = self._write_data(df)
 
         def build(base_v: int, base_files: list[str]):
@@ -425,12 +492,15 @@ class TxTable:
                 return None
             # re-validate against the REBUILT base: a rival overwrite()
             # may have changed the table schema since the pre-write check
-            self._enforce_schema(df, base_files)
-            return {
+            check(df, base_files)
+            entry = {
                 "op": "append",
                 "files": base_files + new_files,
                 "batch_id": batch_id,
             }
+            if merge_schema:
+                entry["merged_schema"] = True
+            return entry
 
         return self._commit_with_retry(build)
 
@@ -578,7 +648,13 @@ class TxTable:
         untouched = [
             f for f in self.snapshot_files(start_v) if f not in touched
         ]
-        remaining = spark.read.parquet(
+        reader = spark.read
+        if self._read_entry(start_v).get("merged_schema"):
+            # pin the full union schema so a touched subset that
+            # happens to hold only pre-evolution files still rewrites
+            # wide (missing columns read as null)
+            reader = reader.schema(self.read(spark, start_v).schema)
+        remaining = reader.parquet(
             *[os.path.join(self.path, f) for f in touched]
         ).join(k, key, "left_anti")
         new_files = self._write_data(remaining)
@@ -762,11 +838,26 @@ class TxTable:
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
-        """Snapshot read of ``version`` (default: latest)."""
-        files = self.snapshot_files(version)
+        """Snapshot read of ``version`` (default: latest).  A snapshot
+        holding schema-evolved files (append(merge_schema=True))
+        unions file schemas; uniform snapshots skip the footer merge."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no committed data")
+        try:
+            entry = self._read_entry(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {v} is not available (vacuumed or never "
+                "committed)"
+            ) from None
+        files = entry["files"]
         if not files:
             raise ValueError("table has no committed data")
-        return spark.read.parquet(
+        reader = spark.read
+        if entry.get("merged_schema"):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
 
@@ -834,18 +925,31 @@ class TxTable:
         (``compact(cluster_by=...)``), a selective read opens one file
         of N — the decision made from the log, before any executor
         touches storage."""
+        v = self.latest_version() if version is None else version
+        evolved = (
+            v is not None and self._read_entry(v).get("merged_schema")
+        )
         files = self.pruned_files(predicates, version)
         if not files:
-            # provably-empty result: recover the schema from ONE file
-            # (schema enforcement keeps all files identical) instead
-            # of handing Spark the whole snapshot just to read nothing
+            # provably-empty result: recover the schema cheaply —
+            # from ONE file when enforcement keeps them identical,
+            # from the full snapshot read when schemas evolved
+            if evolved:
+                return self.read(spark, version).where(F.lit(False))
             all_files = self.snapshot_files(version)
             if not all_files:
                 raise ValueError("table has no committed data")
             return spark.read.parquet(
                 os.path.join(self.path, all_files[0])
             ).where(F.lit(False))
-        df = spark.read.parquet(
+        reader = spark.read
+        if evolved:
+            # pin the full union schema: a pruned subset holding only
+            # pre-evolution files must still expose evolved columns
+            # (as null), or a predicate on one would crash instead of
+            # selecting nothing
+            reader = reader.schema(self.read(spark, version).schema)
+        df = reader.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
         return df.where(self._pred_column(predicates))
