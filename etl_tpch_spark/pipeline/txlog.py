@@ -678,6 +678,46 @@ class TxTable:
         except _MergeConflict:
             return None
 
+    def restore(self, version: int) -> int:
+        """Delta's ``RESTORE TABLE … TO VERSION``: commit a NEW version
+        whose file set is an older snapshot's — no data file moves or
+        rewrites, and history is preserved (the restore is itself a
+        logged, time-travelable entry; the versions it skips over stay
+        readable).  The mistaken-delete undo button the commit log buys
+        for free.
+
+        Restoring past a vacuum horizon is refused with the missing
+        files listed (Delta's retention-window refusal); stats and the
+        schema-evolution flag carry from the SOURCE entry so pruning
+        and union reads behave exactly as they did at ``version``."""
+        try:
+            src = self._read_entry(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} is not available (vacuumed or "
+                "never committed)"
+            ) from None
+        missing = [
+            f
+            for f in src["files"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore version {version}: data files "
+                f"vacuumed: {missing}"
+            )
+
+        def build(base_v: int, base_files: list[str]):
+            entry = {"op": "restore", "files": list(src["files"])}
+            if src.get("merged_schema"):
+                entry["merged_schema"] = True
+            if "stats" in src:
+                entry["stats"] = src["stats"]
+            return entry
+
+        return self._commit_with_retry(build)
+
     def compact(
         self,
         spark: SparkSession,

@@ -121,3 +121,53 @@ def test_evolving_append_replay_is_noop(spark, tmp_path):
     v2 = t.append(_wide(spark), merge_schema=True, batch_id="evo-1")
     assert v1 == v2
     assert t.read(spark).count() == 4
+
+
+# --------------------------------------------------------------- RESTORE
+
+
+def test_restore_rewinds_to_old_snapshot(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_narrow(spark))  # v1
+    t.append(
+        spark.createDataFrame([(9, "z")], "k long, val string")
+    )  # v2
+    keys = spark.createDataFrame([(1,)], "k long")
+    t.delete(spark, keys, "k")  # v3 — the "mistake"
+    assert {r.k for r in t.read(spark).collect()} == {2, 9}
+
+    v = t.restore(1)
+    assert v == 4  # restore is a NEW version, not history rewriting
+    assert {r.k for r in t.read(spark).collect()} == {1, 2}
+    # the skipped-over states stay time-travelable
+    assert {r.k for r in t.read(spark, version=3).collect()} == {2, 9}
+
+
+def test_restore_preserves_evolution_flag_and_batch_ids(
+    spark, tmp_path
+):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_narrow(spark), batch_id="b1")  # v1
+    t.append(_wide(spark), merge_schema=True)  # v2 (evolved)
+    t.append(
+        spark.createDataFrame(
+            [(7, "g", 70)], "k long, val string, score long"
+        )
+    )  # v3
+    t.restore(2)
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "val", "score"}  # flag carried
+    assert {r.k for r in got.collect()} == {1, 2, 3, 4}
+    # exactly-once survives the rewind: the restored state predates
+    # nothing — applied batch ids stay applied
+    v = t.latest_version()
+    assert t.append(_narrow(spark), batch_id="b1") == v
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_narrow(spark))  # v1
+    t.overwrite(spark.createDataFrame([(5, "e")], "k long, val string"))
+    t.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="restore|available"):
+        t.restore(1)
