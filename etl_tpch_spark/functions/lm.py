@@ -29,10 +29,13 @@ def bigram_pairs(docs: DataFrame) -> DataFrame:
     columns.  Documents with fewer than two tokens contribute nothing
     (explode of an empty array)."""
     toks = tokens(F.col("text"))
-    sz = F.size(toks)
+    # clamp at 0: slice() raises on negative lengths, and empty /
+    # whitespace-only text (routine in crawl JSON-lines) tokenizes to
+    # size 0, which would make sz-1 == -1 and kill the whole batch.
+    n = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     z = F.zip_with(
-        F.slice(toks, 1, sz - 1),
-        F.slice(toks, 2, sz - 1),
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return docs.withColumn("p", F.explode(z))

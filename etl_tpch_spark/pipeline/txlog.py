@@ -430,11 +430,19 @@ class TxTable:
         if not files:
             return
         spark = df.sparkSession
+        # validate against the UNION schema, not files[0]: on an evolved
+        # snapshot files have different shapes, and a column added by a
+        # prior merge_schema append may be absent from the sampled file —
+        # invisible to the drift check, letting a second evolving append
+        # commit the same column with an incompatible type (the table
+        # then becomes unreadable at the parquet mergeSchema step).
+        # mergeSchema over uniform files degenerates to the single-file
+        # read, so this is safe either way; footers only, no data scan.
         current = {
             f.name: f.dataType.simpleString()
-            for f in spark.read.parquet(
-                os.path.join(self.path, files[0])
-            ).schema
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, fn) for fn in files])
+            .schema
         }
         for f in df.schema:
             have = current.get(f.name)
@@ -574,7 +582,9 @@ class TxTable:
                 "before merging"
             )
         start_v = self.latest_version()
-        if start_v is None:
+        if start_v is None or not self.snapshot_files(start_v):
+            # no committed data (never written, or only no-op delete
+            # entries so far) — the merge degenerates to an append
             return self.append(updates, batch_id=batch_id)
         target = self.read(spark, version=start_v)
         merged = target.join(
@@ -632,19 +642,22 @@ class TxTable:
             return self.latest_version() or 0
         start_v = self.latest_version()
         if start_v is None:
-            return None  # nothing to delete from
+            # empty table: a benign no-op, NOT a conflict — None is
+            # reserved for CAS aborts (a first micro-batch containing
+            # only deletes must not crash the CDC applier's retry loop)
+            return self._commit_delete_noop(batch_id, 0)
         k = keys.select(key).distinct()
         bounds = k.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:  # empty key set
-            return start_v
+            return self._commit_delete_noop(batch_id, start_v)
         touched = self.pruned_files(
             [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])],
             start_v,
         )
         if not touched:  # stats prove no row can match
-            return start_v
+            return self._commit_delete_noop(batch_id, start_v)
         untouched = [
             f for f in self.snapshot_files(start_v) if f not in touched
         ]
@@ -677,6 +690,32 @@ class TxTable:
             return self._commit_with_retry(build)
         except _MergeConflict:
             return None
+
+    def _commit_delete_noop(
+        self, batch_id: str | None, current_v: int
+    ) -> int:
+        """A delete that provably matches nothing must still get its
+        ``batch_id`` into the log: under the wiped-checkpoint replay
+        contract, an UNRECORDED epoch re-executes against the NEWER
+        snapshot and can delete rows upserted by later epochs (whose
+        own replays then no-op on their recorded ids) — silent data
+        loss.  So when a batch_id is present, commit a no-op entry
+        (files carried verbatim from the commit-time base, id
+        recorded).  No CAS pin: deleting nothing commutes with any
+        rival, and the files list is rebuilt inside the retry loop."""
+        if batch_id is None:
+            return current_v
+
+        def build(base_v: int, base_files: list[str]):
+            if batch_id in self.applied_batch_ids():
+                return None
+            return {
+                "op": "delete",
+                "files": base_files,
+                "batch_id": batch_id,
+            }
+
+        return self._commit_with_retry(build)
 
     def restore(self, version: int) -> int:
         """Delta's ``RESTORE TABLE … TO VERSION``: commit a NEW version
@@ -801,7 +840,19 @@ class TxTable:
             appended_since = [
                 f for f in base_files if f not in compacted_away
             ]
-            return {"op": "compact", "files": new_files + appended_since}
+            entry = {"op": "compact", "files": new_files + appended_since}
+            # rewritten files are uniform (union schema), but rival
+            # appends carried verbatim may be narrower: on an evolved
+            # chain every rival entry inherits the merged_schema flag,
+            # so if any landed, the mixed manifest must stay flagged —
+            # an unflagged read would sample one file's schema and
+            # silently drop/null the divergent columns
+            if appended_since and any(
+                self._read_entry(v).get("merged_schema")
+                for v in range(start_v + 1, base_v + 1)
+            ):
+                entry["merged_schema"] = True
+            return entry
 
         return self._commit_with_retry(build)
 
@@ -921,7 +972,10 @@ class TxTable:
         stats = entry.get("stats", {})
         out = []
         for f in entry["files"]:
-            cols = stats.get(f, {}).get("cols", {})
+            st = stats.get(f, {})
+            if st.get("rows") == 0:
+                continue  # a provably-empty file can never match
+            cols = st.get("cols", {})
             keep = True
             for col, op, val in predicates:
                 if op not in _PRED_OPS:
