@@ -867,3 +867,114 @@ def contrastive_negs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, QUERY_IDS,
         dup_threshold=NEG_DUP_T, k_hard=NEG_K_HARD, k_easy=NEG_K_EASY,
     )
+
+
+NEG_POOL = 64
+
+
+@query(
+    "sim_contrastive_negatives_indexed",
+    oracle=f"""
+        WITH {_km_chain(N_CELLS, N_IVF_ITERS)},
+        cells AS (
+            SELECT e.vec_id, e.embedding, af.cluster AS cell
+            FROM embeddings e JOIN afinal af ON e.vec_id = af.vec_id
+        ),
+        qq AS (
+            SELECT a.vec_id AS query_id, a.qv, e.embedding AS q_emb
+            FROM afinal a JOIN embeddings e ON a.vec_id = e.vec_id
+            WHERE a.vec_id IN ({_IDS})
+        ),
+        qcells AS (
+            SELECT query_id, q_emb, cell FROM (
+                SELECT qq.query_id, qq.q_emb, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY qq.query_id
+                           ORDER BY {_km_d2('qq.qv', 'c.cv')}, c.cent_id
+                       ) AS prn
+                FROM qq CROSS JOIN c{N_IVF_ITERS} c
+            ) WHERE prn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT qc.query_id, v.vec_id,
+                   round({sql_cosine_fold('qc.q_emb', 'v.embedding')}, 6)
+                     AS cosine
+            FROM qcells qc JOIN cells v ON qc.cell = v.cell
+            WHERE qc.query_id <> v.vec_id
+        ),
+        nonpos AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS r_hard
+            FROM scored WHERE cosine < {NEG_DUP_T}
+        ),
+        hard AS (
+            SELECT query_id, vec_id, cosine,
+                   'hard' AS stratum, CAST(r_hard AS BIGINT) AS rnk
+            FROM nonpos WHERE r_hard <= {NEG_K_HARD}
+        ),
+        pool AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {NEG_POOL}
+        ),
+        pscored AS (
+            SELECT q.query_id, c.vec_id, round({_COS}, 6) AS cosine
+            FROM qq q CROSS JOIN pool c
+            WHERE q.query_id <> c.vec_id
+        ),
+        easy AS (
+            SELECT query_id, vec_id, cosine, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY md5(CAST(query_id AS VARCHAR) || ':'
+                             || CAST(vec_id AS VARCHAR)), vec_id
+            ) AS r_rand
+            FROM pscored ps
+            WHERE ps.cosine < {NEG_DUP_T}
+              AND NOT EXISTS (
+                  SELECT 1 FROM hard h
+                  WHERE h.query_id = ps.query_id
+                    AND h.vec_id = ps.vec_id
+              )
+        )
+        SELECT query_id, vec_id, cosine, stratum, rnk FROM hard
+        UNION ALL
+        SELECT query_id, vec_id, cosine,
+               'easy' AS stratum, CAST(r_rand AS BIGINT) AS rnk
+        FROM easy WHERE r_rand <= {NEG_K_EASY}
+        ORDER BY query_id, stratum, rnk
+    """,
+)
+def contrastive_negs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served negative mining (similarity/index.py
+    IVFIndex.negatives) — the 100 TB shape for
+    ``sim_contrastive_negatives``: hard negatives come from the
+    persisted IVF index's probed cells (scan n_probe/n_cells of the
+    corpus over cell-pruned files, not a full broadcast×corpus
+    product), easy negatives from a shared 64-vector md5-sampled pool
+    selected ONCE from the stored cells table (query-independent — no
+    per-query corpus pass at all).  Training, probes, fold cosines and
+    md5 addressing are all deterministic, so the entire mined set is
+    hash-checked against the unrolled-CTE replica; the full-scan form
+    stays registered as the recall baseline, with a pinned hard-set
+    recall floor in tests/test_recall_gates.py."""
+    from ..catalog import scratch_index_dir
+    from ..similarity.index import IVFIndex
+
+    t = Tables(spark, sf_dir)
+    idx = IVFIndex.build(
+        scratch_index_dir("ivf-neg-idx", sf_dir, wipe=True),
+        t.embeddings,
+        n_cells=N_CELLS,
+        iters=N_IVF_ITERS,
+    )
+    queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
+    return idx.negatives(
+        spark,
+        queries_df,
+        dup_threshold=NEG_DUP_T,
+        k_hard=NEG_K_HARD,
+        k_easy=NEG_K_EASY,
+        n_probe=N_PROBE,
+        pool_size=NEG_POOL,
+    )

@@ -87,18 +87,19 @@ class IVFIndex:
     def cells(self, spark: SparkSession) -> DataFrame:
         return self.cells_t.read(spark)
 
-    def topk(
+    def candidates(
         self,
         spark: SparkSession,
         queries: DataFrame,
-        k: int,
         n_probe: int = 4,
     ) -> DataFrame:
-        """Top-k cosine neighbors for each query row (vec_id,
-        embedding), probing ``n_probe`` stored cells per query.  No
-        training happens here — centroids and inverted lists come from
-        storage; the only per-query work is quantize + rank K centroids
-        + scan the probed files."""
+        """The scored candidate frame (query_id, vec_id, cosine) from
+        probing ``n_probe`` stored cells per query — the shared first
+        stage of every index-served consumer (``topk`` ranks it;
+        ``contrastive_negatives_indexed`` stratifies it).  No training
+        happens here — centroids and inverted lists come from storage;
+        the only per-query work is quantize + rank K centroids + scan
+        the probed files."""
         q_quant = quantize(queries)
         cent = self.centroids(spark)
         d2 = F.aggregate(
@@ -134,9 +135,20 @@ class IVFIndex:
         cand = F.broadcast(probes).join(cells, "cell").filter(
             F.col("query_id") != F.col("vec_id")
         )
-        scored = cand.withColumn(
+        return cand.withColumn(
             "cosine", _pair_cosine("q_emb", "v_emb", "q_norm", "v_norm")
-        )
+        ).select("query_id", "vec_id", "cosine")
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """Top-k cosine neighbors for each query row (vec_id,
+        embedding): rank the probed-cell candidates."""
+        scored = self.candidates(spark, queries, n_probe)
         w = W.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("vec_id")
         )
@@ -145,3 +157,103 @@ class IVFIndex:
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cosine", "rnk")
         )
+
+    def negatives(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        *,
+        dup_threshold: float,
+        k_hard: int,
+        k_easy: int,
+        n_probe: int = 4,
+        pool_size: int = 64,
+    ) -> DataFrame:
+        """Index-served contrastive negative mining — the 100 TB shape
+        for ``similarity/ann.py contrastive_negatives`` (which scores
+        every query against the FULL corpus: the recall baseline, kept
+        registered as ``sim_contrastive_negatives``).
+
+        - ``hard``: the ``k_hard`` highest-cosine candidates BELOW
+          ``dup_threshold`` drawn from the index's probed cells —
+          hard negatives are by definition near-neighbors, exactly
+          what the inverted lists localize, so the scan cost drops
+          from O(|Q|·corpus) dot products to O(|Q|·corpus·n_probe/
+          n_cells) over cell-pruned files;
+        - ``easy``: ``k_easy`` per query from a SHARED hash-sampled
+          pool — the ``pool_size`` corpus vectors with smallest
+          ``md5(vec_id)`` (query-independent, so the pool is selected
+          once: a TakeOrdered over the stored cells table, never a
+          per-query corpus pass), scored against each query, filtered
+          below-threshold, de-duplicated against that query's hard
+          set, then ranked by the same ``md5(query_id:vec_id)``
+          addressing as the baseline sampler.
+
+        Everything is deterministic (integer-Lloyd cells, fold
+        cosines, md5 addressing) ⇒ the whole mined set is
+        hash-checked against a DuckDB replica, and a recall floor vs
+        the full-scan baseline is pinned in tests/test_recall_gates.py.
+        """
+        scored = self.candidates(spark, queries, n_probe)
+        nonpos = scored.filter(F.col("cosine") < dup_threshold)
+        w_hard = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        hard = (
+            nonpos.withColumn("r_hard", F.row_number().over(w_hard))
+            .filter(F.col("r_hard") <= k_hard)
+            .select(
+                "query_id",
+                "vec_id",
+                "cosine",
+                F.lit("hard").alias("stratum"),
+                F.col("r_hard").cast("long").alias("rnk"),
+            )
+        )
+        # shared easy pool: smallest-md5 corpus vectors from the stored
+        # cells table (carries v_emb/v_norm — no second corpus read)
+        pool = (
+            self.cells(spark)
+            .select("vec_id", "v_emb", "v_norm")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(pool_size)
+        )
+        q_emb = _with_norm(queries, "query_id", "q_emb", "q_norm")
+        pscored = (
+            F.broadcast(q_emb)
+            .crossJoin(pool)
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .withColumn(
+                "cosine",
+                _pair_cosine("q_emb", "v_emb", "q_norm", "v_norm"),
+            )
+            .select("query_id", "vec_id", "cosine")
+            .filter(F.col("cosine") < dup_threshold)
+            .join(
+                hard.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        w_easy = W.partitionBy("query_id").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("query_id").cast("string"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+            F.col("vec_id"),
+        )
+        easy = (
+            pscored.withColumn("r_rand", F.row_number().over(w_easy))
+            .filter(F.col("r_rand") <= k_easy)
+            .select(
+                "query_id",
+                "vec_id",
+                "cosine",
+                F.lit("easy").alias("stratum"),
+                F.col("r_rand").cast("long").alias("rnk"),
+            )
+        )
+        return hard.unionAll(easy).orderBy("query_id", "stratum", "rnk")

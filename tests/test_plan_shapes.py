@@ -104,6 +104,9 @@ NLJ_ALLOWED = {
     "sim_ann_topk_matryoshka",  # |Q|x n coarse prefix pass, like bruteforce
     "sim_contrastive_negatives",  # broadcast-query corpus scan, like
     # bruteforce — swap in any candidate generator at scale (docstring)
+    "sim_contrastive_negatives_indexed",  # |Q|×K stored-centroid
+    # ranking + |Q|×64 fixed easy-pool scoring — both broadcast joins
+    # of constant-size frames; the corpus itself joins on cell id
 }
 
 
