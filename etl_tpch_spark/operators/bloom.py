@@ -27,10 +27,22 @@ constant-size aggregation (positions → 64-bit words → bit_or), the
 collect is O(m_bits/64) rows — the same driver-side footprint as a
 kmeans centroid round.
 
-Everything evaluates JVM-side: the membership test is a pure column
-expression over two literal arrays (the bitset words and the 64
-single-bit masks — ``element_at`` on a literal array sidesteps
-shift-by-column, which the DataFrame API lacks).
+Everything evaluates JVM-side.  TWO membership forms:
+
+- ``bloom_semi_join`` — the bitset words as a LITERAL array in the
+  probe expression (``element_at`` on a literal array sidesteps
+  shift-by-column, which the DataFrame API lacks).  Zero joins, but
+  whole-stage codegen budgets cap the literal at 65,536 bits ≈ 6.5k
+  build keys at 10 bits/key; beyond that the FP rate climbs toward 1
+  and the filter degrades to pure overhead.  The oracle-checked demo.
+- ``bloom_semi_join_unbounded`` — the bitset as a broadcast (w, bits)
+  WORD TABLE probed by k broadcast-hash joins on word index.  No
+  literal, no cap: sizing follows 10 bits/key to millions of keys
+  (bounded by broadcast capacity, ~12 MB at 10M keys), which is the
+  production path exactly where the "build side too big to broadcast"
+  motivation bites.  tests/test_sketches.py pins that it keeps a
+  ≥90% prune rate at a 100k-key build where the capped form decays
+  to ~zero pruning.
 """
 
 from __future__ import annotations
@@ -117,6 +129,125 @@ def auto_m_bits(n_keys: int) -> int:
     result."""
     want = max(1, 10 * n_keys)
     return max(8192, min(65536, 1 << (want - 1).bit_length()))
+
+
+def auto_m_bits_unbounded(n_keys: int) -> int:
+    """~10 bits/key rounded up to a power of two, floored at 8192,
+    UNCAPPED — for the word-table form, whose bitset never enters a
+    codegen'd literal (it rides a broadcast relation instead)."""
+    want = max(8192, 10 * max(1, n_keys))
+    return 1 << (want - 1).bit_length()
+
+
+def bloom_words(
+    keys: DataFrame, key: str, *, m_bits: int, k: int = 4
+) -> DataFrame:
+    """The bitset as a DataFrame of (w, bits) words — the same
+    aggregation as :func:`bloom_build` WITHOUT the driver collect, so
+    m_bits is bounded by broadcast capacity (millions of keys), not by
+    the whole-stage-codegen literal budget (~6.5k keys)."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    return (
+        keys.select(
+            F.explode(
+                F.array(*_positions(F.col(key), k, m_bits))
+            ).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            F.element_at(
+                masks, (F.col("pos").bitwiseAND(63) + 1).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_prefilter_wordtable(
+    probe: DataFrame,
+    probe_key: str,
+    words: DataFrame,
+    *,
+    m_bits: int,
+    k: int = 4,
+) -> DataFrame:
+    """Probe-side bloom membership via k broadcast-hash joins on word
+    index: each probe row computes its i-th bit position, equi-joins
+    the (w, bits) word table (inner join — a key whose word was never
+    set is DEFINITELY absent and drops immediately), and keeps the row
+    only if its bit is set.  All JVM-side column arithmetic.  Pass a
+    localCheckpoint-ed ``words`` (as :func:`bloom_semi_join_unbounded`
+    does): the k broadcast exchanges carry per-iteration column names
+    (see below), which defeats ReuseExchange — checkpointing makes the
+    build-side aggregation compute once either way.
+
+    This is the uncapped scale path: at 10 bits/key a 10M-key build is
+    a ~1.5M-row / ~12 MB broadcast — far past where the literal-array
+    form's fixed 65,536-bit ceiling has degraded to FP≈1 (pure
+    overhead), and still far smaller than broadcasting the exact key
+    set."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    out = probe
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(m_bits))
+        # per-iteration column names: joining the same word-table plan
+        # k times under one alias trips the ambiguous-self-join check
+        wcol, bcol = f"_bloom_w{i}", f"_bloom_b{i}"
+        wt = words.select(
+            F.col("w").alias(wcol), F.col("bits").alias(bcol)
+        )
+        out = (
+            out.join(
+                F.broadcast(wt),
+                F.shiftright(p, 6) == F.col(wcol),
+                "inner",
+            )
+            .where(
+                F.col(bcol).bitwiseAND(
+                    F.element_at(
+                        masks, (p.bitwiseAND(63) + 1).cast("int")
+                    )
+                )
+                != 0
+            )
+            .drop(wcol, bcol)
+        )
+    return out
+
+
+def bloom_semi_join_unbounded(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    *,
+    m_bits: int | None = None,
+    k: int = 4,
+) -> DataFrame:
+    """Semi-join with an UNCAPPED bloom pre-filter (word-table form).
+    Result ≡ the plain left-semi join: the bloom only removes rows
+    early, and the exact semi-join that follows kills false positives.
+    Unlike :func:`bloom_semi_join`, the final exact join is NOT
+    broadcast-hinted — at the build sizes that motivate this form the
+    key set outgrows broadcast, and the bloom's job is exactly to
+    shrink the probe side feeding that shuffled semi-join (AQE may
+    still choose to broadcast when the build turns out small)."""
+    keys = build.select(build_key).distinct()
+    if m_bits is None:
+        m_bits = auto_m_bits_unbounded(keys.count())
+    # lazy localCheckpoint: the build-side aggregation (a real shuffle
+    # at 10M keys) materializes on the first of the k broadcasts and
+    # is reused by the rest, instead of recomputing per join
+    words = bloom_words(keys, build_key, m_bits=m_bits, k=k).localCheckpoint(
+        eager=False
+    )
+    filtered = bloom_prefilter_wordtable(
+        probe, probe_key, words, m_bits=m_bits, k=k
+    )
+    return filtered.join(
+        keys, filtered[probe_key] == keys[build_key], "left_semi"
+    )
 
 
 def bloom_semi_join(

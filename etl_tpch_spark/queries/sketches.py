@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 from ..catalog import Tables
 from ..functions.agg import money
 from ..functions.text import sql_token_hash, token_hash
-from ..operators.bloom import bloom_semi_join
-from ..registry import query
+from ..operators.bloom import bloom_semi_join, bloom_semi_join_unbounded
+from ..registry import REGISTRY, query
 
 # alpha_m * m^2 for the standard HLL bias correction, precomputed in
 # Python and embedded as identical literals in Spark and the oracle —
@@ -321,6 +321,43 @@ def join_bloom_semi_orders(
     # skips the build-side count job — one less fixed-cost stage
     hits = bloom_semi_join(
         t.orders, rich, "o_custkey", "c_custkey", m_bits=16384
+    )
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(money(F.col("o_totalprice"))), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_bloom_semi_orders_unbounded",
+    oracle=REGISTRY["join_bloom_semi_orders"].oracle,
+)
+def join_bloom_semi_orders_unbounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same high-balance-customer semi-join through the UNCAPPED
+    word-table bloom (operators/bloom.py bloom_semi_join_unbounded):
+    the bitset rides a broadcast (w, bits) relation probed by k
+    equi-joins on word index instead of a codegen'd literal array, so
+    sizing follows 10 bits/key past the literal form's 65,536-bit /
+    ~6.5k-key ceiling (pinned at a 100k-key build in
+    tests/test_sketches.py — ≥90% prune where the capped form decays
+    to none), and the exact semi-join that follows is left to AQE
+    (no broadcast hint) because at motivating scale the key set
+    outgrows broadcast.  Output ≡ the plain semi-join ⇒ the
+    join_bloom_semi_orders oracle applies verbatim."""
+    t = Tables(spark, sf_dir)
+    rich = t.customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey"
+    )
+    hits = bloom_semi_join_unbounded(
+        t.orders, rich, "o_custkey", "c_custkey"
     )
     return (
         hits.groupBy("o_orderpriority")

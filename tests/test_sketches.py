@@ -132,3 +132,70 @@ def test_bloom_filter_evaluates_before_join(spark, sf_dir):
     # in the tree printout, children (the probe scan+filter) appear
     # AFTER their parent join node
     assert filt_at > join_at
+
+
+def test_unbounded_bloom_equals_plain_semi_join(spark, sf_dir):
+    """bloom_semi_join_unbounded ≡ the plain left-semi join on real
+    tables (false positives killed by the exact join that follows)."""
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.operators.bloom import bloom_semi_join_unbounded
+
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+    got = bloom_semi_join_unbounded(
+        orders, rich, "o_custkey", "c_custkey"
+    )
+    want = orders.join(
+        rich.select("c_custkey").distinct(),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_unbounded_bloom_prune_rate_at_100k_keys(spark):
+    """The VERDICT r3 #2 gate: at a 100k-key build side — ~15× past
+    the literal form's 65,536-bit ceiling — the word-table bloom must
+    still prune ≥90% of non-matching probe rows, while the capped
+    literal form has decayed to near-zero pruning (FP → 1).  Also pins
+    zero false negatives (every true match survives the prefilter)."""
+    from etl_tpch_spark.operators.bloom import (
+        auto_m_bits_unbounded,
+        bloom_might_contain,
+        bloom_build,
+        bloom_prefilter_wordtable,
+        bloom_words,
+    )
+
+    n_build, n_probe = 100_000, 200_000
+    build = spark.range(n_build).select(
+        (F.col("id") * 7919).alias("k")  # sparse keys: misses exist
+    )
+    # probe: half true matches, half guaranteed misses (odd offsets)
+    probe = spark.range(n_probe).select(
+        F.when(F.col("id") < n_probe // 2, F.col("id") * 7919)
+        .otherwise(F.col("id") * 7919 + 1)
+        .alias("k")
+    )
+    m = auto_m_bits_unbounded(n_build)
+    assert m >= 10 * n_build  # the uncapped promise
+    words = bloom_words(build, "k", m_bits=m)
+    kept = bloom_prefilter_wordtable(
+        probe, "k", words, m_bits=m
+    ).count()
+    matches = n_probe // 2
+    false_kept = kept - matches
+    assert kept >= matches  # no false negatives
+    prune_rate = 1 - false_kept / (n_probe - matches)
+    assert prune_rate >= 0.90, prune_rate
+    # the capped literal form at the same build size: FP ≈ 1 — the
+    # decay that motivates the word-table path (documented, not fixed)
+    capped_words = bloom_build(build, "k", m_bits=65536)
+    capped_kept = probe.where(
+        bloom_might_contain(F.col("k"), capped_words)
+    ).count()
+    capped_prune = 1 - (capped_kept - matches) / (n_probe - matches)
+    assert capped_prune <= 0.10, capped_prune
