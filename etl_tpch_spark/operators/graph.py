@@ -58,25 +58,160 @@ def pagerank(
         F.expr(f"CAST({SCALE} div n_nodes AS BIGINT)").alias("pr"),
     )
     for _ in range(iterations):
-        contrib = (
-            bi.join(ranks, bi["s"] == ranks["node"])
-            .select(
-                F.col("d").alias("cnode"),
-                F.expr("pr div deg").alias("share"),
-            )
-            .groupBy("cnode")
-            .agg(F.sum("share").alias("contrib"))
-        )
-        ranks = (
-            deg.crossJoin(n)
-            .join(contrib, deg["node"] == contrib["cnode"])
-            .select(
-                "node",
-                "deg",
-                F.expr(
-                    f"CAST((15 * {SCALE}) div (100 * n_nodes)"
-                    f" + ({DAMP_NUM} * contrib) div {DAMP_DEN} AS BIGINT)"
-                ).alias("pr"),
-            )
-        )
+        ranks = _pr_round(bi, deg, n, ranks)
     return ranks.select("node", F.col("pr").alias("pr_scaled"))
+
+
+def _pr_round(
+    bi: DataFrame, deg: DataFrame, n: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """One message-passing round — shared verbatim by the bounded and
+    the until-converged forms, so the two are the same computation."""
+    contrib = (
+        bi.join(ranks, bi["s"] == ranks["node"])
+        .select(
+            F.col("d").alias("cnode"),
+            F.expr("pr div deg").alias("share"),
+        )
+        .groupBy("cnode")
+        .agg(F.sum("share").alias("contrib"))
+    )
+    return (
+        deg.crossJoin(n)
+        .join(contrib, deg["node"] == contrib["cnode"])
+        .select(
+            "node",
+            "deg",
+            F.expr(
+                f"CAST((15 * {SCALE}) div (100 * n_nodes)"
+                f" + ({DAMP_NUM} * contrib) div {DAMP_DEN} AS BIGINT)"
+            ).alias("pr"),
+        )
+    )
+
+
+def pagerank_until_converged(
+    pairs: DataFrame,
+    *,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    tol_scaled: int = 10**6,
+    max_iterations: int = 100,
+) -> tuple[DataFrame, int]:
+    """PageRank iterated until the rank mass stops moving — the
+    PRODUCTION variant of :func:`pagerank`, whose fixed round budget
+    exists for cross-engine hash equality (both engines run the
+    identical bounded computation), not because 3 rounds suffice on
+    every graph.
+
+    Driver-side delta loop: after each round, one 1-row aggregate
+    collects Σ|pr_new − pr_old| (scaled-integer, so the test is exact
+    arithmetic); the loop stops when the delta is ≤ ``tol_scaled`` or
+    at ``max_iterations``.  The default tolerance is 10⁶ rank units =
+    1e-6 of total mass (units are 1e-12ths): the damping contraction
+    shrinks the delta ~0.6× per round (measured on the fixture graph),
+    so the tail below any practical tolerance is noise-sized, while an
+    EXACT integer fixpoint may never arrive (truncating division can
+    leave ±1-unit flutter indefinitely — don't pass 0).  Per round
+    the per-node rank relation is lazily localCheckpoint-ed — lineage
+    stays O(1) per round instead of O(rounds), the same discipline as
+    connected_components.  Cost per round beyond the bounded form: one
+    extra node-keyed join + 1-row collect — the price of knowing you
+    converged.  Oracle-exempt by design (the stopping round depends on
+    the data); equality to the bounded form at the same round count is
+    pinned in tests/test_graph_converged.py.
+
+    Returns ``(ranks, rounds_run)``.
+    """
+    bi = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        bi.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("s", "node")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        deg.crossJoin(n)
+        .select(
+            "node",
+            "deg",
+            F.expr(f"CAST({SCALE} div n_nodes AS BIGINT)").alias("pr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        new = _pr_round(bi, deg, n, ranks).localCheckpoint(eager=False)
+        delta = (
+            new.select("node", F.col("pr").alias("pr_new"))
+            .join(ranks.select("node", "pr"), "node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.abs(F.col("pr_new") - F.col("pr"))), F.lit(0)
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        ranks = new
+        if delta <= tol_scaled:
+            break
+    return ranks.select("node", F.col("pr").alias("pr_scaled")), rounds
+
+
+def kcore_until_converged(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_rounds: int = 1000,
+) -> tuple[DataFrame, int]:
+    """k-core peel iterated until NO node is removed — the PRODUCTION
+    variant of the bounded peel in queries/graph.py graph_kcore (whose
+    fixed 10-round budget exists for cross-engine equality; a 100×
+    graph may need deeper peeling).  Driver-side loop: one surviving-
+    node count per round (peeling strictly shrinks the node set, so
+    `count unchanged` IS the fixpoint test — no frame diff needed);
+    per-round node frames are lazily localCheckpoint-ed to keep the
+    plan linear in rounds.  Returns ``((vec_id, core_degree), rounds)``
+    where rounds counts peel iterations INCLUDING the final no-change
+    confirmation round."""
+    e = edges.select(
+        F.col(src).alias("vec_a"), F.col(dst).alias("vec_b")
+    ).localCheckpoint(eager=False)
+    keep = (
+        e.select(F.col("vec_a").alias("vec_id"))
+        .unionAll(e.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = keep.count()
+    deg = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        ka = keep.select(F.col("vec_id").alias("a_id"))
+        kb = keep.select(F.col("vec_id").alias("b_id"))
+        er = e.join(ka, e.vec_a == ka.a_id).join(kb, e.vec_b == kb.b_id)
+        deg = (
+            er.select(F.col("vec_a").alias("vec_id"))
+            .unionAll(er.select(F.col("vec_b").alias("vec_id")))
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("vec_id")
+            .localCheckpoint(eager=False)
+        )
+        n_now = keep.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    out = keep.join(deg, "vec_id").select(
+        "vec_id", F.col("deg").cast("long").alias("core_degree")
+    )
+    return out, rounds
