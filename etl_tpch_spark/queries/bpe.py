@@ -198,6 +198,100 @@ def _train(t: Tables) -> tuple[list[Row], DataFrame]:
     return merges, v
 
 
+# ------------------------------------------------- production trainer
+#
+# The relational trainer above is the ORACLE-CHECKED mechanism demo: one
+# Spark job (pair-count shuffle + 1-row argmax collect) PER merge round.
+# Fine at demo K, but a production vocabulary is 32k-100k merges =
+# that many sequential Spark jobs.  Standard practice (Sennrich's
+# learn_bpe, HF tokenizers) is: the corpus-sized work is ONLY the word
+# count; once the word-frequency table is collected (vocab-sized — a
+# few million rows for a web corpus, ~100 MB, comfortably driver-side)
+# the entire merge loop runs in process with ZERO further Spark jobs.
+# ``train_bpe`` below is that path; equality of its merge table to the
+# relational trainer's at demo K is pinned in tests/test_bpe.py, and a
+# K=256 run is timed in SCALING.md.
+
+
+def train_bpe_driver(
+    wordfreq: list[tuple[str, int]], n_merges: int
+) -> list[Row]:
+    """Driver-side BPE merge loop over a collected (word, freq) table —
+    byte-for-byte the relational trainer's semantics: candidate pairs
+    are adjacent symbols with l != r weighted by word freq (every
+    occurrence counts), argmax ties break on (count DESC, l, r), and a
+    merge rewrites every non-overlapping match (overlap is impossible
+    for l != r).  Pure Python: no Spark session touched."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w), f) for w, f in wordfreq
+    ]
+    merges: list[Row] = []
+    for k in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                if syms[i] != syms[i + 1]:
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            Row(merge_rank=k, lhs=l, rhs=r, merged=l + r, pair_count=cnt)
+        )
+        for idx, (syms, freq) in enumerate(vocab):
+            if l not in syms:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == r
+                ):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[idx] = (out, freq)
+    return merges
+
+
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int,
+    *,
+    sample_pct: int | None = None,
+) -> list[Row]:
+    """Production BPE training: ONE Spark job (the corpus word-count
+    shuffle, optionally over a deterministic ``sample_pct``% hash
+    sample of documents — xxhash64 on doc_id, so the sample is stable
+    across runs and appends), then the whole merge loop driver-side
+    (:func:`train_bpe_driver`).  Returns the merge table rows in the
+    text_bpe_merges schema.  The collect is vocab-sized, never
+    corpus-sized — the one deliberate driver-side table in the module,
+    which is exactly how reference BPE trainers work."""
+    docs = documents
+    if sample_pct is not None:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+            < F.lit(sample_pct)
+        )
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    return train_bpe_driver(
+        [(r["word"], r["freq"]) for r in wf], n_merges
+    )
+
+
 @query("text_bpe_merges", oracle=_SQL_BPE_MERGES)
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table: rank, pair, merged symbol, and the
