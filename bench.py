@@ -62,6 +62,8 @@ HEADLINE = [
     "sim_ann_topk_pq",
     "text_duplicate_spans",
     "text_bpe_merges",
+    "sim_contrastive_negatives_indexed",
+    "join_bloom_semi_orders_unbounded",
 ]
 
 

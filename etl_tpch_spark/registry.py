@@ -85,125 +85,76 @@ _QUERY_MODULES = (
 # else follows in module registration order.  tests/test_registry_window.py
 # asserts this list stays consistent with the registry.
 #
-# ROTATION (round 3, VERDICT r2 #2/#6): a 50-slot window means half the
-# registry is dark to the driver each round, so slots rotate while every
-# operator FAMILY keeps a live row every round.  Rotated out this round:
-# the five all-pairs baseline twins whose product paths stay certified
-# (sim_cosine_pairs_blocked, sim_quantized_cosine_pairs,
-# dedup_embedding_clusters_bruteforce, sim_ann_topk_bruteforce,
-# sim_cosine_pairs) plus eight r2-certified siblings of entries that
-# remain in-window (events_sliding_window, events_type_share_by_day,
-# events_cohort_retention, events_json_typed, text_stats,
-# text_token_counts, text_fingerprint, sample_uniform_topk).  Rotated
-# in: TPC-H + relational sentinels (one live row per §2 family) and the
-# never-yet-certified time-series family.
+# ROTATION HISTORY: round 3 rotated baselines/r2-certified siblings out
+# so new families (probabilistic, PQ, spans, BPE, LM) got first
+# certification while every operator family kept a live row (full swap
+# log in git history of this file).
 #
-# Late-round-3 swap: the new probabilistic/search family (count-min,
-# HLL ×2, bloom semi-join, BM25) takes the slots of five r2-certified
-# siblings whose families keep live rows (dedup_fingerprint,
-# dedup_ngram_jaccard, sample_stratified, events_json_extract,
-# sim_kmeans_clusters — kmeans stays exercised through sim_ann_topk_ivf
-# and sim_cosine_pairs_cells, both trained on its Lloyd rounds).
-#
-# Second late-round-3 swap: PQ, matryoshka and the corpus-analytics
-# queries take the slots of five more r2-certified siblings whose
-# families keep live rows (flagship_all_segments_union,
-# dedup_canonical_documents, text_pack_sequences, text_pii_redact,
-# events_tumbling_window).
-#
-# Third late-round-3 swap: the span-level exact-substring dedup pair
-# (text_duplicate_spans, text_span_dedup_stats) takes the slots of two
-# r2-certified text siblings (text_lang_id, text_quality_score — the
-# quality definition stays live through corpus_report_card and
-# sample_quality_weighted, both of which consume quality_score).
-#
-# Fourth late-round-3 swap: the BPE tokenizer-training pair
-# (text_bpe_merges, text_bpe_segment) takes the slots of dedup_exact
-# (r2-certified; the dedup family keeps five live rows) and
-# events_funnel (r2-certified; events keeps session/rolling/anomaly/hll
-# rows live).  text_span_dedup_clean (the ExactSubstr cleaning
-# transform) then takes text_contamination's slot (r2-certified; the
-# curation family keeps sample_hash_split/chunking/report-card/
-# quality-weighted rows live).  text_span_dedup_incremental (the
-# persisted-index daily tick) then takes udtf_tokenize_positions's
-# slot (r2-certified API demo; the UDTF surface stays pytest-covered),
-# and graph_kcore takes graph_degree_distribution's (r2-certified; the
-# graph family keeps triangle/pagerank/kcore rows live).
-# text_bpe_token_counts and events_hll_overlap then take the slots of
-# serving_top_orders_display and sample_hash_split (both r2-certified;
-# flagship keeps 2 rows, curation keeps chunking/span-clean/
-# report-card/quality-weighted).
-#
-# Fifth late-round-3 swap: text_lm_quality_filter (the CCNet-style
-# cross-source bigram-LM filter) and sim_contrastive_negatives (the
-# stratified hard/easy negative-mining sampler) take the slots of
-# text_top_terms_per_lang and text_chunking (both r2-certified; the
-# text family keeps the span trio + BPE trio + BM25 + sketch rows
-# live, curation keeps span-clean/report-card/quality-weighted).
+# ROUND 4 (VERDICT r3 #1): retire the certification backlog.  The 27
+# queries that had never had a driver row (judge-computed from the
+# union of CORRECTNESS_r01–r03) take 27 slots; the two operators new
+# this round (index-served negative mining, uncapped word-table bloom)
+# take 2; the remaining 21 are re-certifying sentinels — previously
+# driver-green entries keeping one live row per §2 family (flagship,
+# TPC-H joins/aggs, dedup + its index tick, ANN trained/quantized,
+# graph, span dedup + its tick, BPE, LM, events/streaming twin,
+# time-series, inference, sketches, bloom, BM25, curation).  After a
+# green round 4, EVERY registered query has at least one external
+# CORRECTNESS row.
 DRIVER_WINDOW = (
-    # flagship pipeline (reference reduce.py semantics)
+    # ---- certification backlog (never driver-checked before round 4)
+    "agg_argmax",
+    "agg_mode_per_group",
+    "agg_salted_flag_totals",
+    "agg_unpivot_metrics",
+    "curation_model_filter",
+    "dedup_cluster_stats",
+    "events_map_type",
+    "multimodal_byte_histogram",
+    "multimodal_decode_lengths",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "profile_orders_columns",
+    "quality_expectations",
+    "sample_temperature_mixture",
+    "sim_ann_topk_ivf_indexed",
+    "sim_ann_topk_ivfpq",
+    "sim_ann_topk_ivfpq_indexed",
+    "text_bigram_lm",
+    "text_boilerplate_ngrams",
+    "text_decontaminate_ngrams",
+    "text_lm_perplexity_buckets",
+    "text_repetition_filter",
+    "text_token_counts_arrow",
+    "udaf_grouped_price_stats",
+    "window_distribution",
+    "window_ntile_quartiles",
+    # ---- new this round (first certification)
+    "sim_contrastive_negatives_indexed",
+    "join_bloom_semi_orders_unbounded",
+    # ---- re-certifying family sentinels (driver-green r1–r3)
     "flagship_unshipped_orders",
-    "topk_per_segment_window",
-    "text_bpe_token_counts",
-    # dedup family
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_incremental",
-    # similarity search / ANN (product paths; baselines rotated out r3)
-    "sim_ann_topk_lsh",
-    "sim_ann_topk_ivf",
-    "sim_ann_topk_lsh_multiprobe",
-    "sim_cosine_pairs_cells",
-    # corpus curation
-    "events_hll_overlap",
-    "sim_contrastive_negatives",
-    "text_span_dedup_clean",
-    "dedup_embedding_clusters",
-    # similarity graph analytics
-    "graph_kcore",
-    "graph_triangle_count",
-    "graph_pagerank",
-    # text analysis
-    "text_duplicate_spans",
-    "text_span_dedup_stats",
-    "corpus_curation",
-    "text_span_dedup_incremental",
-    "text_lm_quality_filter",
-    # event analytics / streaming batch-twins
-    "events_session_window",
-    # tokenizer training (BPE — the vocabulary-build step)
-    "text_bpe_merges",
-    "text_bpe_segment",
-    # time-series family (first driver certification, VERDICT r2 #6)
-    "ts_gapfill_hourly",
-    "ts_locf_hourly",
-    "ts_moving_window_range",
-    "events_rolling_active_users",
-    "events_anomaly_zscore",
-    # batch inference
-    "inference_batch_scores",
-    # relational sentinels (TPC-H + one per relational family, r3)
     "q1_pricing_summary",
     "q9_product_type_profit",
-    "q18_large_orders",
     "q21_waiting_orders",
-    "agg_count_distinct",
-    "setop_except",
-    "window_rank",
-    "join_asof_purchases",
-    # probabilistic structures + lexical search (first certification)
-    "text_term_sketch_topk",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "sim_ann_topk_ivf",
+    "sim_ann_topk_pq",
+    "graph_pagerank",
+    "graph_kcore",
+    "text_duplicate_spans",
+    "text_span_dedup_incremental",
+    "text_bpe_merges",
+    "text_lm_quality_filter",
+    "events_session_window",
+    "ts_gapfill_hourly",
+    "inference_batch_scores",
     "agg_hll_distinct_customers",
-    "events_hll_daily_users",
     "join_bloom_semi_orders",
     "text_bm25_topk",
-    # latest-session surface (PQ, matryoshka, corpus analytics)
-    "sim_ann_topk_pq",
-    "sim_ann_topk_matryoshka",
-    "dedup_cross_source_matrix",
-    "corpus_report_card",
-    "sample_quality_weighted",
+    "corpus_curation",
 )
 
 _loaded = False

@@ -1,0 +1,155 @@
+"""Integrated daily tick (pipeline/daily.py, VERDICT r3 #8): one
+cadence call per simulated day drives crawl ingest → minhash dedup +
+span-index + LM-scoring ticks (one shared checkpoint/batch id) → HLL
+event ticks → corpus append → export, with per-day wall time recorded.
+
+The four index suites are e2e-tested separately; what THIS file pins
+is the composition: exactly-once is shared across stages, every store
+accumulates exactly its per-suite result, and the per-day cost stays
+bounded as the corpus grows (the 10× flatness measurement lives in
+tools/bench_daily_tick.py → SCALING.md)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_tpch_spark.catalog import load_table
+from etl_tpch_spark.pipeline.daily import (
+    crawl_day_tick,
+    crawl_serve_loop,
+    ensure_reference_lm,
+)
+from etl_tpch_spark.pipeline.txlog import TxTable
+
+
+def _stage_docs(docs, path: str, day: int) -> None:
+    docs.select("doc_id", "text", "lang", "source").coalesce(1).write.mode(
+        "overwrite"
+    ).json(os.path.join(path, f"day{day}.json"))
+
+
+def _stage_events(events, path: str, day: int) -> None:
+    events.select("event_id", "ts", "user_id").coalesce(1).write.mode(
+        "overwrite"
+    ).json(os.path.join(path, f"day{day}.json"))
+
+
+@pytest.fixture(scope="module")
+def three_days(spark, sf_dir, tmp_path_factory):
+    """Three simulated crawl days over disjoint doc/event thirds, run
+    through crawl_serve_loop against one lake root."""
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    root = str(tmp_path_factory.mktemp("lake"))
+    crawl = os.path.join(root, "crawlstage")
+    evts = os.path.join(root, "eventstage")
+
+    ensure_reference_lm(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root
+    )
+
+    def stage_day(day: int):
+        cd = os.path.join(crawl, f"d{day}")
+        ed = os.path.join(evts, f"d{day}")
+        _stage_docs(docs.filter(F.col("doc_id") % 3 == day), cd, day)
+        _stage_events(
+            events.filter(F.col("event_id") % 3 == day), ed, day
+        )
+        return cd, ed
+
+    outs = crawl_serve_loop(spark, stage_day, root, days=3)
+    return root, docs, events, outs
+
+
+def test_three_days_cover_the_corpus(spark, three_days):
+    """Every staged doc was either appended to the corpus or dropped
+    for a recorded reason, and the split/quality invariants hold."""
+    root, docs, _, outs = three_days
+    assert len(outs) == 3
+    total_staged = sum(
+        c["n_new"] for o in outs for c in o["cycles"]
+    )
+    assert total_staged == docs.count()
+    corpus = TxTable(os.path.join(root, "corpus")).read(spark)
+    appended = sum(c["n_appended"] for o in outs for c in o["cycles"])
+    dropped = sum(
+        c["n_dup_dropped"] + c["n_quality_dropped"] + c["n_seen_dropped"]
+        for o in outs
+        for c in o["cycles"]
+    )
+    assert corpus.count() == appended == total_staged - dropped
+    assert corpus.filter(F.col("quality") < 0.2).count() == 0
+    assert set(
+        r["split"] for r in corpus.select("split").distinct().collect()
+    ) <= {"train", "validation", "test"}
+
+
+def test_spans_scores_and_hll_accumulated(spark, three_days):
+    """Each side store accumulated its per-suite result: span rows for
+    duplicated text, one LM score row per staged doc, HLL registers
+    covering every staged day."""
+    root, docs, events, outs = three_days
+    scores = TxTable(os.path.join(root, "scores")).read(spark)
+    # LM scoring is per-doc and pre-dedup: one row per staged doc with
+    # >= 2 tokens (sub-2-token docs yield no bigram rows)
+    assert scores.select("doc_id").distinct().count() == docs.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2
+    ).count()
+    spans_t = TxTable(os.path.join(root, "spans"))
+    assert spans_t.latest_version() is not None  # ticks all committed
+    hll = TxTable(os.path.join(root, "hll_index")).read(spark)
+    n_days = events.select(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct().count()
+    assert hll.select("day").distinct().count() == n_days
+
+
+def test_replay_day_is_noop(spark, three_days):
+    """Re-running a whole day (same staged files, same checkpoints)
+    mutates nothing in any store — the shared exactly-once story."""
+    root, _, _, outs = three_days
+
+    def versions():
+        return {
+            n: TxTable(os.path.join(root, n)).latest_version()
+            for n in (
+                "corpus", "spans", "scores", "dedup_index",
+                "span_index", "hll_index",
+            )
+        }
+
+    before = versions()
+    out = crawl_day_tick(
+        spark,
+        os.path.join(root, "crawlstage", "d2"),
+        root,
+        events_dir=os.path.join(root, "eventstage", "d2"),
+    )
+    assert versions() == before
+    assert out["cycles"] == []  # checkpoint already drained the files
+
+
+def test_export_shards_written(spark, three_days):
+    root, _, _, outs = three_days
+    assert "export" in outs[-1]
+    export_dir = os.path.join(root, "export")
+    shards = [f for f in os.listdir(export_dir) if "shard" in f.lower()]
+    assert shards or os.listdir(export_dir)
+    corpus = TxTable(os.path.join(root, "corpus")).read(spark)
+    n_train = corpus.filter(F.col("split") == "train").count()
+    assert sum(outs[-1]["export"].values()) == n_train
+
+
+def test_per_day_wall_is_bounded(three_days):
+    """Fixed-size daily batches against a growing corpus: day 3 must
+    not cost more than 2× day 2 (the O(new)-per-tick shape; the strict
+    10×-corpus flatness curve is measured in tools/bench_daily_tick.py
+    and recorded in SCALING.md — this is the in-suite tripwire)."""
+    _, _, _, outs = three_days
+    walls = [o["wall_s"] for o in outs]
+    assert len(walls) == 3
+    assert walls[2] <= 2 * walls[1], walls

@@ -14,19 +14,21 @@ def test_window_names_exist_and_lead():
 
 
 def test_window_covers_differentiating_operators():
+    # round 4: 27-query certification backlog + 2 new operators + one
+    # re-certifying sentinel per differentiating family
     must_have = {
         "dedup_minhash_lsh",
-        "dedup_clusters",
-        "dedup_simhash",
-        "dedup_embedding_clusters",
-        "sim_ann_topk_lsh",
+        "dedup_incremental",
         "sim_ann_topk_ivf",
-        "sim_cosine_pairs_cells",
+        "sim_ann_topk_ivf_indexed",
+        "sim_contrastive_negatives_indexed",
         "events_session_window",
         "corpus_curation",
         "graph_pagerank",
-        "text_span_dedup_clean",
+        "text_duplicate_spans",
         "inference_batch_scores",
+        "multimodal_feature_extract",
+        "join_bloom_semi_orders_unbounded",
     }
     assert must_have <= set(DRIVER_WINDOW)
 

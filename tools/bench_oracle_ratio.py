@@ -47,6 +47,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="run the FULL registry (every oracled query), not just "
+        "the headline set — the once-per-round regression sweep "
+        "(VERDICT r3 #7); any non-headline family regression trips "
+        "a number here",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -62,7 +70,10 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     qs = registry.load_all()
-    names = [n for n in HEADLINE if n in qs and qs[n].oracle]
+    if args.all:
+        names = [n for n, q in qs.items() if q.oracle]
+    else:
+        names = [n for n in HEADLINE if n in qs and qs[n].oracle]
 
     rows = []
     for name in names:
