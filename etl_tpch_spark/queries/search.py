@@ -1,0 +1,193 @@
+"""Hybrid retrieval: lexical + dense candidate lists fused with
+reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) — the standard
+two-tower retrieval shape (BM25-style inverted index + embedding ANN →
+rank fusion) every RAG / retrieval-augmented training pipeline runs.
+
+Engine discipline (what makes this hash-checkable cross-engine):
+
+- the LEXICAL score is integer micro-weights: for each corpus doc
+  sharing a distinct term with the query doc, Σ (10⁶ div df(term)) —
+  rare-term weighting (TF-IDF's idf shape) in exact integer
+  arithmetic, order-free under any partitioning;
+- the DENSE score is the repo's rounded fold cosine (same path as the
+  hash-checked ANN family);
+- the FUSION is pure integers: rrf = Σ over lists (10⁹ div (60 +
+  rank)) with ranks from row_number — no floats anywhere in fusion.
+
+Scale shape: the lexical side is one corpus token explode feeding the
+df aggregate and a broadcast of the |Q| query docs' term sets (the
+inverted-index probe: only postings of query terms shuffle, keyed by
+(query_id, doc_id)); the dense side is candidate generation —
+bruteforce here for exactness, and at 100 TB it swaps for the
+persisted IVF/IVF-PQ index (similarity/index.py) unchanged, because
+fusion only consumes (query_id, doc_id, rank) lists.
+
+Reference scope note: coiled/etl-tpch has no retrieval counterpart;
+this is north-star LLM-pipeline surface (SURVEY.md §2 "beyond the
+reference"), composing the BM25 lexical machinery (queries/text.py)
+with the ANN family (queries/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..dedup.hashing import sql_cosine_fold
+from ..functions.text import tokens
+from ..registry import query
+from ..similarity.ann import cosine_topk_bruteforce
+from .similarity import _IDS, QUERY_IDS
+from .text import _SQL_TOKS
+
+N_SPARSE = 20  # lexical candidate list depth
+N_DENSE = 20  # dense candidate list depth
+RRF_K = 60  # the canonical RRF damping constant
+RRF_SCALE = 10**9  # integer micro-units for 1/(k + rank)
+LEX_SCALE = 10**6  # integer micro-units for 1/df
+TOP = 10
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS term
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM toks GROUP BY term
+        ),
+        q AS (
+            SELECT doc_id AS query_id, term FROM toks
+            WHERE doc_id IN ({_IDS})
+        ),
+        lex AS (
+            SELECT q.query_id, c.doc_id,
+                   CAST(sum({LEX_SCALE} // d.df) AS BIGINT) AS lex_w
+            FROM q
+            JOIN toks c ON q.term = c.term
+            JOIN dfreq d ON d.term = q.term
+            WHERE q.query_id <> c.doc_id
+            GROUP BY 1, 2
+        ),
+        sparse AS (
+            SELECT query_id, doc_id, rn AS sparse_rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY lex_w DESC, doc_id
+                ) AS rn FROM lex
+            ) WHERE rn <= {N_SPARSE}
+        ),
+        qv AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({_IDS})
+        ),
+        scored AS (
+            SELECT qv.query_id, c.vec_id AS doc_id,
+                   round({sql_cosine_fold('qv.q_emb', 'c.embedding')}, 6)
+                     AS cosine
+            FROM qv CROSS JOIN embeddings c
+            WHERE qv.query_id <> c.vec_id
+        ),
+        dense AS (
+            SELECT query_id, doc_id, rn AS dense_rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, doc_id
+                ) AS rn FROM scored
+            ) WHERE rn <= {N_DENSE}
+        ),
+        fused AS (
+            SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+                   COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   s.sparse_rank, d.dense_rank,
+                   COALESCE({RRF_SCALE} // ({RRF_K} + s.sparse_rank), 0)
+                 + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rank), 0)
+                     AS rrf_micro
+            FROM sparse s
+            FULL OUTER JOIN dense d
+              ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        )
+        SELECT query_id, doc_id,
+               CAST(sparse_rank AS BIGINT) AS sparse_rank,
+               CAST(dense_rank AS BIGINT) AS dense_rank,
+               rrf_micro, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id
+            ) AS rnk FROM fused
+        )
+        WHERE rnk <= {TOP}
+        ORDER BY query_id, rnk
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid retrieval for the 5 standard query docs: the
+    query doc's distinct-term set probes the corpus lexically
+    (integer idf micro-weights), its embedding probes densely (fold
+    cosine), and the two 20-deep candidate lists fuse by RRF — a doc
+    ranked by BOTH channels beats a doc ranked high by one (the
+    robustness that makes RRF the default fusion in production
+    retrieval).  Every stage is integer or rounded-deterministic ⇒
+    the fused ranking hash-matches the oracle."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = toks.filter(F.col("doc_id").isin(QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    lex = (
+        F.broadcast(q)
+        .join(toks, "term")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .join(F.broadcast(dfreq), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"CAST({LEX_SCALE} div df AS BIGINT)")
+            ).alias("lex_w")
+        )
+    )
+    w_s = W.partitionBy("query_id").orderBy(
+        F.col("lex_w").desc(), F.col("doc_id")
+    )
+    sparse = (
+        lex.withColumn("sparse_rank", F.row_number().over(w_s))
+        .filter(F.col("sparse_rank") <= N_SPARSE)
+        .select("query_id", "doc_id", "sparse_rank")
+    )
+    dense = cosine_topk_bruteforce(t.embeddings, QUERY_IDS, N_DENSE).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rnk").alias("dense_rank"),
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + sparse_rank) AS BIGINT)"),
+        F.lit(0).cast("long"),
+    ) + F.coalesce(
+        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + dense_rank) AS BIGINT)"),
+        F.lit(0).cast("long"),
+    )
+    w_f = W.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_micro", rrf)
+        .withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("sparse_rank").cast("long").alias("sparse_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            "rrf_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -71,6 +71,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.similarity",
     "etl_tpch_spark.queries.curation",  # after similarity: reuses its oracle
     "etl_tpch_spark.queries.graph",  # after similarity: reuses its oracle
+    "etl_tpch_spark.queries.search",  # after similarity+text: reuses both
     "etl_tpch_spark.queries.inference",
     "etl_tpch_spark.queries.multimodal",
     "etl_tpch_spark.queries.sketches",
@@ -130,9 +131,13 @@ DRIVER_WINDOW = (
     "udaf_grouped_price_stats",
     "window_distribution",
     "window_ntile_quartiles",
-    # ---- new this round (first certification)
+    # ---- new this round (first certification); search_hybrid_rrf
+    # takes text_bm25_topk's sentinel slot (r3-certified — the lexical
+    # ranking surface stays live through the hybrid query's sparse
+    # channel and the term-sketch sentinel)
     "sim_contrastive_negatives_indexed",
     "join_bloom_semi_orders_unbounded",
+    "search_hybrid_rrf",
     # ---- re-certifying family sentinels (driver-green r1–r3)
     "flagship_unshipped_orders",
     "q1_pricing_summary",
@@ -153,7 +158,6 @@ DRIVER_WINDOW = (
     "inference_batch_scores",
     "agg_hll_distinct_customers",
     "join_bloom_semi_orders",
-    "text_bm25_topk",
     "corpus_curation",
 )
 

@@ -107,6 +107,9 @@ NLJ_ALLOWED = {
     "sim_contrastive_negatives_indexed",  # |Q|×K stored-centroid
     # ranking + |Q|×64 fixed easy-pool scoring — both broadcast joins
     # of constant-size frames; the corpus itself joins on cell id
+    "search_hybrid_rrf",  # dense candidates via the bruteforce scan
+    # (exactness baseline; swaps for the IVF index at scale — the
+    # fusion only consumes rank lists, docstring)
 }
 
 
