@@ -79,6 +79,44 @@ class IVFIndex:
         )
         return idx
 
+    # ------------------------------------------------------------- tick
+
+    def tick(
+        self,
+        spark: SparkSession,
+        new_embeddings: DataFrame,
+        *,
+        batch_id: str | None = None,
+    ) -> int:
+        """Add a new batch to the inverted file WITHOUT retraining —
+        faiss's ``index.add()`` semantics, and the O(new) daily path
+        the MinHash/Span/LM indexes already have: quantize the batch,
+        assign each vector to its nearest STORED centroid (K-row
+        broadcast, map-side argmin — the batch never shuffles), and
+        append the (vec_id, cell, v_emb, v_norm) rows exactly-once
+        (a replayed crawl batch adds nothing).
+
+        Assignment against fixed centroids is deterministic, so a
+        ticked index is BIT-IDENTICAL to one whose cells were built in
+        a single pass from the same centroids
+        (tests/test_ivf_index.py pins it) — ticks change freshness,
+        never semantics.  Centroids drift from the data distribution
+        as the corpus grows; rebuild() on the maintenance cadence
+        retrains (recall hygiene, not correctness).  Tick files land
+        unclustered — run ``cells_t.compact(cluster_by=('cell',))``
+        on the same cadence to restore file-level cell pruning for
+        the appended rows."""
+        from .kmeans import _assign, quantize
+
+        cent = self.centroids(spark)
+        assign = _assign(quantize(new_embeddings), cent).select(
+            "vec_id", F.col("cluster").alias("cell")
+        )
+        rows = _with_norm(
+            new_embeddings, "vec_id", "v_emb", "v_norm"
+        ).join(assign, "vec_id")
+        return self.cells_t.append(rows, batch_id=batch_id)
+
     # ------------------------------------------------------------ query
 
     def centroids(self, spark: SparkSession) -> DataFrame:

@@ -108,3 +108,87 @@ def test_rebuild_after_corpus_growth(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def _split_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") % 4 != 3), emb.filter(
+        F.col("vec_id") % 4 == 3
+    )
+
+
+def test_tick_adds_batch_without_retraining(spark, sf_dir, tmp_path):
+    """IVFIndex.tick (faiss add() semantics): after build(A) + tick(B)
+    the cells table holds A∪B exactly once, B's assignments equal the
+    deterministic nearest-stored-centroid rule, and centroids are
+    untouched."""
+    from etl_tpch_spark.similarity.kmeans import _assign, quantize
+
+    emb, a, b = _split_corpus(spark, sf_dir)
+    idx = IVFIndex.build(str(tmp_path / "i"), a, n_cells=N_CELLS)
+    cent_before = {
+        (r["cent_id"], tuple(r["cv"]))
+        for r in idx.centroids(spark).collect()
+    }
+    idx.tick(spark, b, batch_id="day-2")
+    cells = idx.cells(spark)
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in _assign(quantize(b), idx.centroids(spark)).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in cells.join(
+            b.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert got == want
+    assert cent_before == {
+        (r["cent_id"], tuple(r["cv"]))
+        for r in idx.centroids(spark).collect()
+    }
+
+
+def test_tick_replay_is_noop(spark, sf_dir, tmp_path):
+    _, a, b = _split_corpus(spark, sf_dir)
+    idx = IVFIndex.build(str(tmp_path / "i"), a, n_cells=N_CELLS)
+    idx.tick(spark, b, batch_id="day-2")
+    n = idx.cells(spark).count()
+    idx.tick(spark, b, batch_id="day-2")  # re-delivered crawl batch
+    assert idx.cells(spark).count() == n
+
+
+def test_ticked_index_equals_batch_assignment_same_centroids(
+    spark, sf_dir, tmp_path
+):
+    """The tick invariant: build(A)+tick(B) answers queries
+    IDENTICALLY to an index whose cells were assigned in ONE batch
+    pass against the SAME stored centroids — ticks change freshness,
+    never semantics (retraining drift is rebuild()'s job)."""
+    from etl_tpch_spark.similarity.ann import _with_norm
+    from etl_tpch_spark.similarity.kmeans import _assign, quantize
+
+    emb, a, b = _split_corpus(spark, sf_dir)
+    idx = IVFIndex.build(str(tmp_path / "ticked"), a, n_cells=N_CELLS)
+    idx.tick(spark, b, batch_id="day-2")
+
+    ref = IVFIndex(str(tmp_path / "batch"))
+    ref.cent_t.overwrite(idx.centroids(spark))
+    assign = _assign(quantize(emb), idx.centroids(spark)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    ref.cells_t.overwrite(
+        _with_norm(emb, "vec_id", "v_emb", "v_norm").join(assign, "vec_id")
+    )
+
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+
+    def res(i):
+        return {
+            tuple(r)
+            for r in i.topk(spark, queries, TOP_K, n_probe=N_PROBE).collect()
+        }
+
+    assert res(idx) == res(ref)
