@@ -69,6 +69,15 @@ def main() -> None:
     spark = get_spark("etl_tpch_spark-ratio")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Queries whose DUCKDB oracle is intractable at sf0.1 — the
+    # documented O(n²) bruteforce baseline whose unrolled
+    # pairs+recursive-CTE replica runs >12 min single-engine at 10k
+    # vectors (hash-checked at sf0.01, the driver's correctness scale,
+    # where it completes in seconds).  The --all sweep still times the
+    # SPARK side so a Spark regression trips a number; the ratio cell
+    # is reported as n/a.
+    SPARK_ONLY_AT_SCALE = {"dedup_embedding_clusters_bruteforce"}
+
     qs = registry.load_all()
     if args.all:
         names = [n for n, q in qs.items() if q.oracle]
@@ -78,9 +87,17 @@ def main() -> None:
     rows = []
     for name in names:
         q = qs[name]
-        q.fn(spark, args.sf_dir).count()  # warm both engines
-        con.execute(q.oracle).fetchall()
+        q.fn(spark, args.sf_dir).count()  # warm spark
         s = _best_of(lambda: q.fn(spark, args.sf_dir).count(), args.repeat)
+        if name in SPARK_ONLY_AT_SCALE:
+            rows.append((name, s, None, None))
+            print(
+                f"{name:32s} spark {s:7.3f}s  duckdb     n/a  "
+                f"(oracle intractable at this sf)",
+                file=sys.stderr,
+            )
+            continue
+        con.execute(q.oracle).fetchall()  # warm duckdb
         d = _best_of(lambda: con.execute(q.oracle).fetchall(), args.repeat)
         rows.append((name, s, d, s / d if d > 0 else float("inf")))
         print(
@@ -89,14 +106,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total_s = sum(r[1] for r in rows)
-    total_d = sum(r[2] for r in rows)
+    ratioed = [r for r in rows if r[2] is not None]
+    total_s = sum(r[1] for r in ratioed)
+    total_d = sum(r[2] for r in ratioed)
     print("\n| query | spark s | duckdb s | spark/duckdb |")
     print("|---|---|---|---|")
     for name, s, d, r in rows:
-        print(f"| {name} | {s:.3f} | {d:.3f} | {r:.2f}x |")
+        if d is None:
+            print(f"| {name} | {s:.3f} | n/a | n/a |")
+        else:
+            print(f"| {name} | {s:.3f} | {d:.3f} | {r:.2f}x |")
     print(
-        f"| **total ({len(rows)} queries)** | **{total_s:.2f}** | "
+        f"| **total ({len(ratioed)} ratioed queries)** | **{total_s:.2f}** | "
         f"**{total_d:.2f}** | **{total_s / total_d:.2f}x** |"
     )
     print(
