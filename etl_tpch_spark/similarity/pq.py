@@ -535,6 +535,93 @@ class IVFPQIndex:
             )
         return idx
 
+    def _stored_geometry(self, spark: SparkSession):
+        """(m_sub, sub_dim, cell_ids, cell_mat, mats) from storage —
+        the shared loader for tick() and topk()."""
+        import json
+        import os
+
+        m_sub, sub_dim = M_SUB, SUB_DIM
+        meta_p = os.path.join(self.path, "meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            m_sub, sub_dim = meta["m_sub"], meta["sub_dim"]
+        cents = sorted(
+            (r["cent_id"], list(r["cv"]))
+            for r in self.cent_t.read(spark).collect()
+        )
+        cell_ids = np.array([c for c, _cv in cents], dtype="int64")
+        cell_mat = np.array([cv for _c, cv in cents], dtype="int64")
+        books: list[list[tuple[int, list[int]]]] = [
+            [] for _ in range(m_sub)
+        ]
+        for r in self.books_t.read(spark).collect():
+            books[r["j"]].append((r["cent_id"], list(r["cv"])))
+        mats = [
+            np.array([cv for (_c, cv) in sorted(b)], dtype="int64")
+            for b in books
+        ]
+        return m_sub, sub_dim, cell_ids, cell_mat, mats
+
+    def encode_batch(
+        self, spark: SparkSession, embeddings: DataFrame
+    ) -> DataFrame:
+        """(vec_id, cell, codes) for a batch, encoded against the
+        STORED coarse centroids and residual codebooks — the identical
+        arithmetic build() runs (nearest-cell argmin, offset residual,
+        per-subspace code argmin), so tick-encoded rows are
+        bit-interchangeable with build-encoded ones."""
+        m_sub, sub_dim, cell_ids, cell_mat, mats = self._stored_geometry(
+            spark
+        )
+
+        @F.pandas_udf("cell long, codes array<long>")
+        def enc(qv: pd.Series) -> pd.DataFrame:
+            X = np.stack(qv.to_numpy()).astype("int64")
+            diff = X[:, None, :] - cell_mat[None, :, :]
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            rv = X - cell_mat[best] + RES_OFFSET
+            out = np.zeros((len(X), m_sub), dtype="int64")
+            for j in range(m_sub):
+                sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
+                d = sub[:, None, :] - mats[j][None, :, :]
+                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            return pd.DataFrame(
+                {"cell": cell_ids[best], "codes": list(out)}
+            )
+
+        return (
+            quantize(embeddings)
+            .withColumn("cc", enc("qv"))
+            .select(
+                "vec_id",
+                F.col("cc.cell").alias("cell"),
+                F.col("cc.codes").alias("codes"),
+            )
+        )
+
+    def tick(
+        self,
+        spark: SparkSession,
+        new_embeddings: DataFrame,
+        *,
+        batch_id: str | None = None,
+    ) -> int:
+        """faiss ``add()`` for IVF-PQ — the O(new) daily path beside
+        IVFIndex.tick: encode the new batch against STORED artifacts
+        (collects are centroid/codebook-sized, the batch itself rides
+        one Arrow pass and never shuffles) and append the ~8-byte code
+        rows exactly-once (a replayed crawl batch adds nothing).
+        Codebooks and centroids are untouched — rebuild() on the
+        maintenance cadence retrains against drift; tick files land
+        unclustered, so the same cadence should
+        ``codes_t.compact(cluster_by=('cell',))`` to keep probe-time
+        file skipping effective."""
+        return self.codes_t.append(
+            self.encode_batch(spark, new_embeddings), batch_id=batch_id
+        )
+
     def topk(
         self,
         spark: SparkSession,

@@ -58,3 +58,52 @@ def test_rebuild_overwrites_and_time_travels(spark, sf_dir, tmp_path):
     assert after == before  # deterministic training ⇒ same index
     # prior codes snapshot still readable (versioned overwrite)
     assert idx2.codes_t.latest_version() > 1
+
+
+def test_tick_encodes_with_stored_artifacts(spark, sf_dir, tmp_path):
+    """IVFPQIndex.tick (faiss add()): build(A) + tick(B) leaves the
+    code table holding A∪B exactly once, with B's rows bit-identical
+    to encode_batch against the stored centroids/codebooks, and
+    queries answered identically to a code table assembled in one
+    batch pass from the same artifacts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 != 3)
+    b = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = IVFPQIndex.build(str(tmp_path / "ticked"), a)
+    idx.tick(spark, b, batch_id="day-2")
+    codes = idx.codes_t.read(spark)
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in idx.encode_batch(spark, b).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in codes.join(
+            b.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert got == want
+
+    # replay no-op
+    v = idx.codes_t.latest_version()
+    idx.tick(spark, b, batch_id="day-2")
+    assert idx.codes_t.latest_version() == v
+    assert idx.codes_t.read(spark).count() == emb.count()
+
+    # one-pass reference with the SAME stored artifacts
+    import shutil
+
+    shutil.copytree(str(tmp_path / "ticked"), str(tmp_path / "batch"))
+    ref = IVFPQIndex(str(tmp_path / "batch"))
+    ref.codes_t.overwrite(idx.encode_batch(spark, emb))
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+
+    def res(i):
+        return {
+            tuple(r) for r in i.topk(spark, queries, TOP_K).collect()
+        }
+
+    assert res(idx) == res(ref)
