@@ -14,6 +14,8 @@ from ..catalog import Tables
 from ..dedup.hashing import sql_cosine_fold, sql_hyperplane_signature
 from ..registry import REGISTRY, query
 from ..similarity.ann import (
+    _pair_cosine,
+    _with_norm,
     cosine_pairs_threshold,
     cosine_pairs_threshold_blocked,
     cosine_topk_bruteforce,
@@ -811,6 +813,164 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(
         spark, queries_df, TOP_K, n_probe=N_PROBE
     ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@query(
+    "sim_ann_topk_prefiltered",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, label
+            FROM embeddings WHERE vec_id IN ({_IDS})
+        ), scored AS (
+            SELECT q.query_id, c.vec_id, round({_COS}, 6) AS cosine
+            FROM q JOIN embeddings c
+              ON q.label = c.label AND q.query_id <> c.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine among corpus vectors
+    sharing the query's label (metadata-constrained ANN, the
+    where-clause feature every production vector store exposes), done
+    as a PRE-filter: the label predicate joins BEFORE scoring, so the
+    result always holds k true neighbors from the allowed subset.
+    The tempting alternative — post-filtering an unconstrained top-k —
+    silently returns <k (or zero) rows whenever the filter is
+    selective, the classic filtered-ANN recall trap; pre-filtering is
+    the correct-by-construction form and, in Spark, is FREE: the
+    label equi-join replaces the cross join, so the scored frame
+    SHRINKS to matching pairs (no NLJ, label-partitioned shuffle).
+    At 100 TB with a persisted index, the same predicate pushes into
+    the cells scan alongside the In(cell) probe filter."""
+    t = Tables(spark, sf_dir)
+    corpus = _with_norm(t.embeddings, "vec_id", "c_emb", "c_norm").join(
+        t.embeddings.select("vec_id", "label"), "vec_id"
+    )
+    q = _with_norm(
+        t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS)),
+        "query_id",
+        "q_emb",
+        "q_norm",
+    ).join(
+        t.embeddings.select(
+            F.col("vec_id").alias("query_id"), "label"
+        ),
+        "query_id",
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        F.broadcast(q.withColumnRenamed("label", "q_label"))
+        .join(corpus, F.col("q_label") == corpus["label"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+MMR_K = 5
+MMR_POOL = 50
+
+
+def _mmr_rounds_sql(k: int) -> str:
+    """Unrolled greedy MMR rounds 2..k (the BPE/Lloyd oracle recipe):
+    each round excludes everything picked so far, computes every
+    remaining pool candidate's max similarity to the picked set, and
+    takes the (rel − msim) argmax with vec_id tie-break."""
+    cos_ps = sql_cosine_fold("p.emb", "s.emb")
+    parts = []
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id, emb FROM s{i}"
+            for i in range(1, r)
+        )
+        parts.append(f"""
+        c{r} AS (
+            SELECT p.query_id, p.vec_id, p.emb, p.rel,
+                   max(round({cos_ps}, 6)) AS msim
+            FROM pool p JOIN ({prev}) s ON p.query_id = s.query_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ({prev}) z
+                WHERE z.query_id = p.query_id AND z.vec_id = p.vec_id
+            )
+            GROUP BY 1, 2, 3, 4
+        ),
+        s{r} AS (
+            SELECT query_id, vec_id, emb, rel FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rel - msim DESC, vec_id
+                ) AS rn FROM c{r}
+            ) WHERE rn = 1
+        )""")
+    return ",".join(parts)
+
+
+@query(
+    "sim_mmr_diverse_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({_IDS})
+        ),
+        pool AS (
+            SELECT query_id, vec_id, emb, rel FROM (
+                SELECT q.query_id, c.vec_id, c.embedding AS emb,
+                       round({_COS}, 6) AS rel,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round({_COS}, 6) DESC, c.vec_id
+                       ) AS prn
+                FROM q CROSS JOIN embeddings c
+                WHERE q.query_id <> c.vec_id
+            ) WHERE prn <= {MMR_POOL}
+        ),
+        s1 AS (
+            SELECT query_id, vec_id, emb, rel FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, vec_id
+                ) AS rn FROM pool
+            ) WHERE rn = 1
+        ),
+        {_mmr_rounds_sql(MMR_K)}
+        {" UNION ALL ".join(
+            f"SELECT query_id, vec_id, rel, CAST({r} AS BIGINT) AS rnk "
+            f"FROM s{r}"
+            for r in range(1, MMR_K + 1)
+        )}
+        ORDER BY query_id, rnk
+    """,
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: 5 MMR picks per query from the
+    50-candidate relevance pool (similarity/ann.py mmr_select) — the
+    Carbonell-Goldstein greedy that training-data samplers and RAG
+    context builders use so k slots aren't spent on k near-copies.
+    Exact arithmetic throughout (rounded fold cosines, exact IEEE
+    subtraction, vec_id tie-breaks) makes the whole greedy TRAJECTORY
+    hash-checkable against the unrolled k-round CTE replica — the
+    pick ORDER is verified, not just the pick set."""
+    from ..similarity.ann import mmr_select
+
+    t = Tables(spark, sf_dir)
+    return mmr_select(t.embeddings, QUERY_IDS, MMR_K, pool_size=MMR_POOL)
 
 
 NEG_DUP_T = 0.3

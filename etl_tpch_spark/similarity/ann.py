@@ -609,6 +609,100 @@ def cosine_topk_matryoshka(
     )
 
 
+def mmr_select(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    pool_size: int = 50,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    SIGIR'98) — the diversity-aware retrieval every training-data
+    sampler and RAG context builder needs: from each query's
+    ``pool_size`` most-relevant candidates, greedily pick ``k`` docs
+    maximizing ``rel − max-sim-to-already-picked`` (λ=0.5; argmax of
+    0.5·(rel−msim) ≡ argmax of the difference, so the λ scaling drops
+    out), so the picked set covers the neighborhood instead of
+    returning k near-copies of the same content.
+
+    Determinism: rel and msim are 6-dp-rounded fold cosines and their
+    difference is exact IEEE subtraction, ties break on vec_id —
+    the greedy trajectory is bit-reproducible and oracle-checkable
+    via a k-round unrolled CTE (the BPE/Lloyd recipe).
+
+    Scale shape: one broadcast-query corpus scan builds the pool
+    (swap in any ANN candidate generator — IVF cells, LSH buckets —
+    unchanged, as with contrastive mining); each greedy round then
+    works on the pool only: |pool|×r pair cosines per query, one
+    |Q|-row collect (the kmeans-argmax driver pattern).  k and pool
+    are context-budget-sized constants, never corpus-sized.
+
+    Returns (query_id, vec_id, rel, rnk) with rnk = pick order.
+    """
+    from pyspark.sql import Row
+
+    spark = embeddings.sparkSession
+    corpus = _with_norm(embeddings, "vec_id", "c_emb", "c_norm")
+    q = _with_norm(
+        embeddings.filter(F.col("vec_id").isin(query_ids)),
+        "query_id", "q_emb", "q_norm",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    pool = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "rel", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
+        )
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= pool_size)
+        .select("query_id", "vec_id", "c_emb", "c_norm", "rel")
+        .localCheckpoint(eager=True)  # feeds every greedy round
+    )
+    picks: list[Row] = [
+        Row(query_id=r["query_id"], vec_id=r["vec_id"],
+            rel=r["rel"], rnk=1)
+        for r in pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    ]
+    for r in range(2, k + 1):
+        sel_ids = [(p.query_id, p.vec_id) for p in picks]
+        sel_df = spark.createDataFrame(
+            sel_ids, "query_id long, vec_id long"
+        )
+        sel_emb = pool.join(sel_df, ["query_id", "vec_id"]).select(
+            "query_id",
+            F.col("c_emb").alias("s_emb"),
+            F.col("c_norm").alias("s_norm"),
+        )
+        cand = pool.join(sel_df, ["query_id", "vec_id"], "left_anti")
+        msim = (
+            cand.join(F.broadcast(sel_emb), "query_id")
+            .withColumn(
+                "sim", _pair_cosine("c_emb", "s_emb", "c_norm", "s_norm")
+            )
+            .groupBy("query_id", "vec_id", "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        w_m = W.partitionBy("query_id").orderBy(
+            (F.col("rel") - F.col("msim")).desc(), F.col("vec_id")
+        )
+        picks.extend(
+            Row(query_id=row["query_id"], vec_id=row["vec_id"],
+                rel=row["rel"], rnk=r)
+            for row in msim.withColumn("rn", F.row_number().over(w_m))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+    return spark.createDataFrame(
+        picks, "query_id long, vec_id long, rel double, rnk long"
+    ).orderBy("query_id", "rnk")
+
+
 def contrastive_negatives(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -110,6 +110,9 @@ NLJ_ALLOWED = {
     "search_hybrid_rrf",  # dense candidates via the bruteforce scan
     # (exactness baseline; swaps for the IVF index at scale — the
     # fusion only consumes rank lists, docstring)
+    "sim_mmr_diverse_topk",  # pool = broadcast-query corpus scan
+    # (any ANN candidate generator slots in); greedy rounds touch
+    # only the 50-row pool
 }
 
 

@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument(
+        "--names",
+        default=None,
+        help="comma-separated explicit query list (overrides --all)",
+    )
+    ap.add_argument(
         "--all",
         action="store_true",
         help="run the FULL registry (every oracled query), not just "
@@ -79,7 +84,11 @@ def main() -> None:
     SPARK_ONLY_AT_SCALE = {"dedup_embedding_clusters_bruteforce"}
 
     qs = registry.load_all()
-    if args.all:
+    if args.names:
+        names = [
+            n for n in args.names.split(",") if n in qs and qs[n].oracle
+        ]
+    elif args.all:
         names = [n for n, q in qs.items() if q.oracle]
     else:
         names = [n for n in HEADLINE if n in qs and qs[n].oracle]
