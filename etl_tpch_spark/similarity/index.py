@@ -52,11 +52,18 @@ class IVFIndex:
         embeddings: DataFrame,
         n_cells: int = 16,
         iters: int = 1,
+        metadata_cols: tuple[str, ...] = (),
     ) -> "IVFIndex":
         """Train integer-exact Lloyd centroids and materialize both
         artifacts; the cells table is clustered by cell id so probes
         skip unprobed files.  Rebuild = calling build again (overwrite
-        commits; old versions stay time-travelable until vacuum)."""
+        commits; old versions stay time-travelable until vacuum).
+
+        ``metadata_cols`` copies the named columns of ``embeddings``
+        into the inverted file, enabling FILTERED search
+        (:meth:`topk` ``where=``): the predicate evaluates inside the
+        probed-cells scan — the pre-filter form every production
+        vector store exposes, with no second table touch."""
         from .kmeans import kmeans_fit
 
         spark = embeddings.sparkSession
@@ -69,6 +76,10 @@ class IVFIndex:
             assign.select("vec_id", F.col("cluster").alias("cell")),
             "vec_id",
         )
+        if metadata_cols:
+            cells = cells.join(
+                embeddings.select("vec_id", *metadata_cols), "vec_id"
+            )
         idx.cells_t.overwrite(cells)
         # one file per ~2 cells keeps file count O(K) and ranges tight
         idx.cells_t.compact(
@@ -115,6 +126,18 @@ class IVFIndex:
         rows = _with_norm(
             new_embeddings, "vec_id", "v_emb", "v_norm"
         ).join(assign, "vec_id")
+        # an index built with metadata_cols stores extra columns —
+        # carry them for the new batch too (schema enforcement would
+        # rightly refuse a narrower append)
+        extra = [
+            f.name
+            for f in self.cells(spark).schema
+            if f.name not in {"vec_id", "v_emb", "v_norm", "cell"}
+        ]
+        if extra:
+            rows = rows.join(
+                new_embeddings.select("vec_id", *extra), "vec_id"
+            )
         return self.cells_t.append(rows, batch_id=batch_id)
 
     # ------------------------------------------------------------ query
@@ -130,6 +153,7 @@ class IVFIndex:
         spark: SparkSession,
         queries: DataFrame,
         n_probe: int = 4,
+        where=None,
     ) -> DataFrame:
         """The scored candidate frame (query_id, vec_id, cosine) from
         probing ``n_probe`` stored cells per query — the shared first
@@ -168,6 +192,13 @@ class IVFIndex:
             {r.cell for r in q_cells.select("cell").distinct().collect()}
         )
         cells = self.cells(spark).filter(F.col("cell").isin(probed_cells))
+        if where is not None:
+            # FILTERED search: the metadata predicate (over columns
+            # copied in at build via metadata_cols) composes with the
+            # probe filter INSIDE the cells scan — a pre-filter, so
+            # the k results are true neighbors from the allowed
+            # subset, never the post-filter <k trap
+            cells = cells.filter(where)
         q_emb = _with_norm(queries, "query_id", "q_emb", "q_norm")
         probes = q_cells.join(q_emb, "query_id")
         cand = F.broadcast(probes).join(cells, "cell").filter(
@@ -183,10 +214,13 @@ class IVFIndex:
         queries: DataFrame,
         k: int,
         n_probe: int = 4,
+        where=None,
     ) -> DataFrame:
         """Top-k cosine neighbors for each query row (vec_id,
-        embedding): rank the probed-cell candidates."""
-        scored = self.candidates(spark, queries, n_probe)
+        embedding): rank the probed-cell candidates.  ``where`` is an
+        optional metadata pre-filter Column over ``metadata_cols``
+        stored at build time (filtered vector search)."""
+        scored = self.candidates(spark, queries, n_probe, where=where)
         w = W.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("vec_id")
         )

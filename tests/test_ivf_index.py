@@ -192,3 +192,55 @@ def test_ticked_index_equals_batch_assignment_same_centroids(
         }
 
     assert res(idx) == res(ref)
+
+
+def test_filtered_search_through_the_index(spark, sf_dir, tmp_path):
+    """Filtered vector search (metadata_cols + where=): results are
+    exactly the unfiltered probed-cell candidates restricted to the
+    predicate — a true pre-filter (k from the allowed subset), and the
+    predicate composes with cell probing inside one cells scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(
+        str(tmp_path / "i"), emb, n_cells=N_CELLS,
+        metadata_cols=("label",),
+    )
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    lab = [r["label"] for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    got = idx.topk(
+        spark, queries, TOP_K, n_probe=N_PROBE,
+        where=F.col("label") == lab,
+    )
+    labels = {r["label"] for r in emb.collect()}
+    assert len(labels) > 1  # the filter is a real restriction
+    allowed = {r["vec_id"] for r in emb.filter(F.col("label") == lab).collect()}
+    rows = got.collect()
+    assert rows and all(r["vec_id"] in allowed for r in rows)
+    # equals rank-over-(candidates ∩ allowed) of the unfiltered probe
+    cand = idx.candidates(spark, queries, N_PROBE)
+    from pyspark.sql import Window as W
+
+    ref = (
+        cand.join(
+            emb.filter(F.col("label") == lab).select("vec_id"),
+            "vec_id", "left_semi",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in ref.collect()}
+    # ticks carry the metadata column (schema enforcement would
+    # refuse a narrower append)
+    more = emb.withColumn(
+        "vec_id", (F.col("vec_id") + 100000).cast("long")
+    ).limit(20)
+    idx.tick(spark, more, batch_id="t1")
+    assert "label" in idx.cells(spark).columns
+    assert idx.cells(spark).filter(F.col("label").isNull()).count() == 0
