@@ -64,6 +64,7 @@ HEADLINE = [
     "text_bpe_merges",
     "sim_contrastive_negatives_indexed",
     "join_bloom_semi_orders_unbounded",
+    "search_hybrid_rrf",
 ]
 
 
