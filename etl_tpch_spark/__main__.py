@@ -126,6 +126,21 @@ def main(argv: list[str] | None = None) -> int:
     ctk.add_argument("--compact", action="store_true")
     ctk.add_argument("--export", action="store_true")
 
+    dtk = sub.add_parser(
+        "daily-tick",
+        help="run ONE integrated daily tick over staged crawl/event "
+        "files (pipeline/daily.py: corpus + span + LM ticks under one "
+        "checkpoint, HLL event drain, maintenance, shard export)",
+    )
+    dtk.add_argument("--root", required=True,
+                     help="lake root (indexes, corpus, checkpoints)")
+    dtk.add_argument("--crawl-dir", required=True,
+                     help="staged crawl JSON-lines (doc_id/text/lang/source)")
+    dtk.add_argument("--events-dir", default=None,
+                     help="staged event JSON-lines (event_id/ts/user_id)")
+    dtk.add_argument("--export", action="store_true",
+                     help="export train-split shuffle shards after the drain")
+
     dash = sub.add_parser(
         "dashboard",
         help="render the gold-zone results as formatted tables "
@@ -247,6 +262,21 @@ def main(argv: list[str] | None = None) -> int:
             format_for_display(spark.read.parquet(seg_path)).show(
                 args.limit, truncate=False
             )
+        return 0
+
+    if args.cmd == "daily-tick":
+        from .pipeline.daily import crawl_day_tick
+
+        spark = get_spark("etl_tpch_spark-cli")
+        out = crawl_day_tick(
+            spark,
+            args.crawl_dir,
+            args.root,
+            events_dir=args.events_dir,
+            export=args.export,
+        )
+        for stage, result in out.items():
+            print(f"{stage}: {result}")
         return 0
 
     if args.cmd == "corpus-tick":
