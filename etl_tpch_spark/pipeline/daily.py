@@ -21,7 +21,10 @@ One ``crawl_day_tick`` call per day does:
    crash BETWEEN stages replays to completion (each stage checks the
    id independently).
 2. **event drain** — the HLL index tick stream over staged event
-   files (its own checkpoint; different source cadence).
+   files (its own checkpoint; different source cadence); and an
+   optional **vector drain** — assignment-only IVF ticks over staged
+   embedding files (ensure_ann_index trains the centroids once), so
+   ANN queries see same-day vectors without a rebuild.
 3. **maintenance** — index OPTIMIZE / sketch fold once file counts
    cross their thresholds (small-file accretion is the failure mode
    of daily appends).
@@ -69,12 +72,32 @@ def ensure_reference_lm(
     )
 
 
+def ensure_ann_index(
+    spark: SparkSession,
+    seed_embeddings: DataFrame,
+    root_dir: str,
+    *,
+    n_cells: int = 16,
+) -> None:
+    """Build the ANN index once from a seed corpus (idempotent: a
+    centroids table already committed means training ran).  Daily
+    vector batches then ride :func:`crawl_day_tick`'s
+    ``vectors_dir`` drain — assignment-only ticks against these
+    stored centroids; retraining is an explicit maintenance rebuild."""
+    from ..similarity.index import IVFIndex
+
+    idx = IVFIndex(os.path.join(root_dir, "ivf_index"))
+    if idx.cent_t.latest_version() is None:
+        IVFIndex.build(idx.path, seed_embeddings, n_cells=n_cells)
+
+
 def crawl_day_tick(
     spark: SparkSession,
     crawl_dir: str,
     root_dir: str,
     *,
     events_dir: str | None = None,
+    vectors_dir: str | None = None,
     threshold: float = 0.5,
     quality_floor: float = 0.2,
     compact_over_files: int = 64,
@@ -127,6 +150,22 @@ def crawl_day_tick(
         )
         out["events_s"] = round(time.monotonic() - t0, 3)
 
+    if vectors_dir is not None:
+        # ANN freshness: assignment-only IVF ticks against the stored
+        # centroids (ensure_ann_index built them once); same
+        # exactly-once protocol, own checkpoint (own source cadence)
+        from ..streaming.ivf_index import stream_ivf_ticks
+
+        t0 = time.monotonic()
+        stream_ivf_ticks(
+            spark,
+            vectors_dir,
+            os.path.join(root_dir, "ivf_index"),
+            os.path.join(root_dir, "checkpoints", "vectors"),
+            compact_over_files=compact_over_files,
+        )
+        out["vectors_s"] = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     from ..dedup.index import MinHashIndex
 
@@ -169,19 +208,22 @@ def crawl_serve_loop(
     **tick_kwargs: Any,
 ) -> list[dict[str, Any]]:
     """Drive ``days`` integrated ticks: per day, call
-    ``stage_day(day) -> (crawl_dir, events_dir | None)`` (the caller's
-    crawler/collector), then run :func:`crawl_day_tick`.  Mirrors
-    pipeline/workflow.py serve_loop's cadence-multiple pattern for the
-    export stage.  Returns per-day summaries with wall seconds."""
+    ``stage_day(day) -> (crawl_dir, events_dir | None[, vectors_dir])``
+    (the caller's crawler/collector), then run :func:`crawl_day_tick`.
+    Mirrors pipeline/workflow.py serve_loop's cadence-multiple pattern
+    for the export stage.  Returns per-day summaries with wall
+    seconds."""
     outs: list[dict[str, Any]] = []
     for day in range(days):
-        crawl_dir, events_dir = stage_day(day)
+        staged = tuple(stage_day(day)) + (None, None)
+        crawl_dir, events_dir, vectors_dir = staged[:3]
         t0 = time.monotonic()
         summary = crawl_day_tick(
             spark,
             crawl_dir,
             root_dir,
             events_dir=events_dir,
+            vectors_dir=vectors_dir,
             export=(day % export_every == export_every - 1),
             **tick_kwargs,
         )

@@ -153,3 +153,35 @@ def test_per_day_wall_is_bounded(three_days):
     walls = [o["wall_s"] for o in outs]
     assert len(walls) == 3
     assert walls[2] <= 2 * walls[1], walls
+
+
+def test_vector_drain_extends_the_ann_index(spark, sf_dir, tmp_path):
+    """The optional vectors_dir stage: staged embedding files ride
+    assignment-only IVF ticks inside the same daily call — the index
+    grows by O(new) per day, replays no-op, centroids never move."""
+    from etl_tpch_spark.pipeline.daily import ensure_ann_index
+    from etl_tpch_spark.similarity.index import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 4 != 3)
+    newv = emb.filter(F.col("vec_id") % 4 == 3)
+    root = str(tmp_path / "lake")
+    ensure_ann_index(spark, seed, root)
+    ensure_ann_index(spark, seed, root)  # idempotent setup
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    ensure_reference_lm(spark, docs, root)
+    crawl = str(tmp_path / "crawl")
+    vecs = str(tmp_path / "vectors")
+    _stage_docs(docs, crawl, 1)
+    newv.select("vec_id", "embedding").coalesce(1).write.mode(
+        "overwrite"
+    ).json(os.path.join(vecs, "day1.json"))
+
+    out = crawl_day_tick(spark, crawl, root, vectors_dir=vecs)
+    assert "vectors_s" in out
+    idx = IVFIndex(os.path.join(root, "ivf_index"))
+    assert idx.cells(spark).count() == emb.count()
+    v = idx.cells_t.latest_version()
+    # whole-day replay (same files, same checkpoints) is a no-op
+    crawl_day_tick(spark, crawl, root, vectors_dir=vecs)
+    assert idx.cells_t.latest_version() == v
