@@ -952,6 +952,88 @@ class TxTable:
             *[os.path.join(self.path, f) for f in files]
         )
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two committed versions — Delta's
+        ``table_changes`` as a derived computation over the commit
+        log: the returned frame is every row of ``v_to`` not in
+        ``v_from`` tagged ``_change_type='insert'`` plus every row of
+        ``v_from`` not in ``v_to`` tagged ``'delete'`` (a keyed
+        update therefore appears as its delete+insert pair — the
+        representation CDC consumers already net per key).
+
+        File-scoped, like every txlog read path: a file CARRIED
+        between the two snapshots contributes identical rows to both
+        sides and cancels exactly in the multiset difference — so
+        only the files present on ONE side are ever read.  After a
+        targeted delete that rewrote 1 of N range-clustered files,
+        the diff reads 2 small files, not 2 whole snapshots; appends
+        diff by reading just the appended files.  ``exceptAll`` keeps
+        duplicate multiplicity honest (a table holding a row twice
+        that drops to once diffs as ONE delete).
+
+        Schema evolution between the versions is handled by aligning
+        both sides on the union schema (absent columns read as null,
+        exactly as a snapshot read of the evolved table would)."""
+        v_to = self.latest_version() if v_to is None else v_to
+        if v_to is None:
+            raise ValueError("table has no committed data")
+        from_files = set(self.snapshot_files(v_from))
+        to_files = set(self.snapshot_files(v_to))
+        only_from = sorted(from_files - to_files)
+        only_to = sorted(to_files - from_files)
+
+        def read_side(files: list[str], entry_v: int) -> DataFrame | None:
+            if not files:
+                return None
+            reader = spark.read
+            if self._read_entry(entry_v).get("merged_schema"):
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+
+        old = read_side(only_from, v_from)
+        new = read_side(only_to, v_to)
+        # align on the union schema (additive evolution only — the
+        # same contract _check_evolution enforces at write time)
+        fields: dict[str, str] = {}
+        for df in (old, new):
+            if df is not None:
+                for f in df.schema:
+                    fields.setdefault(f.name, f.dataType.simpleString())
+        cols = sorted(fields)
+
+        def align(df: DataFrame | None) -> DataFrame | None:
+            if df is None:
+                return None
+            for name in cols:
+                if name not in df.columns:
+                    df = df.withColumn(
+                        name, F.lit(None).cast(fields[name])
+                    )
+            return df.select(*cols)
+
+        old, new = align(old), align(new)
+        tag = lambda df, t: df.withColumn(  # noqa: E731
+            "_change_type", F.lit(t)
+        )
+        if old is None and new is None:
+            # identical file sets (same version, or a restore target):
+            # an empty diff in the table's schema
+            return tag(self.read(spark, v_to), "insert").limit(0)
+        if old is None:
+            return tag(new, "insert")
+        if new is None:
+            return tag(old, "delete")
+        return tag(new.exceptAll(old), "insert").unionAll(
+            tag(old.exceptAll(new), "delete")
+        )
+
     def pruned_files(
         self,
         predicates: list[tuple],

@@ -93,9 +93,10 @@ _QUERY_MODULES = (
 #
 # ROUND 4 (VERDICT r3 #1): retire the certification backlog.  The 27
 # queries that had never had a driver row (judge-computed from the
-# union of CORRECTNESS_r01–r03) take 27 slots; the two operators new
-# this round (index-served negative mining, uncapped word-table bloom)
-# take 2; the remaining 21 are re-certifying sentinels — previously
+# union of CORRECTNESS_r01–r03) take 27 slots; the five operators new
+# this round (index-served negative mining, uncapped word-table bloom,
+# hybrid RRF retrieval, filtered ANN, MMR diversity selection) take
+# 5; the remaining 18 are re-certifying sentinels — previously
 # driver-green entries keeping one live row per §2 family (flagship,
 # TPC-H joins/aggs, dedup + its index tick, ANN trained/quantized,
 # graph, span dedup + its tick, BPE, LM, events/streaming twin,
@@ -131,24 +132,25 @@ DRIVER_WINDOW = (
     "udaf_grouped_price_stats",
     "window_distribution",
     "window_ntile_quartiles",
-    # ---- new this round (first certification); search_hybrid_rrf
-    # takes text_bm25_topk's sentinel slot (r3-certified — the lexical
-    # ranking surface stays live through the hybrid query's sparse
-    # channel and the term-sketch sentinel)
+    # ---- new this round (first certification); the five new queries
+    # take the sentinel slots of text_bm25_topk, q9_product_type_profit
+    # and graph_kcore (all r3-certified; TPC-H keeps q1+q21 live,
+    # graph keeps pagerank, lexical ranking stays live through the
+    # hybrid query's sparse channel + the term-sketch sentinel)
     "sim_contrastive_negatives_indexed",
     "join_bloom_semi_orders_unbounded",
     "search_hybrid_rrf",
+    "sim_ann_topk_prefiltered",
+    "sim_mmr_diverse_topk",
     # ---- re-certifying family sentinels (driver-green r1–r3)
     "flagship_unshipped_orders",
     "q1_pricing_summary",
-    "q9_product_type_profit",
     "q21_waiting_orders",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "sim_ann_topk_ivf",
     "sim_ann_topk_pq",
     "graph_pagerank",
-    "graph_kcore",
     "text_duplicate_spans",
     "text_span_dedup_incremental",
     "text_bpe_merges",
