@@ -167,16 +167,111 @@ def _with_zorder_key(
     )
 
 
-class TxTable:
-    """A parquet table with a versioned commit log under ``path``."""
+def _bloom_positions(value: str, k: int, m_bits: int) -> list[int]:
+    """k md5-derived bit positions for a value — Python-side only (the
+    sidecar blooms are consulted by the DRIVER in pruned_files; no
+    cross-engine contract, just self-consistency)."""
+    import hashlib
 
-    def __init__(self, path: str, *, checkpoint_interval: int = 10) -> None:
+    return [
+        int(hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:15], 16)
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def _build_file_bloom(values, *, k: int = 4) -> dict:
+    """Bitset over the column's distinct values, ~10 bits/value rounded
+    to a power of two (≈1% FP at k=4), floored at 1024 bits.  Unlike
+    the manifest min/max (a fixed-size pair), the bloom scales with
+    file cardinality — which is why it lives in a SIDECAR file, not
+    the commit entry: a 1M-row file's ~1.25 MB bitset would bloat
+    every log read, but as a sidecar it is opened only when a
+    point-lookup actually probes that file."""
+    vals = {str(v) for v in values if v is not None}
+    want = max(1024, 10 * len(vals))
+    m = 1 << (want - 1).bit_length()
+    bits = 0
+    for v in vals:
+        for p in _bloom_positions(v, k, m):
+            bits |= 1 << p
+    return {"m": m, "k": k, "bits": hex(bits)}
+
+
+class TxTable:
+    """A parquet table with a versioned commit log under ``path``.
+
+    ``bloom_cols`` opts columns into per-file BLOOM indexes (Delta's
+    bloom-filter index): on every write, a sidecar bitset over the
+    file's distinct values of each named column is stored beside the
+    log, and ``pruned_files``/``read_where`` consult it for equality
+    predicates.  This is the skipping min/max CANNOT give: on a
+    high-cardinality unordered key (uuids, hashes) every file's range
+    spans the whole domain and range pruning keeps everything, while
+    the bloom prunes a point lookup to the file(s) actually holding
+    the key (no false negatives; ~1% false keeps).  Files written by
+    handles without ``bloom_cols`` simply lack sidecars and are never
+    bloom-pruned — soundness does not depend on coverage."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        checkpoint_interval: int = 10,
+        bloom_cols: tuple[str, ...] = (),
+    ) -> None:
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.checkpoint_interval = checkpoint_interval
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(self.log_dir, exist_ok=True)
         self._entry_cache: dict[int, dict] = {}  # entries are immutable
         self._staged_stats: dict[str, dict] = {}  # stats of my new files
+
+    def _bloom_path(self, file: str, col: str) -> str:
+        return os.path.join(
+            self.log_dir, "bloom", f"{file}.{col}.json"
+        )
+
+    def _write_bloom_sidecars(self, file: str) -> None:
+        import pyarrow.parquet as pq
+
+        cols = [
+            c
+            for c in self.bloom_cols
+            if c
+            in pq.ParquetFile(
+                os.path.join(self.path, file)
+            ).schema_arrow.names
+        ]
+        if not cols:
+            return
+        os.makedirs(os.path.join(self.log_dir, "bloom"), exist_ok=True)
+        t = pq.read_table(os.path.join(self.path, file), columns=cols)
+        for c in cols:
+            bloom = _build_file_bloom(
+                (_enc(v) for v in t.column(c).to_pylist())
+            )
+            with open(self._bloom_path(file, c), "w") as f:
+                json.dump(bloom, f)
+
+    def _bloom_might_contain(self, file: str, col: str, value) -> bool:
+        """False ⇒ the file provably lacks the value.  True when no
+        sidecar exists (never prune on missing information) or the
+        bitset admits it."""
+        try:
+            with open(self._bloom_path(file, col)) as f:
+                b = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return True
+        ev = _enc(value)
+        if ev is None:
+            return True
+        bits = int(b["bits"], 16)
+        return all(
+            bits >> p & 1
+            for p in _bloom_positions(str(ev), b["k"], b["m"])
+        )
 
     # ------------------------------------------------------------- log
 
@@ -328,6 +423,8 @@ class TxTable:
                 self._staged_stats[new] = _footer_stats(
                     os.path.join(self.path, new)
                 )
+                if self.bloom_cols:
+                    self._write_bloom_sidecars(new)
         for leftover in os.listdir(tmp):
             os.remove(os.path.join(tmp, leftover))
         os.rmdir(tmp)
@@ -913,6 +1010,13 @@ class TxTable:
             ):
                 os.remove(p)
                 removed.append(f)
+        # sweep bloom sidecars of the data files just removed
+        bloom_dir = os.path.join(self.log_dir, "bloom")
+        if os.path.isdir(bloom_dir):
+            gone = set(removed)
+            for f in os.listdir(bloom_dir):
+                if f.rsplit(".", 2)[0] in gone:
+                    os.remove(os.path.join(bloom_dir, f))
         # sweep staging dirs orphaned by writers that died pre-commit
         for f in os.listdir(self.path):
             if f.startswith("_staging-"):
@@ -1084,6 +1188,15 @@ class TxTable:
                 ):
                     keep = False
                     break
+            if keep:
+                # equality predicates additionally consult the per-file
+                # bloom sidecars (present only for bloom_cols writes)
+                for col, op, val in predicates:
+                    if op == "=" and not self._bloom_might_contain(
+                        f, col, val
+                    ):
+                        keep = False
+                        break
             if keep:
                 out.append(f)
         return out
