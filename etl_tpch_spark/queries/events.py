@@ -15,6 +15,7 @@ sums (functions/agg.py); window starts are epoch-aligned in both Spark
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
@@ -385,4 +386,73 @@ def events_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.count(F.lit(1)).alias("n_with_k"),
         )
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM pairs GROUP BY 1
+        )
+        SELECT p.prev_type, p.event_type, p.n,
+               CAST(1000000 * p.n // t.n_from AS BIGINT) AS p_micro
+        FROM pairs p JOIN tot t USING (prev_type)
+        ORDER BY p.prev_type, p.event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (previous event type → event type) step observed within a user's
+    time-ordered stream, the count and the conditional probability in
+    integer micro-units (1e6·n div n_from — order-free BIGINT
+    arithmetic, the LM-scoring recipe applied to behavioral data).
+    The product-analytics complement to the funnel/session queries:
+    where the funnel checks ONE prescribed path, the matrix measures
+    every observed step, and its low-probability transitions are the
+    anomaly-detection prior.
+
+    Scale shape: one user-keyed sort window for the lag (the same
+    shuffle sessionization pays), one (prev, next)-keyed count whose
+    cardinality is |event types|² — constant-size from there on.
+    Ties inside a timestamp break on event_id, so the lag sequence is
+    total-ordered and cross-engine identical."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr(
+                "CAST(1000000 * n div n_from AS BIGINT)"
+            ).alias("p_micro"),
+        )
+        .orderBy("prev_type", "event_type")
     )
