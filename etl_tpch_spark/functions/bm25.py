@@ -1,0 +1,94 @@
+"""Shared BM25 scoring kernel — ONE definition used by the full-scan
+query (queries/text.py text_bm25_topk) and the persisted inverted
+index (pipeline/search_index.py SearchIndex.search), so index-served
+retrieval equals the query by construction (the same discipline as
+functions/lm.py for the LM lifecycle).
+
+Inputs are the two relations an inverted index stores:
+
+- ``tf``  — (doc_id, term, tf) term frequencies, already restricted to
+  the query's terms (the postings probe);
+- ``dl``  — (doc_id, dl) document lengths over the WHOLE corpus (BM25's
+  length normalization needs N and avgdl over all docs, not just docs
+  matching the query).
+
+Cross-engine exactness (the repo's no-libm discipline, see
+text_bm25_topk's docstring): idf is the sqrt-damped rational form
+sqrt((N - df + 0.5)/(df + 0.5)) — IEEE correctly-rounded on both
+engines where ln is not — and per-doc scores sum the query terms in
+FIXED syntactic order (conditional-max pivot, then s0+s1+…), so Spark
+and DuckDB doubles agree bit-for-bit before the 4-digit round.
+
+Reference scope note: coiled/etl-tpch has no retrieval counterpart;
+lexical search is north-star LLM-pipeline surface (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = "CAST(1.2 AS DOUBLE)"
+K1P1 = "CAST(2.2 AS DOUBLE)"  # k1 + 1
+ONE_MINUS_B = "CAST(0.25 AS DOUBLE)"  # 1 - b
+B = "CAST(0.75 AS DOUBLE)"
+
+
+def bm25_topk(
+    tf: DataFrame,
+    dl: DataFrame,
+    terms: Sequence[str],
+    topk: int,
+) -> DataFrame:
+    """Top-``topk`` (doc_id, bm25) for a bag-of-terms query (k1=1.2,
+    b=0.75).  ``tf`` carries only the query terms' postings; ``dl``
+    carries every document's length.  Scale shape: ``df`` is a
+    |terms|-row broadcast, corpus stats are one 1-row join, and the
+    only shuffle proportional to data is the tf⋈dl join on doc_id —
+    |postings of query terms| rows, not the corpus."""
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.sqrt(
+                    (F.col("n") - F.col("df") + F.expr("CAST(0.5 AS DOUBLE)"))
+                    / (F.col("df") + F.expr("CAST(0.5 AS DOUBLE)"))
+                )
+                * (F.col("tf") * F.expr(K1P1))
+                / (
+                    F.col("tf")
+                    + F.expr(K1)
+                    * (
+                        F.expr(ONE_MINUS_B)
+                        + F.expr(B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    pivoted = w.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == term, F.col("w"))).alias(f"s{i}")
+            for i, term in enumerate(terms)
+        ]
+    )
+    zero = F.expr("CAST(0 AS DOUBLE)")
+    total = F.coalesce(F.col("s0"), zero)
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"s{i}"), zero)
+    return (
+        pivoted.select("doc_id", F.round(total, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(topk)
+    )

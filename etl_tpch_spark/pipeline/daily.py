@@ -15,7 +15,10 @@ One ``crawl_day_tick`` call per day does:
      is ticked exactly once per batch, INSIDE the cycle),
    - a SpanIndex tick (duplicated-span detection vs all prior days),
    - an LmIndex scoring tick (CCNet-style quality scores vs the
-     reference LM ingested at setup).
+     reference LM ingested at setup),
+   - a SearchIndex ingest (the day's postings + doclens land in the
+     inverted index, so lexical/BM25 retrieval sees same-day docs
+     without ever re-tokenizing old ones).
    One drain, one checkpoint, one batch id ⇒ the exactly-once story
    is shared: a replayed epoch no-ops in every index at once, and a
    crash BETWEEN stages replays to completion (each stage checks the
@@ -58,6 +61,7 @@ from ..streaming.ticks import stream_doc_ticks
 from .corpus import corpus_cycle
 from .export import export_shards
 from .lm_index import LmIndex
+from .search_index import SearchIndex
 from .txlog import TxTable
 
 
@@ -110,12 +114,14 @@ def crawl_day_tick(
     scores_t = TxTable(os.path.join(root_dir, "scores"))
     span_idx = SpanIndex(os.path.join(root_dir, "span_index"))
     lm_idx = LmIndex(os.path.join(root_dir, "lm"))
+    search_idx = SearchIndex(os.path.join(root_dir, "search_index"))
     out: dict[str, Any] = {"cycles": []}
 
     def doc_tick(batch: DataFrame, bid: str) -> None:
-        # corpus cycle FIRST (it owns the minhash index tick); span +
-        # LM stages then ride the same batch id — a replay after a
-        # crash between stages no-ops whatever already landed
+        # corpus cycle FIRST (it owns the minhash index tick); span,
+        # LM and inverted-index stages then ride the same batch id — a
+        # replay after a crash between stages no-ops whatever already
+        # landed
         summary = corpus_cycle(
             spark,
             batch,
@@ -127,6 +133,7 @@ def crawl_day_tick(
         spans = span_idx.tick(spark, batch, batch_id=bid)
         spans_t.append(spans, batch_id=bid)
         scores_t.append(lm_idx.score(spark, batch), batch_id=bid)
+        search_idx.ingest(batch, batch_id=bid)
         out["cycles"].append(summary)
 
     t0 = time.monotonic()
@@ -184,6 +191,8 @@ def crawl_day_tick(
         span_idx.compact(spark)
     if grown(lm_idx.table):
         lm_idx.fold(spark)
+    if grown(search_idx.postings):
+        search_idx.optimize(spark)
     if grown(corpus):
         corpus.compact(spark, target_files=8, cluster_by=("doc_id",))
     out["maintenance_s"] = round(time.monotonic() - t0, 3)

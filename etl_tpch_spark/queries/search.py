@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import Tables
 from ..dedup.hashing import sql_cosine_fold
 from ..functions.text import tokens
-from ..registry import query
+from ..registry import REGISTRY, query
 from ..similarity.ann import cosine_topk_bruteforce
 from .similarity import _IDS, QUERY_IDS
 from .text import _SQL_TOKS
@@ -191,3 +191,53 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------- index-served lexical
+
+
+def _search_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once / query-many inverted index over the documents table
+    (same _reused_index convention as the ANN indexes: ingestion is
+    deterministic, so a reused build is bit-identical to a fresh
+    one)."""
+    from ..pipeline.search_index import SearchIndex
+    from .similarity import _reused_index
+
+    t = Tables(spark, sf_dir)
+
+    def build(path: str) -> SearchIndex:
+        idx = SearchIndex(path)
+        idx.ingest(t.documents, batch_id="full-corpus")
+        idx.optimize(spark)
+        return idx
+
+    return _reused_index(
+        "search-idx", sf_dir, "v1", SearchIndex, build, table="documents"
+    )
+
+
+@query(
+    "text_bm25_topk_indexed",
+    oracle=REGISTRY["text_bm25_topk"].oracle,
+)
+def text_bm25_topk_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED-index lifecycle for lexical retrieval
+    (pipeline/search_index.py SearchIndex): build = tokenize the
+    corpus ONCE into term-clustered postings + doclens TxTables
+    (bloom sidecars over terms); query = probe ONLY the three query
+    terms' postings files (term-range stats + bloom skipping decide
+    file-level on the driver) and score with the SAME BM25 kernel
+    (functions/bm25.py) as the full-scan query — so text_bm25_topk's
+    oracle applies verbatim: the build/query split is a lifecycle
+    change, not a semantics change.  At 100 TB the index ingests each
+    crawl batch O(new) on the daily cadence and searches never touch
+    corpus text (tests/test_search_index.py pins result equality,
+    file pruning, exactly-once replay, and the zero-retokenization
+    plan)."""
+    from .text import _BM25_TERMS, _BM25_TOPK
+
+    idx = _search_index_for(spark, sf_dir)
+    return idx.search(spark, _BM25_TERMS, _BM25_TOPK)

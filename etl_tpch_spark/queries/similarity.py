@@ -396,6 +396,7 @@ def _reused_index(
     params: str,
     opener,
     builder,
+    table: str = "embeddings",
 ):
     """Build-once / query-many for the persisted-index queries: the
     integer-Lloyd builds are DETERMINISTIC (same corpus → bit-identical
@@ -413,7 +414,7 @@ def _reused_index(
 
     path = scratch_index_dir(kind, sf_dir)
     marker = os.path.join(path, "_BUILD_COMPLETE")
-    st = os.stat(table_path(os.path.realpath(sf_dir), "embeddings"))
+    st = os.stat(table_path(os.path.realpath(sf_dir), table))
     stamp = f"{st.st_mtime_ns}-{st.st_size}-{params}"
     try:
         with open(marker) as f:

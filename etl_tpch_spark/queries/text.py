@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from ..functions.bm25 import bm25_topk
 from ..functions.text import (
     CJK_PATTERN,
     STOPWORDS,
@@ -892,7 +893,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: tf filters to the query terms BEFORE its aggregate
     (the explode never shuffles non-query tokens), df is a 3-row
     broadcast, corpus stats are one 1-row join; no per-token state
-    leaves the map side except the per-(doc, query-term) counts."""
+    leaves the map side except the per-(doc, query-term) counts.
+
+    The scoring kernel is the SHARED definition in functions/bm25.py —
+    the persisted inverted index (pipeline/search_index.py) scores
+    with the identical expression tree, so ``text_bm25_topk_indexed``
+    equals this query by construction."""
     t = Tables(spark, sf_dir)
     d = t.documents.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -900,71 +906,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = d.select(
         "doc_id", F.size("toks").cast("long").alias("dl")
     )
-    st = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
-            "avgdl"
-        ),
-    )
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.sqrt(
-                    (
-                        F.col("n")
-                        - F.col("df")
-                        + F.expr("CAST(0.5 AS DOUBLE)")
-                    )
-                    / (F.col("df") + F.expr("CAST(0.5 AS DOUBLE)"))
-                )
-                * (F.col("tf") * F.expr(_BM25_K1P1))
-                / (
-                    F.col("tf")
-                    + F.expr(_BM25_K1)
-                    * (
-                        F.expr(_BM25_1MB)
-                        + F.expr(_BM25_B)
-                        * F.col("dl")
-                        / F.col("avgdl")
-                    )
-                )
-            ).alias("w"),
-        )
-    )
-    pivoted = w.groupBy("doc_id").agg(
-        *[
-            F.max(
-                F.when(F.col("term") == term, F.col("w"))
-            ).alias(f"s{i}")
-            for i, term in enumerate(_BM25_TERMS)
-        ]
-    )
-    zero = F.expr("CAST(0 AS DOUBLE)")
-    return (
-        pivoted.select(
-            "doc_id",
-            F.round(
-                F.coalesce(F.col("s0"), zero)
-                + F.coalesce(F.col("s1"), zero)
-                + F.coalesce(F.col("s2"), zero),
-                4,
-            ).alias("bm25"),
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(_BM25_TOPK)
-    )
+    return bm25_topk(tf, dl, _BM25_TERMS, _BM25_TOPK)
 
 
 # ---------------------------------------------------------------- round 3

@@ -142,13 +142,17 @@ DRIVER_WINDOW = (
     "search_hybrid_rrf",
     "sim_ann_topk_prefiltered",
     "sim_mmr_diverse_topk",
-    # ---- re-certifying family sentinels (driver-green r1–r3)
+    "events_markov_transitions",
+    "text_novelty_scores",
+    "text_bm25_topk_indexed",
+    # ---- re-certifying family sentinels (driver-green r1–r3; three
+    # late-round additions above took the slots of q21 (TPC-H keeps
+    # q1 live), dedup_minhash_lsh (family stays live via the index
+    # tick) and sim_ann_topk_ivf (family stays live via PQ + the
+    # indexed backlog entries)
     "flagship_unshipped_orders",
     "q1_pricing_summary",
-    "q21_waiting_orders",
-    "dedup_minhash_lsh",
     "dedup_incremental",
-    "sim_ann_topk_ivf",
     "sim_ann_topk_pq",
     "graph_pagerank",
     "text_duplicate_spans",

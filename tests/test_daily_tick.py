@@ -108,6 +108,20 @@ def test_spans_scores_and_hll_accumulated(spark, three_days):
     assert hll.select("day").distinct().count() == n_days
 
 
+def test_search_index_covers_staged_docs(spark, three_days):
+    """The inverted index ingested every staged doc pre-dedup (one
+    doclen row per doc), and a term probe is served from the index —
+    lexical retrieval freshness rides the daily cadence."""
+    from etl_tpch_spark.pipeline.search_index import SearchIndex
+
+    root, docs, _, _ = three_days
+    idx = SearchIndex(os.path.join(root, "search_index"))
+    dl = idx.doclens.read(spark)
+    assert dl.select("doc_id").distinct().count() == docs.count()
+    top = idx.search(spark, ["the", "data"], 5).collect()
+    assert len(top) > 0
+
+
 def test_replay_day_is_noop(spark, three_days):
     """Re-running a whole day (same staged files, same checkpoints)
     mutates nothing in any store — the shared exactly-once story."""

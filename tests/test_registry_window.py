@@ -14,13 +14,16 @@ def test_window_names_exist_and_lead():
 
 
 def test_window_covers_differentiating_operators():
-    # round 4: 27-query certification backlog + 2 new operators + one
-    # re-certifying sentinel per differentiating family
+    # round 4: 27-query certification backlog + the round's new
+    # operators + one re-certifying sentinel per differentiating
+    # family (late-round swaps: minhash-lsh → the index tick keeps
+    # dedup live, sim_ann_topk_ivf → its _indexed backlog entry)
     must_have = {
-        "dedup_minhash_lsh",
         "dedup_incremental",
-        "sim_ann_topk_ivf",
         "sim_ann_topk_ivf_indexed",
+        "text_bm25_topk_indexed",
+        "events_markov_transitions",
+        "text_novelty_scores",
         "sim_contrastive_negatives_indexed",
         "events_session_window",
         "corpus_curation",

@@ -1,0 +1,115 @@
+"""Persisted inverted index (pipeline/search_index.py): batched
+ingests equal one-shot, indexed search equals the full-scan BM25 query
+bit-for-bit, replays (including a crash between the two table commits)
+are no-ops, optimize() clusters postings so a term probe opens a
+fraction of the files, and the search plan never touches corpus text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_tpch_spark.catalog import load_table
+from etl_tpch_spark.pipeline.search_index import SearchIndex
+from etl_tpch_spark.queries.text import (
+    _BM25_TERMS,
+    _BM25_TOPK,
+    text_bm25_topk,
+)
+
+
+def _build_batched(spark, sf_dir, path) -> SearchIndex:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = SearchIndex(str(path))
+    idx.ingest(docs.filter(F.col("doc_id") % 2 == 0), batch_id="crawl-0")
+    idx.ingest(docs.filter(F.col("doc_id") % 2 == 1), batch_id="crawl-1")
+    return idx
+
+
+def test_indexed_search_equals_query(spark, sf_dir, tmp_path):
+    """search() over two ingest batches reproduces the registered
+    full-scan query exactly (shared functions/bm25.py kernel + postings
+    summation associativity ⇒ equality, not tolerance)."""
+    idx = _build_batched(spark, sf_dir, tmp_path / "inv")
+    got = [tuple(r) for r in idx.search(spark, _BM25_TERMS, _BM25_TOPK).collect()]
+    want = [tuple(r) for r in text_bm25_topk(spark, sf_dir).collect()]
+    assert got == want
+    assert len(got) == _BM25_TOPK
+
+
+def test_search_survives_optimize(spark, sf_dir, tmp_path):
+    """The layout pass changes files, not results."""
+    idx = _build_batched(spark, sf_dir, tmp_path / "inv")
+    before = [tuple(r) for r in idx.search(spark, _BM25_TERMS, _BM25_TOPK).collect()]
+    idx.optimize(spark)
+    after = [tuple(r) for r in idx.search(spark, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert after == before
+
+
+def test_optimize_makes_probes_skip_files(spark, sf_dir, tmp_path):
+    """After the term-clustered rewrite, a single-term probe opens a
+    strict subset of the postings files — the inverted-file contract
+    realized through min/max term ranges + bloom sidecars, decided
+    driver-side from the log."""
+    idx = _build_batched(spark, sf_dir, tmp_path / "inv")
+    idx.optimize(spark, target_files=8)
+    all_files = set(idx.postings.snapshot_files())
+    assert len(all_files) == 8
+    probed = idx.probed_files(["vector"])
+    assert probed and len(probed) < len(all_files)
+    # the probe still finds every posting the full scan holds
+    full = (
+        idx.postings.read(spark)
+        .filter(F.col("term") == "vector")
+        .count()
+    )
+    got = idx.probe(spark, ["vector"]).count()
+    assert got == full > 0
+
+
+def test_ingest_replay_and_crash_window(spark, sf_dir, tmp_path):
+    """Exactly-once across TWO tables: a full replay no-ops both
+    appends, and a crash that landed doclens but not postings
+    completes on replay (the landed half no-ops, the missing half
+    lands) — the stream_apply_cdc two-commit pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = SearchIndex(str(tmp_path / "inv"))
+    idx.ingest(half, batch_id="crawl-0")
+    p_v, d_v = idx.postings.latest_version(), idx.doclens.latest_version()
+    idx.ingest(half, batch_id="crawl-0")  # replayed crawl batch
+    assert idx.postings.latest_version() == p_v
+    assert idx.doclens.latest_version() == d_v
+
+    # crash window: doclens committed, postings append never ran
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    toks = other.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    idx.doclens.append(
+        toks.select("doc_id", F.size("toks").cast("long").alias("dl")),
+        batch_id="crawl-1-dl",
+    )
+    d_v2 = idx.doclens.latest_version()
+    idx.ingest(other, batch_id="crawl-1")  # the replay
+    assert idx.doclens.latest_version() == d_v2  # landed half no-oped
+    assert idx.postings.latest_version() == p_v + 1  # missing half landed
+    # index state now equals a clean two-batch build
+    clean = SearchIndex(str(tmp_path / "clean"))
+    clean.ingest(docs.filter(F.col("doc_id") % 2 == 0), batch_id="c0")
+    clean.ingest(other, batch_id="c1")
+    got = [tuple(r) for r in idx.search(spark, _BM25_TERMS, _BM25_TOPK).collect()]
+    want = [tuple(r) for r in clean.search(spark, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want
+
+
+def test_search_plan_never_reads_corpus_text(spark, sf_dir, tmp_path):
+    """The O(new)/index-served contract: a search's executed plan scans
+    postings + doclens TxTable files only — zero documents.parquet
+    scans, zero retokenization."""
+    idx = _build_batched(spark, sf_dir, tmp_path / "inv")
+    res = idx.search(spark, _BM25_TERMS, _BM25_TOPK)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert str(tmp_path / "inv") in plan
+    assert res.count() > 0
