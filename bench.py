@@ -65,6 +65,8 @@ HEADLINE = [
     "sim_contrastive_negatives_indexed",
     "join_bloom_semi_orders_unbounded",
     "search_hybrid_rrf",
+    "search_hybrid_rrf_indexed",
+    "text_bm25_topk_indexed",
 ]
 
 

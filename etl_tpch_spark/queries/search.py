@@ -39,7 +39,7 @@ from ..dedup.hashing import sql_cosine_fold
 from ..functions.text import tokens
 from ..registry import REGISTRY, query
 from ..similarity.ann import cosine_topk_bruteforce
-from .similarity import _IDS, QUERY_IDS
+from .similarity import _IDS, QUERY_IDS, _ivf_index_for
 from .text import _SQL_TOKS
 
 N_SPARSE = 20  # lexical candidate list depth
@@ -241,3 +241,193 @@ def text_bm25_topk_indexed(
 
     idx = _search_index_for(spark, sf_dir)
     return idx.search(spark, _BM25_TERMS, _BM25_TOPK)
+
+
+# ----------------------------------------- fully index-served hybrid
+
+
+def _hybrid_indexed_oracle() -> str:
+    """Oracle twin of the index-served hybrid: the lexical CTEs are the
+    full-scan hybrid's (the index holds the whole corpus, so postings-
+    probe == corpus-tokenize), and the dense CTEs are the IVF replica
+    (unrolled integer-Lloyd chain) that already certifies
+    sim_ann_topk_ivf — candidates come from the 4 probed cells, not a
+    full scan, so dense ranks legitimately differ from bruteforce."""
+    from .similarity import (
+        N_CELLS,
+        N_IVF_ITERS,
+        N_PROBE,
+        _km_chain,
+        _km_d2,
+    )
+
+    return f"""
+        WITH {_km_chain(N_CELLS, N_IVF_ITERS)},
+        cells AS (
+            SELECT e.vec_id, e.embedding, af.cluster AS cell
+            FROM embeddings e JOIN afinal af ON e.vec_id = af.vec_id
+        ),
+        qq AS (
+            SELECT a.vec_id AS query_id, a.qv, e.embedding AS q_emb
+            FROM afinal a JOIN embeddings e ON a.vec_id = e.vec_id
+            WHERE a.vec_id IN ({_IDS})
+        ),
+        qcells AS (
+            SELECT query_id, q_emb, cell FROM (
+                SELECT qq.query_id, qq.q_emb, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY qq.query_id
+                           ORDER BY {_km_d2('qq.qv', 'c.cv')}, c.cent_id
+                       ) AS prn
+                FROM qq CROSS JOIN c{N_IVF_ITERS} c
+            ) WHERE prn <= {N_PROBE}
+        ),
+        dscored AS (
+            SELECT qc.query_id, v.vec_id AS doc_id,
+                   round({sql_cosine_fold('qc.q_emb', 'v.embedding')}, 6)
+                     AS cosine
+            FROM qcells qc JOIN cells v ON qc.cell = v.cell
+            WHERE qc.query_id <> v.vec_id
+        ),
+        dense AS (
+            SELECT query_id, doc_id, rn AS dense_rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, doc_id
+                ) AS rn FROM dscored
+            ) WHERE rn <= {N_DENSE}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS term
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM toks GROUP BY term
+        ),
+        qterms AS (
+            SELECT doc_id AS query_id, term FROM toks
+            WHERE doc_id IN ({_IDS})
+        ),
+        lex AS (
+            SELECT qt.query_id, c.doc_id,
+                   CAST(sum({LEX_SCALE} // d.df) AS BIGINT) AS lex_w
+            FROM qterms qt
+            JOIN toks c ON qt.term = c.term
+            JOIN dfreq d ON d.term = qt.term
+            WHERE qt.query_id <> c.doc_id
+            GROUP BY 1, 2
+        ),
+        sparse AS (
+            SELECT query_id, doc_id, rn AS sparse_rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY lex_w DESC, doc_id
+                ) AS rn FROM lex
+            ) WHERE rn <= {N_SPARSE}
+        ),
+        fused AS (
+            SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+                   COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   s.sparse_rank, d.dense_rank,
+                   COALESCE({RRF_SCALE} // ({RRF_K} + s.sparse_rank), 0)
+                 + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rank), 0)
+                     AS rrf_micro
+            FROM sparse s
+            FULL OUTER JOIN dense d
+              ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        )
+        SELECT query_id, doc_id,
+               CAST(sparse_rank AS BIGINT) AS sparse_rank,
+               CAST(dense_rank AS BIGINT) AS dense_rank,
+               rrf_micro, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id
+            ) AS rnk FROM fused
+        )
+        WHERE rnk <= {TOP}
+        ORDER BY query_id, rnk
+    """
+
+
+@query("search_hybrid_rrf_indexed", oracle=_hybrid_indexed_oracle())
+def search_hybrid_rrf_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from persisted indexes — the
+    100 TB steady-state shape search_hybrid_rrf's docstring promises:
+
+    - LEXICAL: both the query docs' term sets AND the candidate
+      postings come from the SearchIndex postings table (term, doc_id)
+      — corpus text is never read, let alone re-tokenized; the df
+      weights aggregate over the same postings scan.
+    - DENSE: candidates from the persisted IVF index's 4 probed cells
+      (similarity/index.py — stored centroids, file-pruned cell scan),
+      exactly sim_ann_topk_ivf_indexed's path.
+    - FUSION: unchanged integer RRF — it only consumes rank lists, so
+      swapping channel implementations is invisible to it (the design
+      claim the full-scan query makes, demonstrated here).
+
+    Dense ranks differ from the bruteforce hybrid where IVF recall
+    misses a neighbor — the oracle replicates IVF's probed-cell
+    semantics (the same unrolled-Lloyd chain that certifies the ANN
+    family), so this remains hash-checked, not tolerance-checked."""
+    idx_lex = _search_index_for(spark, sf_dir)
+    idx_ann = _ivf_index_for(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+
+    post = idx_lex.postings.read(spark).select("doc_id", "term")
+    q = post.filter(F.col("doc_id").isin(QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lex = (
+        F.broadcast(q)
+        .join(post, "term")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .join(F.broadcast(dfreq), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(f"CAST({LEX_SCALE} div df AS BIGINT)")).alias(
+                "lex_w"
+            )
+        )
+    )
+    w_s = W.partitionBy("query_id").orderBy(
+        F.col("lex_w").desc(), F.col("doc_id")
+    )
+    sparse = (
+        lex.withColumn("sparse_rank", F.row_number().over(w_s))
+        .filter(F.col("sparse_rank") <= N_SPARSE)
+        .select("query_id", "doc_id", "sparse_rank")
+    )
+    queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
+    dense = idx_ann.topk(spark, queries_df, N_DENSE).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rnk").alias("dense_rank"),
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + sparse_rank) AS BIGINT)"),
+        F.lit(0).cast("long"),
+    ) + F.coalesce(
+        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + dense_rank) AS BIGINT)"),
+        F.lit(0).cast("long"),
+    )
+    w_f = W.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_micro", rrf)
+        .withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("sparse_rank").cast("long").alias("sparse_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            "rrf_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -145,11 +145,13 @@ DRIVER_WINDOW = (
     "events_markov_transitions",
     "text_novelty_scores",
     "text_bm25_topk_indexed",
-    # ---- re-certifying family sentinels (driver-green r1–r3; three
+    "search_hybrid_rrf_indexed",
+    # ---- re-certifying family sentinels (driver-green r1–r3; four
     # late-round additions above took the slots of q21 (TPC-H keeps
     # q1 live), dedup_minhash_lsh (family stays live via the index
-    # tick) and sim_ann_topk_ivf (family stays live via PQ + the
-    # indexed backlog entries)
+    # tick), sim_ann_topk_ivf (family stays live via PQ + the
+    # indexed backlog entries) and join_bloom_semi_orders (family
+    # stays live via the unbounded variant above)
     "flagship_unshipped_orders",
     "q1_pricing_summary",
     "dedup_incremental",
@@ -163,7 +165,6 @@ DRIVER_WINDOW = (
     "ts_gapfill_hourly",
     "inference_batch_scores",
     "agg_hll_distinct_customers",
-    "join_bloom_semi_orders",
     "corpus_curation",
 )
 

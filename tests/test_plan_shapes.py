@@ -113,6 +113,12 @@ NLJ_ALLOWED = {
     "sim_mmr_diverse_topk",  # pool = broadcast-query corpus scan
     # (any ANN candidate generator slots in); greedy rounds touch
     # only the 50-row pool
+    "text_bm25_topk_indexed",  # the same 1-row corpus-stats (N,
+    # avgdl) broadcast as text_bm25_topk — shared kernel
+    "search_hybrid_rrf_indexed",  # |Q|×K stored-centroid ranking
+    # (the IVF probe, like sim_ann_topk_ivf_indexed) + the 1-row
+    # BM25-stats broadcast; every corpus-sized join is an equi-join
+    # on term or cell
 }
 
 

@@ -69,3 +69,18 @@ def test_rrf_rewards_dual_channel_hits(spark, sf_dir):
             )
             if srank >= worst:
                 assert d["rrf_micro"] > s["rrf_micro"]
+
+
+def test_indexed_hybrid_never_reads_corpus_text(spark, sf_dir):
+    """The fully index-served hybrid's plan: lexical channel from the
+    postings TxTable (zero documents.parquet scans — no tokenization
+    at query time), dense channel from the IVF index's stored cells;
+    embeddings.parquet appears only as the 5-row query-vector fetch."""
+    from etl_tpch_spark.queries.search import search_hybrid_rrf_indexed
+
+    res = search_hybrid_rrf_indexed(spark, sf_dir)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "search-idx" in plan  # postings probe
+    assert "ivf-idx" in plan  # stored cells scan
+    assert res.count() > 0
