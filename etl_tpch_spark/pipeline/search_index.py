@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import os
 from collections.abc import Sequence
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,15 +107,21 @@ class SearchIndex:
     def probe(
         self, spark: SparkSession, terms: Sequence[str]
     ) -> DataFrame:
-        """The query terms' postings — a union of per-term point
-        lookups, each pruned file-level by the term-range stats AND
-        the per-file bloom sidecars before any executor runs.  Returns
-        (doc_id, term, tf)."""
-        per_term = [
-            self.postings.read_where(spark, [("term", "=", t)])
-            for t in terms
-        ]
-        probed = reduce(DataFrame.unionByName, per_term)
+        """The query terms' postings — ONE scan of the files any of
+        the terms could live in (per-term union of term-range stats +
+        per-file bloom sidecars, decided on the driver), filtered to
+        the term set.  A 3-term BM25 query and a 300-term hybrid
+        query-doc probe both cost one pruned scan, not |terms| reads.
+        Returns (doc_id, term, tf)."""
+        files = sorted(self.probed_files(terms))
+        if not files:
+            # no file can hold any query term: empty frame, schema
+            # recovered cheaply from one snapshot file
+            probed = self.postings.read(spark).where(F.lit(False))
+        else:
+            probed = spark.read.parquet(
+                *[os.path.join(self.postings.path, f) for f in files]
+            ).filter(F.col("term").isin(*terms))
         # one row per (doc, term) in normal operation; the sum makes
         # the probe invariant to a doc split across re-bundled batches
         return probed.groupBy("doc_id", "term").agg(

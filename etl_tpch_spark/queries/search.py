@@ -358,8 +358,13 @@ def search_hybrid_rrf_indexed(
 
     - LEXICAL: both the query docs' term sets AND the candidate
       postings come from the SearchIndex postings table (term, doc_id)
-      — corpus text is never read, let alone re-tokenized; the df
-      weights aggregate over the same postings scan.
+      — corpus text is never read, let alone re-tokenized.  The query
+      term set (a few hundred strings for 5 docs) is collected once
+      and pushed as an In() filter into the postings scan, so df
+      weights and candidates both derive from ONE term-restricted
+      probe — no full-vocabulary aggregate, no vocabulary-sized
+      broadcast (the full-scan form's dfreq broadcast would be the
+      scale bottleneck at a 100 TB vocabulary).
     - DENSE: candidates from the persisted IVF index's 4 probed cells
       (similarity/index.py — stored centroids, file-pruned cell scan),
       exactly sim_ann_topk_ivf_indexed's path.
@@ -376,13 +381,32 @@ def search_hybrid_rrf_indexed(
     t = Tables(spark, sf_dir)
 
     post = idx_lex.postings.read(spark).select("doc_id", "term")
-    q = post.filter(F.col("doc_id").isin(QUERY_IDS)).select(
+    qterms = sorted(
+        r.term
+        for r in post.filter(F.col("doc_id").isin(QUERY_IDS))
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    # the probe feeds three consumers (query term sets, df weights,
+    # candidate join) — cache the one pruned scan instead of
+    # recomputing it per consumer.  The cache key is the plan (the
+    # probed file list), so an index tick changes the key and a stale
+    # entry is never served; repeated invocations against an
+    # unchanged index share one entry.
+    probe = (
+        idx_lex.probe(spark, qterms).select("doc_id", "term").cache()
+    )
+    q = probe.filter(F.col("doc_id").isin(QUERY_IDS)).select(
         F.col("doc_id").alias("query_id"), "term"
     )
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df over the probe = df over the query terms (postings are unique
+    # per (doc, term)); identical values to a full-vocabulary count
+    # for every joined row, at a |qterms|-row broadcast
+    dfreq = probe.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     lex = (
         F.broadcast(q)
-        .join(post, "term")
+        .join(probe, "term")
         .filter(F.col("query_id") != F.col("doc_id"))
         .join(F.broadcast(dfreq), "term")
         .groupBy("query_id", "doc_id")
