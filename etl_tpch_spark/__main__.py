@@ -149,6 +149,18 @@ def main(argv: list[str] | None = None) -> int:
     dash.add_argument("--root", required=True)
     dash.add_argument("--limit", type=int, default=10)
 
+    srch = sub.add_parser(
+        "search",
+        help="BM25 search the persisted inverted index (builds it "
+        "from the documents table on first use; "
+        "pipeline/search_index.py)",
+    )
+    srch.add_argument("terms", nargs="+", help="query terms")
+    srch.add_argument("--root", required=True,
+                      help="dir holding the search_index/ TxTables")
+    srch.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    srch.add_argument("--topk", type=int, default=10)
+
     ltk = sub.add_parser(
         "lm-tick",
         help="score one crawl batch against the persisted bigram LM "
@@ -301,6 +313,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         for stage, result in out.items():
             print(f"{stage}: {result}")
+        return 0
+
+    if args.cmd == "search":
+        import os
+
+        from .catalog import load_table
+        from .pipeline.search_index import SearchIndex
+
+        spark = get_spark("etl_tpch_spark-cli")
+        idx = SearchIndex(os.path.join(args.root, "search_index"))
+        if idx.postings.latest_version() is None:
+            docs = load_table(spark, args.sf_dir, "documents")
+            idx.ingest(docs, batch_id="initial-corpus")
+            idx.optimize(spark)
+            print("index built from documents table")
+        idx.search(spark, args.terms, args.topk).show(
+            args.topk, truncate=False
+        )
         return 0
 
     if args.cmd == "lm-tick":

@@ -76,3 +76,19 @@ def test_lm_tick_trains_once_scores_idempotently(capsys, tmp_path):
                 "--doc-id-min", "25", "--doc-id-max", "50"]
     ) == 0
     assert "scores: version 2" in capsys.readouterr().out
+
+
+def test_search_builds_then_reuses_index(capsys, tmp_path):
+    """First call builds the inverted index from the documents table;
+    the second serves from the stored postings without rebuilding."""
+    root = str(tmp_path / "lake")
+    args = [
+        "search", "dup", "vector", "--root", root,
+        "--sf-dir", "/root/testdata/sf0.001", "--topk", "3",
+    ]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "index built" in out and "bm25" in out
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "index built" not in out and "bm25" in out
