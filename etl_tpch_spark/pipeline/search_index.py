@@ -73,8 +73,13 @@ class SearchIndex:
         batch (the crawl contract every index in this repo shares);
         replays no-op per table, and a crash between the two commits
         completes on replay."""
+        # null text tokenizes to a null array, whose size() is -1 —
+        # coalesce to '' so an empty crawl doc contributes dl=0 and no
+        # postings instead of corrupting avgdl (the same external-input
+        # hazard the LM's bigram_pairs clamps)
         toks = docs.select(
-            "doc_id", tokens(F.col("text")).alias("toks")
+            "doc_id",
+            tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
         )
         dl = toks.select(
             "doc_id", F.size("toks").cast("long").alias("dl")
@@ -113,7 +118,7 @@ class SearchIndex:
         the term set.  A 3-term BM25 query and a 300-term hybrid
         query-doc probe both cost one pruned scan, not |terms| reads.
         Returns (doc_id, term, tf)."""
-        files = sorted(self.probed_files(terms))
+        files = sorted(self.probed_files(terms)) if terms else []
         if not files:
             # no file can hold any query term: empty frame, schema
             # recovered cheaply from one snapshot file

@@ -113,3 +113,33 @@ def test_search_plan_never_reads_corpus_text(spark, sf_dir, tmp_path):
     assert "documents.parquet" not in plan
     assert str(tmp_path / "inv") in plan
     assert res.count() > 0
+
+
+def test_null_and_empty_text_docs_are_harmless(spark, sf_dir, tmp_path):
+    """External crawl input routinely contains empty or null text: such
+    docs must contribute dl=0 and zero postings — never a negative
+    doclen corrupting avgdl (the size(null)=-1 hazard)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None), (4, "   ")], schema
+    )
+    idx = SearchIndex(str(tmp_path / "inv"))
+    idx.ingest(docs, batch_id="b0")
+    dl = {r.doc_id: r.dl for r in idx.doclens.read(spark).collect()}
+    assert dl == {1: 2, 2: 0, 3: 0, 4: 0}
+    assert idx.postings.read(spark).count() == 2  # alpha, beta
+    top = idx.search(spark, ["alpha"], 5).collect()
+    assert [r.doc_id for r in top] == [1]
+
+
+def test_probe_unknown_term_and_empty_query(spark, sf_dir, tmp_path):
+    idx = _build_batched(spark, sf_dir, tmp_path / "inv")
+    assert idx.probe(spark, ["zzz_not_a_term"]).count() == 0
+    assert idx.probe(spark, []).count() == 0
