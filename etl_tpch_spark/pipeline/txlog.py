@@ -1030,6 +1030,47 @@ class TxTable:
 
     # ------------------------------------------------------------- read
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Delta's ``DESCRIBE HISTORY`` as a derived view over the
+        commit log: one row per committed version with the operation,
+        the file delta against the previous version, the row count
+        when the manifest carries stats for every file, and the
+        exactly-once batch id.  Driver-side O(versions) from the log
+        alone — no data file is opened, no Spark job runs (the same
+        discipline as :meth:`pruned_files`).  VACUUM deletes log
+        entries past its horizon, so history covers the retained
+        suffix — the same truncation Delta's retention applies to
+        DESCRIBE HISTORY.  ``files_added``/``files_removed`` for the
+        oldest retained version count against the empty set."""
+        rows = []
+        prev: set[str] = set()
+        for v in self.versions():
+            e = self._read_entry(v)
+            files = set(e["files"])
+            stats = e.get("stats", {})
+            n_rows = (
+                sum(stats[f].get("rows", 0) for f in e["files"])
+                if e["files"] and all(f in stats for f in e["files"])
+                else None
+            )
+            rows.append(
+                (
+                    v,
+                    e["op"],
+                    len(files),
+                    len(files - prev),
+                    len(prev - files),
+                    n_rows,
+                    e.get("batch_id"),
+                )
+            )
+            prev = files
+        schema = (
+            "version LONG, op STRING, n_files LONG, files_added LONG, "
+            "files_removed LONG, n_rows LONG, batch_id STRING"
+        )
+        return spark.createDataFrame(rows, schema)
+
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
