@@ -326,8 +326,12 @@ def main(argv: list[str] | None = None) -> int:
         if idx.postings.latest_version() is None:
             docs = load_table(spark, args.sf_dir, "documents")
             idx.ingest(docs, batch_id="initial-corpus")
-            idx.optimize(spark)
             print("index built from documents table")
+        if len(idx.postings.snapshot_files()) > 8:
+            # covers both accreted daily ticks and a first run that
+            # crashed between ingest and layout — optimize is driven
+            # by the observable file count, not a built-this-run flag
+            idx.optimize(spark)
         idx.search(spark, args.terms, args.topk).show(
             args.topk, truncate=False
         )

@@ -117,20 +117,37 @@ class SearchIndex:
         per-file bloom sidecars, decided on the driver), filtered to
         the term set.  A 3-term BM25 query and a 300-term hybrid
         query-doc probe both cost one pruned scan, not |terms| reads.
-        Returns (doc_id, term, tf)."""
+        Returns (doc_id, term, tf); an empty or never-ingested index
+        probes to an empty frame, not an error."""
         files = sorted(self.probed_files(terms)) if terms else []
         if not files:
-            # no file can hold any query term: empty frame, schema
-            # recovered cheaply from one snapshot file
-            probed = self.postings.read(spark).where(F.lit(False))
+            # no file can hold any query term (or the index is empty):
+            # empty frame, schema recovered from ONE snapshot file when
+            # any exists, declared when none does
+            snap = (
+                self.postings.snapshot_files()
+                if self.postings.latest_version() is not None
+                else []
+            )
+            if snap:
+                probed = spark.read.parquet(
+                    os.path.join(self.postings.path, snap[0])
+                ).where(F.lit(False))
+            else:
+                probed = spark.createDataFrame(
+                    [], "doc_id LONG, term STRING, tf LONG"
+                )
         else:
             probed = spark.read.parquet(
                 *[os.path.join(self.postings.path, f) for f in files]
             ).filter(F.col("term").isin(*terms))
-        # one row per (doc, term) in normal operation; the sum makes
-        # the probe invariant to a doc split across re-bundled batches
+        # one row per (doc, term) in normal operation; MAX (not sum)
+        # makes the probe idempotent under the one duplicate-arrival
+        # mode the exactly-once ids cannot close — a wiped checkpoint
+        # over RE-BUNDLED crawl files re-ingests docs under fresh
+        # content ids, and summing would silently double tf
         return probed.groupBy("doc_id", "term").agg(
-            F.sum("tf").cast("long").alias("tf")
+            F.max("tf").cast("long").alias("tf")
         )
 
     def probed_files(self, terms: Sequence[str]) -> set[str]:
@@ -150,7 +167,17 @@ class SearchIndex:
         """Top-``topk`` BM25 over the stored corpus for a bag-of-terms
         query.  One probe of the query terms' postings + one doclens
         scan — corpus text is never touched (tests/test_search_index.py
-        audits the plan for zero documents-table reads)."""
+        audits the plan for zero documents-table reads).  Doclens
+        dedupe by MAX like the probe (a no-op in normal operation,
+        idempotent under wiped-checkpoint re-bundled replays); an
+        empty index returns an empty ranking."""
         tf = self.probe(spark, terms)
-        dl = self.doclens.read(spark).select("doc_id", "dl")
+        if self.doclens.latest_version() is None:
+            dl = spark.createDataFrame([], "doc_id LONG, dl LONG")
+        else:
+            dl = (
+                self.doclens.read(spark)
+                .groupBy("doc_id")
+                .agg(F.max("dl").cast("long").alias("dl"))
+            )
         return bm25_topk(tf, dl, terms, topk)

@@ -1048,9 +1048,11 @@ class TxTable:
             e = self._read_entry(v)
             files = set(e["files"])
             stats = e.get("stats", {})
+            # an empty snapshot is provably 0 rows; None is reserved
+            # for "stats unavailable"
             n_rows = (
                 sum(stats[f].get("rows", 0) for f in e["files"])
-                if e["files"] and all(f in stats for f in e["files"])
+                if all(f in stats for f in e["files"])
                 else None
             )
             rows.append(

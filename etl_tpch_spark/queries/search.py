@@ -356,16 +356,16 @@ def search_hybrid_rrf_indexed(
     """Hybrid retrieval served ENTIRELY from persisted indexes — the
     100 TB steady-state shape search_hybrid_rrf's docstring promises:
 
-    - LEXICAL: both the query docs' term sets AND the candidate
-      postings come from the SearchIndex postings table (term, doc_id)
-      — corpus text is never read, let alone re-tokenized.  The query
-      term set (a few hundred strings for 5 docs) is collected once
-      and pushed as an In() filter into the postings scan, so df
-      weights and candidates both derive from ONE term-restricted
-      probe — no full-vocabulary aggregate, no vocabulary-sized
-      broadcast (the full-scan form's dfreq broadcast would be the
+    - LEXICAL: the query docs are tokenized by a 5-id pushed-filter
+      read — O(|Q|), the way a search engine tokenizes its query —
+      and their collected term rows become a literal broadcast frame,
+      so the EXECUTED plan touches only the index.  Candidates AND df
+      weights derive from ONE term-restricted postings probe (df as a
+      window count over the probe — identical values to a
+      full-vocabulary count for every joined row, with no
+      vocabulary-sized aggregate or broadcast, the full-scan form's
       scale bottleneck at a 100 TB vocabulary).
-    - DENSE: candidates from the persisted IVF index's 4 probed cells
+    - DENSE: candidates from the persisted IVF index's probed cells
       (similarity/index.py — stored centroids, file-pruned cell scan),
       exactly sim_ann_topk_ivf_indexed's path.
     - FUSION: unchanged integer RRF — it only consumes rank lists, so
@@ -376,39 +376,45 @@ def search_hybrid_rrf_indexed(
     misses a neighbor — the oracle replicates IVF's probed-cell
     semantics (the same unrolled-Lloyd chain that certifies the ANN
     family), so this remains hash-checked, not tolerance-checked."""
+    from .similarity import N_PROBE
+
     idx_lex = _search_index_for(spark, sf_dir)
     idx_ann = _ivf_index_for(spark, sf_dir)
     t = Tables(spark, sf_dir)
 
-    post = idx_lex.postings.read(spark).select("doc_id", "term")
-    qterms = sorted(
-        r.term
-        for r in post.filter(F.col("doc_id").isin(QUERY_IDS))
-        .select("term")
-        .distinct()
+    # tokenize the 5 query docs (pushed IsIn filter → row-group
+    # pruned read) and ship the few hundred (query_id, term) rows as
+    # a literal frame — the query side never re-enters the plan
+    q_rows = (
+        t.documents.filter(F.col("doc_id").isin(QUERY_IDS))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    tokens(F.coalesce(F.col("text"), F.lit("")))
+                )
+            ).alias("term"),
+        )
         .collect()
     )
-    # the probe feeds three consumers (query term sets, df weights,
-    # candidate join) — cache the one pruned scan instead of
-    # recomputing it per consumer.  The cache key is the plan (the
-    # probed file list), so an index tick changes the key and a stale
-    # entry is never served; repeated invocations against an
-    # unchanged index share one entry.
+    q = spark.createDataFrame(
+        [(r.query_id, r.term) for r in q_rows],
+        "query_id LONG, term STRING",
+    )
+    qterms = sorted({r.term for r in q_rows})
+    # ONE pruned probe pass: df rides a window count over the probe
+    # itself, so no second scan and nothing to cache
     probe = (
-        idx_lex.probe(spark, qterms).select("doc_id", "term").cache()
+        idx_lex.probe(spark, qterms)
+        .select("doc_id", "term")
+        .withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+        )
     )
-    q = probe.filter(F.col("doc_id").isin(QUERY_IDS)).select(
-        F.col("doc_id").alias("query_id"), "term"
-    )
-    # df over the probe = df over the query terms (postings are unique
-    # per (doc, term)); identical values to a full-vocabulary count
-    # for every joined row, at a |qterms|-row broadcast
-    dfreq = probe.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     lex = (
         F.broadcast(q)
         .join(probe, "term")
         .filter(F.col("query_id") != F.col("doc_id"))
-        .join(F.broadcast(dfreq), "term")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(F.expr(f"CAST({LEX_SCALE} div df AS BIGINT)")).alias(
@@ -425,7 +431,9 @@ def search_hybrid_rrf_indexed(
         .select("query_id", "doc_id", "sparse_rank")
     )
     queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
-    dense = idx_ann.topk(spark, queries_df, N_DENSE).select(
+    dense = idx_ann.topk(
+        spark, queries_df, N_DENSE, n_probe=N_PROBE
+    ).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rnk").alias("dense_rank"),

@@ -898,10 +898,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scoring kernel is the SHARED definition in functions/bm25.py —
     the persisted inverted index (pipeline/search_index.py) scores
     with the identical expression tree, so ``text_bm25_topk_indexed``
-    equals this query by construction."""
+    equals this query by construction; the coalesce matches the
+    index's ingest (null text would otherwise tokenize to a null
+    array whose size() is -1, corrupting avgdl and breaking the
+    pinned equality on the first degenerate crawl doc)."""
     t = Tables(spark, sf_dir)
     d = t.documents.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+        "doc_id",
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
     )
     dl = d.select(
         "doc_id", F.size("toks").cast("long").alias("dl")

@@ -143,3 +143,31 @@ def test_probe_unknown_term_and_empty_query(spark, sf_dir, tmp_path):
     idx = _build_batched(spark, sf_dir, tmp_path / "inv")
     assert idx.probe(spark, ["zzz_not_a_term"]).count() == 0
     assert idx.probe(spark, []).count() == 0
+
+
+def test_empty_index_searches_to_empty_ranking(spark, tmp_path):
+    idx = SearchIndex(str(tmp_path / "fresh"))
+    assert idx.probe(spark, ["x"]).count() == 0
+    assert idx.search(spark, ["x", "y"], 5).count() == 0
+
+
+def test_duplicate_arrival_is_idempotent(spark, sf_dir, tmp_path):
+    """The one duplicate mode exactly-once ids cannot close: a wiped
+    checkpoint over RE-BUNDLED crawl files re-ingests docs under fresh
+    content ids.  MAX-dedup in probe/search keeps rankings identical
+    to a clean build instead of silently doubling tf and avgdl."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = SearchIndex(str(tmp_path / "clean"))
+    clean.ingest(docs, batch_id="once")
+    want = [
+        tuple(r)
+        for r in clean.search(spark, _BM25_TERMS, _BM25_TOPK).collect()
+    ]
+    dup = SearchIndex(str(tmp_path / "dup"))
+    dup.ingest(docs, batch_id="bundling-a")
+    dup.ingest(docs, batch_id="bundling-b")  # same docs, new id
+    got = [
+        tuple(r)
+        for r in dup.search(spark, _BM25_TERMS, _BM25_TOPK).collect()
+    ]
+    assert got == want
