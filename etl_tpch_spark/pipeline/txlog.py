@@ -61,6 +61,7 @@ so exactly-once replay survives log truncation.
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import json
 import os
 import uuid
@@ -198,6 +199,22 @@ def _build_file_bloom(values, *, k: int = 4) -> dict:
     return {"m": m, "k": k, "bits": hex(bits)}
 
 
+@functools.lru_cache(maxsize=4096)
+def _load_bloom_sidecar(
+    path: str, mtime_ns: int
+) -> tuple[int, int, int] | None:
+    """Parsed (k, m, bits) of one sidecar, LRU-cached by (path,
+    mtime) — the mtime key invalidates naturally if a sidecar is
+    rewritten in place (normal operation writes sidecars once per
+    immutable data file, so entries live as long as the file)."""
+    try:
+        with open(path) as f:
+            b = json.load(f)
+        return b["k"], b["m"], int(b["bits"], 16)
+    except (OSError, json.JSONDecodeError, KeyError, ValueError):
+        return None
+
+
 class TxTable:
     """A parquet table with a versioned commit log under ``path``.
 
@@ -258,19 +275,25 @@ class TxTable:
     def _bloom_might_contain(self, file: str, col: str, value) -> bool:
         """False ⇒ the file provably lacks the value.  True when no
         sidecar exists (never prune on missing information) or the
-        bitset admits it."""
+        bitset admits it.  The parsed bitset is cached by (path,
+        mtime): a multi-term probe (SearchIndex.probed_files loops
+        hundreds of query terms over the same files) hits each sidecar
+        once instead of re-reading and re-parsing the hex bitset per
+        term."""
+        path = self._bloom_path(file, col)
         try:
-            with open(self._bloom_path(file, col)) as f:
-                b = json.load(f)
-        except (OSError, json.JSONDecodeError):
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            return True
+        loaded = _load_bloom_sidecar(path, mtime)
+        if loaded is None:
             return True
         ev = _enc(value)
         if ev is None:
             return True
-        bits = int(b["bits"], 16)
+        k, m, bits = loaded
         return all(
-            bits >> p & 1
-            for p in _bloom_positions(str(ev), b["k"], b["m"])
+            bits >> p & 1 for p in _bloom_positions(str(ev), k, m)
         )
 
     # ------------------------------------------------------------- log
