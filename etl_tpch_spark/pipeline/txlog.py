@@ -245,6 +245,73 @@ class TxTable:
         self._entry_cache: dict[int, dict] = {}  # entries are immutable
         self._staged_stats: dict[str, dict] = {}  # stats of my new files
 
+    # ------------------------------------------------ CHECK constraints
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self.log_dir, "constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Named CHECK constraints (Delta's ``ALTER TABLE ... ADD
+        CONSTRAINT``) currently in force — loaded from the log dir, so
+        every handle on the table enforces the same set."""
+        try:
+            with open(self._constraints_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> None:
+        """Install a CHECK constraint after validating EXISTING data
+        (Delta refuses the ALTER if any committed row violates it —
+        same here).  SQL semantics: a row fails only when ``expr``
+        evaluates to FALSE; NULL/unknown passes.  Constraint edits are
+        an administrative op like vacuum: run them quiesced."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.latest_version() is not None:
+            bad = (
+                self.read(spark)
+                .filter(F.expr(f"NOT ({expr})"))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: existing rows "
+                    f"violate CHECK ({expr})"
+                )
+        cons[name] = expr
+        tmp = self._constraints_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        tmp = self._constraints_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Refuse a write whose batch violates any installed CHECK —
+        BEFORE any file is staged, so an aborted write leaves no
+        orphans.  One limit(1) probe per constraint on the incoming
+        batch only (never the table).  A write must carry every
+        constrained column (an evolution-omitted constrained column
+        fails analysis here, which is the strict and safe reading)."""
+        for name, expr in self.constraints().items():
+            bad = df.filter(F.expr(f"NOT ({expr})")).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} violated by write: "
+                    f"({expr})"
+                )
+
     def _bloom_path(self, file: str, col: str) -> str:
         return os.path.join(
             self.log_dir, "bloom", f"{file}.{col}.json"
@@ -594,6 +661,7 @@ class TxTable:
         schema and drops it (_commit_with_retry)."""
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return self.latest_version() or 0
+        self._enforce_constraints(df)
 
         def check(df_: DataFrame, files: list[str] | None = None) -> None:
             # an evolved snapshot has no single file schema to sample —
@@ -644,6 +712,7 @@ class TxTable:
         blindly overwriting after a rival tick landed at N+1 would
         erase the rival's rows while its batch_id stays recorded,
         permanently losing that batch to exactly-once replay)."""
+        self._enforce_constraints(df)
         new_files = self._write_data(df)
 
         def build(base_v: int, base_files: list[str]):
@@ -686,6 +755,7 @@ class TxTable:
         (time travel shows the pre-merge table)."""
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return self.latest_version() or 0
+        self._enforce_constraints(updates)
         dup = (
             updates.groupBy(key)
             .count()
