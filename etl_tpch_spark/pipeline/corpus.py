@@ -62,6 +62,20 @@ def corpus_cycle(
     recomputes the summary but mutates nothing."""
     index = MinHashIndex(os.path.join(root_dir, "dedup_index"))
     corpus = TxTable(os.path.join(root_dir, "corpus"))
+    # the lakehouse enforces what the curation gate promises: a CHECK
+    # constraint on the corpus table means NO writer — this cycle, an
+    # ad-hoc script, a future pipeline stage — can land a row below
+    # the floor or outside the split domain, not just the one code
+    # path that remembered to filter (Delta's ADD CONSTRAINT role)
+    if "quality_floor" not in corpus.constraints():
+        corpus.add_constraint(
+            spark, "quality_floor", f"quality >= {quality_floor}"
+        )
+        corpus.add_constraint(
+            spark,
+            "split_domain",
+            "split IN ('train', 'validation', 'test')",
+        )
     out: dict[str, Any] = {"batch_id": batch_id}
 
     n_new = new_docs.count()

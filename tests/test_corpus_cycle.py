@@ -103,3 +103,30 @@ def test_compact_and_export(spark, sf_dir, tmp_path):
         spark, d2, root, batch_id="day-2", export=True, n_shards=4
     )
     assert s2b["export"] == s2["export"]
+
+
+def test_corpus_table_constraints_block_rogue_writers(
+    spark, sf_dir, tmp_path
+):
+    """The cycle installs CHECK constraints on the corpus table, so a
+    writer that bypasses the curation gate entirely still cannot land
+    below-floor rows or junk splits — enforcement lives at the
+    lakehouse boundary, not in one code path."""
+    import pytest
+
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.pipeline.corpus import corpus_cycle
+    from etl_tpch_spark.pipeline.txlog import TxTable
+
+    root = str(tmp_path / "lake")
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    corpus_cycle(spark, docs, root, batch_id="b0")
+    corpus = TxTable(os.path.join(root, "corpus"))
+    assert set(corpus.constraints()) == {"quality_floor", "split_domain"}
+    good = corpus.read(spark).limit(1)
+    rogue = good.withColumn("quality", F.lit(-1.0))
+    with pytest.raises(ValueError, match="quality_floor"):
+        corpus.append(rogue)
+    rogue2 = good.withColumn("split", F.lit("tset"))
+    with pytest.raises(ValueError, match="split_domain"):
+        corpus.append(rogue2)
