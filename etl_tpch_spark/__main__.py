@@ -149,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
     dash.add_argument("--root", required=True)
     dash.add_argument("--limit", type=int, default=10)
 
+    hist = sub.add_parser(
+        "history",
+        help="DESCRIBE HISTORY of a lake table (op, file deltas, row "
+        "counts, batch ids per version; pipeline/txlog.py)",
+    )
+    hist.add_argument("--root", required=True)
+    hist.add_argument("--table", default="corpus",
+                      help="table dir under the lake root")
+
     srch = sub.add_parser(
         "search",
         help="BM25 search the persisted inverted index (builds it "
@@ -313,6 +322,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         for stage, result in out.items():
             print(f"{stage}: {result}")
+        return 0
+
+    if args.cmd == "history":
+        import os
+
+        from .pipeline.txlog import TxTable
+
+        t = TxTable(os.path.join(args.root, args.table))
+        if t.latest_version() is None:
+            print(f"no committed table at {args.root}/{args.table}",
+                  file=sys.stderr)
+            return 1
+        spark = get_spark("etl_tpch_spark-cli")
+        t.history(spark).orderBy("version").show(100, truncate=False)
         return 0
 
     if args.cmd == "search":

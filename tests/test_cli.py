@@ -92,3 +92,17 @@ def test_search_builds_then_reuses_index(capsys, tmp_path):
     assert main(args) == 0
     out = capsys.readouterr().out
     assert "index built" not in out and "bm25" in out
+
+
+def test_history_renders_table_log(capsys, tmp_path):
+    root = str(tmp_path / "lake")
+    assert main([
+        "corpus-tick", "--root", root,
+        "--sf-dir", "/root/testdata/sf0.001", "--batch-id", "b0",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["history", "--root", root, "--table", "corpus"]) == 0
+    out = capsys.readouterr().out
+    assert "append" in out and "batch_id" in out
+    assert main(["history", "--root", root, "--table", "nope"]) == 1
+    assert "no committed table" in capsys.readouterr().err
