@@ -267,7 +267,13 @@ class TxTable:
         (Delta refuses the ALTER if any committed row violates it —
         same here).  SQL semantics: a row fails only when ``expr``
         evaluates to FALSE; NULL/unknown passes.  Constraint edits are
-        an administrative op like vacuum: run them quiesced."""
+        an administrative op like vacuum: run them quiesced.
+
+        Validation covers the CURRENT snapshot only: a later
+        ``restore`` to a pre-constraint version can resurface rows
+        that were deleted before the install and violate it — Delta's
+        RESTORE has the same property (constraints gate writes, not
+        rewinds)."""
         cons = self.constraints()
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists")
