@@ -47,7 +47,18 @@ def bm25_topk(
     carries every document's length.  Scale shape: ``df`` is a
     |terms|-row broadcast, corpus stats are one 1-row join, and the
     only shuffle proportional to data is the tf⋈dl join on doc_id —
-    |postings of query terms| rows, not the corpus."""
+    |postings of query terms| rows, not the corpus.
+
+    ``terms`` is defensively deduplicated (first occurrence wins): a
+    duplicated term would otherwise produce two identical pivot
+    columns and be summed twice, silently inflating scores.  An empty
+    term set returns an empty (doc_id, bm25) frame — reachable from
+    the CLI ``search`` command with no valid tokens."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        return tf.select(
+            F.col("doc_id"), F.lit(0.0).alias("bm25")
+        ).limit(0)
     st = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -67,10 +67,28 @@ def corpus_cycle(
     # ad-hoc script, a future pipeline stage — can land a row below
     # the floor or outside the split domain, not just the one code
     # path that remembered to filter (Delta's ADD CONSTRAINT role)
-    if "quality_floor" not in corpus.constraints():
+    # each constraint is guarded INDEPENDENTLY (a crash or failure
+    # between the two installs must not leave the survivor permanently
+    # uninstallable), and the stored floor is authoritative: a later
+    # cycle called with a LOWER floor would pass its own gate filter
+    # yet violate the frozen CHECK on every append — refuse it up
+    # front with a clear error instead of crashing the daily stream
+    # mid-write
+    cons = corpus.constraints()
+    stored_floor = cons.get("quality_floor")
+    if stored_floor is None:
         corpus.add_constraint(
             spark, "quality_floor", f"quality >= {quality_floor}"
         )
+    else:
+        installed = float(stored_floor.split(">=", 1)[1])
+        if quality_floor < installed:
+            raise ValueError(
+                f"quality_floor={quality_floor} is below the installed"
+                f" corpus CHECK constraint ({stored_floor!r}); drop the"
+                " constraint explicitly before lowering the floor"
+            )
+    if "split_domain" not in cons:
         corpus.add_constraint(
             spark,
             "split_domain",

@@ -170,7 +170,23 @@ class SearchIndex:
         audits the plan for zero documents-table reads).  Doclens
         dedupe by MAX like the probe (a no-op in normal operation,
         idempotent under wiped-checkpoint re-bundled replays); an
-        empty index returns an empty ranking."""
+        empty index returns an empty ranking.
+
+        Raw user input (the CLI ``search`` command passes terms
+        verbatim) is normalized HERE through the same whitespace
+        tokenization the index applied at ingest: multi-word terms
+        split, empty strings drop, duplicates dedupe (a duplicated
+        term must not double its BM25 contribution).  Matching stays
+        verbatim/case-sensitive — exactly what the stored tokens
+        are."""
+        terms = list(
+            dict.fromkeys(
+                tok
+                for t in terms
+                for tok in (t or "").split(" ")
+                if tok
+            )
+        )
         tf = self.probe(spark, terms)
         if self.doclens.latest_version() is None:
             dl = spark.createDataFrame([], "doc_id LONG, dl LONG")

@@ -103,6 +103,28 @@ def _enc(v):
     return None  # unsupported type → no stats / no pruning
 
 
+def _bloom_key(v) -> str | None:
+    """Canonical string a value hashes to for bloom build AND probe.
+    Numerics unify through float (int 5 and stored 5.0 must hash
+    identically — the min/max stats path already treats int/float as
+    comparable, and the bloom must never be LESS sound than the stats
+    check it augments: a type-mismatched key would false-negative and
+    silently drop files whose rows the real filter matches).  bool is
+    kept distinct from 0/1 — Python's bool subclasses int, but a bool
+    column never equality-matches a numeric predicate in Spark.
+    Collapsing distinct huge ints through float only ADDS false
+    positives (sound for a bloom); it can never create a false
+    negative because float() is deterministic on both sides."""
+    ev = _enc(v)
+    if ev is None:
+        return None
+    if isinstance(ev, bool):
+        return str(ev)
+    if isinstance(ev, (int, float)):
+        return str(float(ev))
+    return str(ev)
+
+
 def _footer_stats(path: str) -> dict:
     """Per-file column stats from the parquet footer: row count and
     min/max per top-level primitive column, aggregated over row groups.
@@ -277,7 +299,11 @@ class TxTable:
         cons = self.constraints()
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists")
-        if self.latest_version() is not None:
+        # validate only when the current snapshot actually lists data
+        # files: a table whose only commits are no-op deletes has a
+        # version but zero files, and read() refuses it — any
+        # constraint is vacuously satisfied by zero rows
+        if self.latest_version() is not None and self.snapshot_files():
             bad = (
                 self.read(spark)
                 .filter(F.expr(f"NOT ({expr})"))
@@ -319,8 +345,13 @@ class TxTable:
                 )
 
     def _bloom_path(self, file: str, col: str) -> str:
+        # column name hex-encoded: a dot or path separator in the
+        # column name must neither escape the bloom dir nor confuse
+        # the vacuum sweep's filename parse
         return os.path.join(
-            self.log_dir, "bloom", f"{file}.{col}.json"
+            self.log_dir,
+            "bloom",
+            f"{file}.{col.encode().hex()}.json",
         )
 
     def _write_bloom_sidecars(self, file: str) -> None:
@@ -340,7 +371,7 @@ class TxTable:
         t = pq.read_table(os.path.join(self.path, file), columns=cols)
         for c in cols:
             bloom = _build_file_bloom(
-                (_enc(v) for v in t.column(c).to_pylist())
+                (_bloom_key(v) for v in t.column(c).to_pylist())
             )
             with open(self._bloom_path(file, c), "w") as f:
                 json.dump(bloom, f)
@@ -361,12 +392,12 @@ class TxTable:
         loaded = _load_bloom_sidecar(path, mtime)
         if loaded is None:
             return True
-        ev = _enc(value)
-        if ev is None:
+        key = _bloom_key(value)
+        if key is None:
             return True
         k, m, bits = loaded
         return all(
-            bits >> p & 1 for p in _bloom_positions(str(ev), k, m)
+            bits >> p & 1 for p in _bloom_positions(key, k, m)
         )
 
     # ------------------------------------------------------------- log
@@ -1112,9 +1143,13 @@ class TxTable:
         # sweep bloom sidecars of the data files just removed
         bloom_dir = os.path.join(self.log_dir, "bloom")
         if os.path.isdir(bloom_dir):
-            gone = set(removed)
+            # prefix match against "<data file>." — robust no matter
+            # what the (hex-encoded) column suffix looks like, and it
+            # also sweeps legacy sidecars written before the column
+            # name was hex-encoded
+            prefixes = tuple(f"{r}." for r in removed)
             for f in os.listdir(bloom_dir):
-                if f.rsplit(".", 2)[0] in gone:
+                if prefixes and f.startswith(prefixes):
                     os.remove(os.path.join(bloom_dir, f))
         # sweep staging dirs orphaned by writers that died pre-commit
         for f in os.listdir(self.path):
