@@ -216,11 +216,14 @@ _SQL_QV = (
     """,
 )
 def quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-quantized cosine pairs (similarity/ann.py): the 4×-storage
-    scale path for embedding indexes — integer dot products are exact,
-    so the quantized scores are bit-deterministic with NO fold-order
-    discipline needed.  Quantization uses floor(x+0.5), identical
-    across engines, keeping even the compressed index hash-checkable."""
+    """Int8-quantized cosine pairs, ALL-PAIRS form (similarity/ann.py):
+    integer dot products are exact, so the quantized scores are
+    bit-deterministic with NO fold-order discipline needed.
+    Quantization uses floor(x+0.5), identical across engines, keeping
+    even the compressed index hash-checkable.  This is the recall
+    BASELINE twin — the O(n²/k) product path is
+    sim_quantized_cosine_pairs_cells (same split as sim_cosine_pairs
+    vs _cells)."""
     t = Tables(spark, sf_dir)
     return quantized_cosine_pairs(t.embeddings, PAIR_THRESHOLD)
 
@@ -328,6 +331,56 @@ def cell_pairs_sql(threshold: float, k: int = 8, iters: int = 2) -> str:
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE round({cos}, 6) >= {threshold}
     """
+
+
+_SQL_QDOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, 65), j -> a.qv8[j] * b.qv8[j])), "
+    "(x, y) -> x + y)"
+)
+
+
+@query(
+    "sim_quantized_cosine_pairs_cells",
+    oracle=f"""
+        WITH {_km_chain(8, 2)},
+        q8 AS (
+            SELECT vec_id, {_SQL_QV} AS qv8 FROM embeddings
+        ),
+        n8 AS (
+            SELECT vec_id, qv8,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(qv8, x -> x * x)),
+                       (a, b) -> a + b) AS qn
+            FROM q8
+        ),
+        qcells AS (
+            SELECT n8.vec_id, n8.qv8, n8.qn, af.cluster
+            FROM n8 JOIN afinal af ON n8.vec_id = af.vec_id
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_SQL_QDOT}
+                     / sqrt(CAST(a.qn * b.qn AS DOUBLE)), 6) AS qcosine
+        FROM qcells a JOIN qcells b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round({_SQL_QDOT}
+                    / sqrt(CAST(a.qn * b.qn AS DOUBLE)), 6)
+              >= {PAIR_THRESHOLD}
+    """,
+)
+def quantized_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-scoped int8-quantized cosine pairs (similarity/ann.py
+    quantized_cosine_pairs_cells): the PRODUCT path for
+    compressed-embedding near-dup — k-means cells trained on the raw
+    embeddings (integer-exact Lloyd, so the oracle rebuilds identical
+    cells from the unrolled CTE), int8 scoring only WITHIN each cell:
+    O(n²/k) pair work instead of sim_quantized_cosine_pairs'
+    all-pairs O(n²), which stays registered as the recall baseline
+    twin (same recipe that split sim_cosine_pairs / _cells in r2)."""
+    from ..similarity.ann import quantized_cosine_pairs_cells
+
+    t = Tables(spark, sf_dir)
+    return quantized_cosine_pairs_cells(t.embeddings, PAIR_THRESHOLD)
 
 
 N_IVF_ITERS = 1  # one Lloyd round: measured recall 0.88 vs 0.84 at two

@@ -541,6 +541,103 @@ def quantized_cosine_pairs(
     )
 
 
+def quantized_cosine_pairs_cells(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Sub-quadratic int8-quantized near-dup pairs — the PRODUCT path
+    for compressed-embedding dedup at 100 TB, composing
+    :func:`quantize_embeddings` (4× storage) with the same
+    deterministic-k-means cell decomposition as
+    :func:`cosine_pairs_threshold_cells` (the SemDeDup recipe).
+    :func:`quantized_cosine_pairs` stays registered as the all-pairs
+    recall baseline exactly like ``sim_cosine_pairs`` does for the
+    float family.
+
+    Cells are trained on the RAW embeddings (identical cells to the
+    float kernel, so one Lloyd pass serves both families); scoring
+    inside a cell runs on the int8 vectors: an int64 matmul is exact
+    (|q| ≤ 127, 64 dims ⇒ dots < 2²¹, norm products < 2⁴¹ — exact in
+    long AND double), so the only float ops are one sqrt and one
+    division per pair, bit-identical to the expression form with no
+    fold-order discipline.  Per-cell work is block-decomposed into
+    B(B+1)/2 tasks keyed (cell, p, q) — a skewed duplicate-heavy cell
+    spreads across tasks with bounded memory.  Cross-cell pairs are
+    unscored by design (recall < 1); emitted pairs are verified with
+    the exact quantized cosine, so precision vs the all-pairs twin is
+    exact (pinned in tests/test_recall_gates.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from .kmeans import kmeans_assignments
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("qcosine", T.DoubleType()),
+        ]
+    )
+
+    def score_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, p, q = key
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "qcosine": []}
+            ).astype(
+                {"vec_a": "int64", "vec_b": "int64", "qcosine": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        blk = pdf["b"].to_numpy()
+        Q = np.stack(pdf["qv"].to_numpy()).astype("int64")
+        qn = pdf["qn"].to_numpy().astype("int64")
+        dot = Q @ Q.T  # exact: every |entry| < 2^21
+        cos = dot.astype("float64") / np.sqrt(
+            np.outer(qn, qn).astype("float64")
+        )
+        want = ids[:, None] < ids[None, :]
+        if p != q:  # intra-block pairs belong to the diagonal group only
+            want &= blk[:, None] != blk[None, :]
+        ia, ib = np.where(want)
+        cosv = np.round(cos[ia, ib], 6)
+        keep = cosv >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "qcosine": cosv[keep],
+            }
+        )
+
+    cells = kmeans_assignments(embeddings, k, iters).select(
+        "vec_id", "cluster"
+    )
+    prepped = quantize_embeddings(embeddings)
+    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+    tagged = prepped.join(cells, "vec_id").select(
+        "cluster", "vec_id", "qv", "qn", b.alias("b")
+    )
+    pairs_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(o)).alias("p"),
+                F.greatest(F.col("b"), F.lit(o)).alias("q"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    exploded = tagged.select(
+        "cluster", "vec_id", "qv", "qn", "b",
+        F.explode(F.array_distinct(pairs_keys)).alias("pk"),
+    )
+    return exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
+        score_block, out_schema
+    )
+
+
 def cosine_topk_matryoshka(
     embeddings: DataFrame,
     query_ids: list[int],

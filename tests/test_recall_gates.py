@@ -123,6 +123,27 @@ def test_cells_pairs_recall_floor_and_exact_precision(
     assert got <= exact_pairs, "cells emitted a pair bruteforce did not"
 
 
+def test_quantized_cells_pairs_recall_floor_and_exact_precision(
+    spark, emb
+):
+    """Int8-quantized cell-scoped pairs (the compressed-embedding
+    product path, r4 VERDICT #1): measured 0.47 at the registered
+    threshold vs the all-pairs quantized twin; floor 0.30 (same cells
+    as the float kernel).  Precision is exact — within-cell scoring
+    is the exact integer dot, so emitted pairs ⊆ all-pairs twin."""
+    from etl_tpch_spark.queries.similarity import PAIR_THRESHOLD
+    from etl_tpch_spark.similarity.ann import (
+        quantized_cosine_pairs,
+        quantized_cosine_pairs_cells,
+    )
+
+    exact = _pair_set(quantized_cosine_pairs(emb, PAIR_THRESHOLD))
+    got = _pair_set(quantized_cosine_pairs_cells(emb, PAIR_THRESHOLD))
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.30, f"quantized cells recall {recall:.3f} < 0.30"
+    assert got <= exact, "cells emitted a pair the all-pairs twin did not"
+
+
 def _co_membership_pairs(rows):
     clusters = defaultdict(list)
     for r in rows:
