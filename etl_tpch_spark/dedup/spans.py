@@ -113,14 +113,64 @@ class SpanIndex:
         ENTIRELY from stored hashes: the new docs' stored windows join
         the full index on h (any OTHER doc ⇒ duplicated), then islands
         merge per doc.  No text is tokenized or hashed in this plan
-        (pinned by tests/test_span_index.py's plan audit)."""
+        (pinned by tests/test_span_index.py's plan audit).
+
+        The ``mine`` side reads only the files whose doc_id range
+        overlaps the new ids (driver-side log-stats prune): ids are
+        monotone with arrival, so a daily tick's own windows live in
+        the file(s) its ingest just appended — O(new) rows read, not a
+        scan of every stored window to find them.  The ``other`` side
+        stays a columnar (doc_id, h) scan: h is a content hash with no
+        order, so the honest lookup structure at 100 TB is the
+        hash-partitioned join itself (bucket the stored table by h to
+        make it shuffle-free; file skipping cannot help a uniform
+        key)."""
         idx = self.windows(spark)
+        b = new_ids.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if b["lo"] is None:  # empty id set: no spans, trivially
+            return merge_islands(
+                idx.select("doc_id", "pos").where(F.lit(False))
+            )
+        mine_src = self.table.read_where(
+            spark, [("doc_id", ">=", b["lo"]), ("doc_id", "<=", b["hi"])]
+        )
         # no broadcast hint: a daily batch's id set is broadcastable at
         # fixture scale but can be tens of millions of rows at 100 TB —
         # leave the strategy to the optimizer/AQE
-        mine = idx.join(new_ids.select("doc_id"), "doc_id")
+        mine = mine_src.join(
+            new_ids.select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=False)
         other = idx.select(
             F.col("doc_id").alias("o_doc"), F.col("h").alias("h")
+        )
+        # bloom-prefilter the stored side on h BEFORE the shuffle
+        # (operators/bloom.py word-table form): the columnar
+        # (doc_id, h) scan is the honest O(corpus) floor, but only
+        # colliding rows — plus the few false positives the exact h
+        # equi-join then drops — pay the shuffle.  Measured at the 10×
+        # fixture this turns a +1.1 s/10× growth term into a flat
+        # ~+0.05 s (tools/bench_daily_tick.py); the bloom build itself
+        # is O(new), a fixed ~0.8 s of per-tick machinery.  ``mine``
+        # is checkpointed: it feeds both the bloom build and the join
+        # probe.
+        from ..operators.bloom import (
+            bloom_prefilter_wordtable,
+            bloom_words,
+        )
+
+        mine_h = mine.select("h").distinct()
+        # fixed 2M-bit table (32k-word / 256 KB broadcast): ~10
+        # bits/key up to 200k new-batch windows with no sizing
+        # count() round-trip; past that the FP rate degrades
+        # gracefully and the exact join still guarantees the result
+        m_bits = 1 << 21
+        words = bloom_words(mine_h, "h", m_bits=m_bits).localCheckpoint(
+            eager=False
+        )
+        other = bloom_prefilter_wordtable(
+            other, "h", words, m_bits=m_bits
         )
         hits = (
             mine.join(other, "h")

@@ -102,17 +102,36 @@ def corpus_cycle(
     # genuinely new ones under a NEW batch id — ids already in the
     # corpus are dropped up front, so the re-bundle neither duplicates
     # corpus rows nor re-appends their signatures to the dedup index.
-    # Cost: one anti-join against the corpus's doc_id column (columnar
-    # scan; at 100 TB put a bloom of corpus ids in front — the same
-    # operators/bloom.py primitive — to keep the common all-new case
-    # scan-free).
+    # Membership is served from the log's per-file doc_id range stats,
+    # NOT a full-corpus anti-join (r4 VERDICT #2): doc_ids are monotone
+    # with arrival and the corpus files are range-clustered on doc_id
+    # (appends are id-ranged batches; compact clusters by doc_id), so
+    # the driver first intersects the batch's [lo, hi] with every
+    # stored file's range.  The common all-new day — every id above the
+    # stored max — prunes to ZERO files and skips the anti-join
+    # entirely; a re-bundle scans only the file(s) whose range overlaps
+    # the replayed ids.  Day cost is O(new) end-to-end, not O(corpus).
     n_seen = 0
-    if corpus.latest_version() is not None:
-        existing = corpus.read(spark).select("doc_id")
-        fresh = new_docs.join(existing, "doc_id", "left_anti")
-        n_fresh = fresh.count()
-        n_seen = n_new - n_fresh
-        new_docs = fresh
+    if corpus.latest_version() is not None and corpus.snapshot_files():
+        b = new_docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        overlapping = (
+            corpus.pruned_files(
+                [("doc_id", ">=", b["lo"]), ("doc_id", "<=", b["hi"])]
+            )
+            if b["lo"] is not None
+            else []
+        )
+        if overlapping:
+            existing = corpus.read_where(
+                spark,
+                [("doc_id", ">=", b["lo"]), ("doc_id", "<=", b["hi"])],
+            ).select("doc_id")
+            fresh = new_docs.join(existing, "doc_id", "left_anti")
+            n_fresh = fresh.count()
+            n_seen = n_new - n_fresh
+            new_docs = fresh
     pairs = index.tick(spark, new_docs, threshold, batch_id=batch_id)
     # first-seen-wins: a new doc is dropped iff it pairs with any
     # LOWER id (stored docs all have lower ids than a later crawl's;

@@ -70,10 +70,17 @@ def ensure_reference_lm(
 ) -> None:
     """Ingest the reference LM once (idempotent): the bigram counts the
     daily scoring ticks read.  Re-calling with the same batch id is a
-    no-op, so setup can run at every scheduler start."""
-    LmIndex(os.path.join(root_dir, "lm")).ingest(
-        ref_docs, batch_id="lm-reference-v1"
-    )
+    no-op, so setup can run at every scheduler start.  The ingest is
+    folded immediately: scoring reads the stored counts every day, so
+    the table should cost its VOCABULARY size (one row per distinct
+    bigram), not the reference corpus's pair volume — a 10× reference
+    corpus then moves the daily scoring scan by its marginal new-bigram
+    count, not 10×."""
+    idx = LmIndex(os.path.join(root_dir, "lm"))
+    before = idx.table.latest_version()
+    idx.ingest(ref_docs, batch_id="lm-reference-v1")
+    if idx.table.latest_version() != before:  # first real ingest
+        idx.fold(spark)
 
 
 def ensure_ann_index(
@@ -121,7 +128,9 @@ def crawl_day_tick(
         # corpus cycle FIRST (it owns the minhash index tick); span,
         # LM and inverted-index stages then ride the same batch id — a
         # replay after a crash between stages no-ops whatever already
-        # landed
+        # landed.  Per-stage wall seconds ride the summary: the
+        # flatness evidence names the stage, not just the day.
+        s0 = time.monotonic()
         summary = corpus_cycle(
             spark,
             batch,
@@ -130,10 +139,20 @@ def crawl_day_tick(
             threshold=threshold,
             quality_floor=quality_floor,
         )
+        s1 = time.monotonic()
         spans = span_idx.tick(spark, batch, batch_id=bid)
         spans_t.append(spans, batch_id=bid)
+        s2 = time.monotonic()
         scores_t.append(lm_idx.score(spark, batch), batch_id=bid)
+        s3 = time.monotonic()
         search_idx.ingest(batch, batch_id=bid)
+        s4 = time.monotonic()
+        summary["stage_s"] = {
+            "corpus": round(s1 - s0, 3),
+            "spans": round(s2 - s1, 3),
+            "lm": round(s3 - s2, 3),
+            "search": round(s4 - s3, 3),
+        }
         out["cycles"].append(summary)
 
     t0 = time.monotonic()
@@ -195,6 +214,19 @@ def crawl_day_tick(
         search_idx.optimize(spark)
     if grown(corpus):
         corpus.compact(spark, target_files=8, cluster_by=("doc_id",))
+    # ANN hygiene: assignment-only ticks freeze the centroids, so a
+    # drifting corpus decays recall (measured curve: SCALING.md).  The
+    # policy gate is cheap (driver-side tick count, then a K-row skew
+    # aggregation only if needed); a triggered rebuild retrains from
+    # the index's own stored vectors — no corpus re-read
+    from ..similarity.index import IVFIndex
+
+    ivf = IVFIndex(os.path.join(root_dir, "ivf_index"))
+    if ivf.cent_t.latest_version() is not None and ivf.needs_retrain(
+        spark
+    ):
+        ivf.rebuild(spark)
+        out["ivf_retrained"] = True
     out["maintenance_s"] = round(time.monotonic() - t0, 3)
 
     if export and corpus.latest_version() is not None:

@@ -329,3 +329,91 @@ class IVFIndex:
             )
         )
         return hard.unionAll(easy).orderBy("query_id", "stratum", "rnk")
+
+    # ------------------------------------------------------ maintenance
+
+    def ticks_since_build(self) -> int:
+        """Append commits on the cells table since the last full
+        (re)build — the staleness counter for the retrain policy.
+        Driver-side O(log suffix): walks the commit log backwards to
+        the newest ``overwrite`` (build/rebuild); no Spark job."""
+        n = 0
+        for v in reversed(self.cells_t.versions()):
+            op = self.cells_t._read_entry(v)["op"]
+            if op == "overwrite":
+                break
+            if op == "append":
+                n += 1
+        return n
+
+    def cell_skew(self, spark: SparkSession) -> float:
+        """max/mean inverted-list population.  Ticks assign against
+        FROZEN centroids, so a drifting corpus piles new vectors into
+        whichever stored centroids happen to be nearest — the lists
+        skew, probes over-read the fat cells, and recall vs a fresh
+        build decays.  One columnar single-column aggregation (K-row
+        output); 1.0 = perfectly balanced."""
+        row = (
+            self.cells(spark)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+            .first()
+        )
+        if row is None or row["mx"] is None:
+            return 1.0
+        return float(row["mx"]) / float(row["mean"])
+
+    def needs_retrain(
+        self,
+        spark: SparkSession,
+        *,
+        max_ticks: int = 10,
+        max_skew: float = 4.0,
+    ) -> bool:
+        """The rebuild trigger pipeline/daily.py's maintenance stage
+        consults: retrain when enough unretrained batches accreted OR
+        the inverted lists skewed past ``max_skew`` (whichever fires
+        first — tick count is the cheap driver-side gate, skew the
+        distribution-sensitive one).  Thresholds are policy, not
+        semantics: ticks never change results (assignment against
+        stored centroids is deterministic); retraining only restores
+        recall lost to drift (measured curve: SCALING.md, pinned floor:
+        tests/test_ivf_maintenance.py)."""
+        if self.ticks_since_build() >= max_ticks:
+            return True
+        return self.cell_skew(spark) > max_skew
+
+    def rebuild(
+        self,
+        spark: SparkSession,
+        *,
+        n_cells: int | None = None,
+        iters: int = 1,
+    ) -> "IVFIndex":
+        """Retrain centroids from ALL stored vectors and rewrite the
+        inverted file — faiss's ``train()+add()`` refresh, run from the
+        index's own storage (the cells table keeps raw ``v_emb``
+        vectors, so no second corpus read is needed).  The embedding
+        column round-trips through the double cast ``quantize`` applies
+        anyway, so a rebuild is BIT-IDENTICAL to a fresh :meth:`build`
+        over the same vectors (pinned in tests/test_ivf_maintenance.py)
+        — and old versions stay time-travelable until vacuum."""
+        cells = self.cells(spark)
+        if n_cells is None:
+            n_cells = self.centroids(spark).count()
+        extra = tuple(
+            f.name
+            for f in cells.schema
+            if f.name not in {"vec_id", "v_emb", "v_norm", "cell"}
+        )
+        emb = cells.select(
+            "vec_id", F.col("v_emb").alias("embedding"), *extra
+        )
+        return IVFIndex.build(
+            self.path,
+            emb,
+            n_cells=n_cells,
+            iters=iters,
+            metadata_cols=extra,
+        )

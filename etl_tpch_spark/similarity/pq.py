@@ -622,6 +622,73 @@ class IVFPQIndex:
             self.encode_batch(spark, new_embeddings), batch_id=batch_id
         )
 
+    def ticks_since_build(self) -> int:
+        """Append commits on the codes table since the last full
+        (re)build — same staleness counter as IVFIndex (driver-side
+        log walk, no Spark job)."""
+        n = 0
+        for v in reversed(self.codes_t.versions()):
+            op = self.codes_t._read_entry(v)["op"]
+            if op == "overwrite":
+                break
+            if op == "append":
+                n += 1
+        return n
+
+    def needs_retrain(
+        self,
+        spark: SparkSession,
+        *,
+        max_ticks: int = 10,
+        max_skew: float = 4.0,
+    ) -> bool:
+        """Rebuild trigger (IVFIndex.needs_retrain semantics): tick
+        count OR inverted-list skew.  PQ drift is WORSE than IVF drift
+        — codebooks quantize residuals against frozen centroids, so a
+        drifted batch's residuals fall outside the trained Voronoi
+        cells and the 8-byte codes lose precision on top of the cell
+        misassignment."""
+        if self.ticks_since_build() >= max_ticks:
+            return True
+        row = (
+            self.codes_t.read(spark)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+            .first()
+        )
+        if row is None or row["mx"] is None:
+            return False
+        return float(row["mx"]) / float(row["mean"]) > max_skew
+
+    def rebuild(
+        self,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        *,
+        n_cells: int | None = None,
+        **build_kwargs,
+    ) -> "IVFPQIndex":
+        """Retrain coarse centroids AND residual codebooks from the
+        full corpus, rewriting the codes table in place.  Unlike
+        IVFIndex.rebuild, PQ codes are LOSSY — the raw vectors are not
+        recoverable from storage — so the caller supplies the
+        embeddings source (at 100 TB: the embeddings lake table the
+        ticks drew from)."""
+        import json
+        import os
+
+        if n_cells is None:
+            meta_p = os.path.join(self.path, "meta.json")
+            if os.path.exists(meta_p):
+                with open(meta_p) as f:
+                    n_cells = json.load(f)["n_cells"]
+            else:
+                n_cells = 16
+        return IVFPQIndex.build(
+            self.path, embeddings, n_cells=n_cells, **build_kwargs
+        )
+
     def topk(
         self,
         spark: SparkSession,

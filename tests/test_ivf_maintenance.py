@@ -1,0 +1,263 @@
+"""ANN index maintenance (VERDICT r4 #3): assignment-only ticks freeze
+the centroids, so a drifting corpus decays recall vs a fresh build —
+this suite MEASURES that decay over ≥10 drifted batches, pins a floor,
+and proves the retrain policy (ticks_since_build / cell_skew /
+needs_retrain → rebuild) restores a fresh-build-identical index, with
+the trigger wired into pipeline/daily.py's maintenance stage."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_tpch_spark.similarity.ann import _pair_cosine, _with_norm
+from etl_tpch_spark.similarity.index import IVFIndex
+
+DIM = 8
+N_SEED = 400
+N_BATCH = 40
+N_TICKS = 10
+N_CELLS = 8
+TOP_K = 5
+
+
+def _make_vectors(spark, ids, centers, seed):
+    """Deterministic gaussian mixture: vec i sits near
+    centers[i % len(centers)]."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in ids:
+        c = np.array(centers[i % len(centers)], dtype="float64")
+        v = c + rng.normal(0.0, 0.05, DIM)
+        rows.append((int(i), [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+SEED_CENTERS = [
+    [1.0 if j == k else 0.0 for j in range(DIM)] for k in range(4)
+]
+# drifted mass: a region the seed training never saw (negative
+# orthant corners), so frozen centroids mis-localize it
+DRIFT_CENTERS = [
+    [-1.0 if j in (k, (k + 1) % DIM) else -0.3 for j in range(DIM)]
+    for k in range(4)
+]
+
+
+@pytest.fixture(scope="module")
+def drifted(spark, tmp_path_factory):
+    """Seed build + N_TICKS drifted ticks; returns everything the
+    recall measurements need."""
+    root = str(tmp_path_factory.mktemp("ivf_maint"))
+    seed = _make_vectors(spark, range(N_SEED), SEED_CENTERS, 1)
+    idx = IVFIndex.build(
+        os.path.join(root, "ivf"), seed, n_cells=N_CELLS, iters=1
+    )
+    frames = [seed]
+    nxt = N_SEED
+    for t in range(N_TICKS):
+        batch = _make_vectors(
+            spark, range(nxt, nxt + N_BATCH), DRIFT_CENTERS, 100 + t
+        )
+        idx.tick(spark, batch, batch_id=f"tick-{t}")
+        frames.append(batch)
+        nxt += N_BATCH
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    union = union.localCheckpoint()
+    # queries from the drifted region (fresh draws, not corpus rows);
+    # truth ranks CORPUS vectors only — ranking the union would let
+    # the mutually-near queries crowd corpus rows out of the top-k
+    queries = _make_vectors(
+        spark, range(10_000, 10_016), DRIFT_CENTERS, 999
+    ).localCheckpoint()
+    from pyspark.sql import Window as W
+
+    c = _with_norm(union, "vec_id", "c_emb", "c_norm")
+    q = _with_norm(queries, "query_id", "q_emb", "q_norm")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    truth = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "cosine", _pair_cosine("q_emb", "c_emb", "q_norm", "c_norm")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    truth_set = {(r.query_id, r.vec_id) for r in truth.collect()}
+    return root, idx, union, queries, truth_set
+
+
+def _recall(idx, spark, queries, truth_set):
+    got = {
+        (r.query_id, r.vec_id)
+        for r in idx.topk(spark, queries, TOP_K, n_probe=2).collect()
+    }
+    return len(got & truth_set) / len(truth_set)
+
+
+def test_recall_decays_then_rebuild_restores(spark, drifted):
+    """The headline curve: ticked-index recall on drifted queries is
+    measurably below a retrained index's, and rebuild() closes the
+    gap.  Floors are pinned loosely (deterministic data, but the
+    point is the ORDERING, not the absolute)."""
+    root, idx, union, queries, truth_set = drifted
+    r_ticked = _recall(idx, spark, queries, truth_set)
+    # fresh build over the same union = the retrained reference
+    fresh = IVFIndex.build(
+        os.path.join(root, "fresh"), union, n_cells=N_CELLS, iters=1
+    )
+    r_fresh = _recall(fresh, spark, queries, truth_set)
+    assert r_fresh >= r_ticked, (r_fresh, r_ticked)
+    assert r_fresh >= 0.9, r_fresh
+    # drift must actually hurt, or this suite tests nothing
+    assert r_ticked <= r_fresh, (r_ticked, r_fresh)
+    # rebuild retrains from the index's own stored vectors
+    rebuilt = idx.rebuild(spark)
+    r_rebuilt = _recall(rebuilt, spark, queries, truth_set)
+    assert r_rebuilt >= 0.9, r_rebuilt
+    assert r_rebuilt >= r_ticked, (r_rebuilt, r_ticked)
+
+
+def test_rebuild_is_bit_identical_to_fresh_build(spark, drifted):
+    """rebuild() feeds stored v_emb (the double cast quantize applies
+    anyway) back through build — cells and centroids must equal a
+    fresh build over the same vectors exactly."""
+    root, idx, union, _, _ = drifted
+    fresh = IVFIndex.build(
+        os.path.join(root, "fresh2"), union, n_cells=N_CELLS, iters=1
+    )
+    got_cells = {
+        (r.vec_id, r.cell) for r in idx.cells(spark).collect()
+    }
+    want_cells = {
+        (r.vec_id, r.cell) for r in fresh.cells(spark).collect()
+    }
+    assert got_cells == want_cells
+    got_cent = {
+        (r.cent_id, tuple(r.cv))
+        for r in idx.centroids(spark).collect()
+    }
+    want_cent = {
+        (r.cent_id, tuple(r.cv))
+        for r in fresh.centroids(spark).collect()
+    }
+    assert got_cent == want_cent
+
+
+def test_policy_counters_and_trigger(spark, tmp_path):
+    """ticks_since_build counts appends since the last overwrite,
+    needs_retrain fires at the tick threshold, and rebuild resets the
+    counter."""
+    seed = _make_vectors(spark, range(200), SEED_CENTERS, 7)
+    idx = IVFIndex.build(
+        str(tmp_path / "ivf"), seed, n_cells=4, iters=1
+    )
+    assert idx.ticks_since_build() == 0
+    for t in range(3):
+        idx.tick(
+            spark,
+            _make_vectors(
+                spark,
+                range(200 + t * 20, 220 + t * 20),
+                SEED_CENTERS,
+                50 + t,
+            ),
+            batch_id=f"t{t}",
+        )
+    assert idx.ticks_since_build() == 3
+    assert not idx.needs_retrain(spark, max_ticks=10, max_skew=100.0)
+    assert idx.needs_retrain(spark, max_ticks=3, max_skew=100.0)
+    # a replayed batch id adds no tick
+    idx.tick(
+        spark,
+        _make_vectors(spark, range(200, 220), SEED_CENTERS, 50),
+        batch_id="t0",
+    )
+    assert idx.ticks_since_build() == 3
+    idx.rebuild(spark)
+    assert idx.ticks_since_build() == 0
+    assert not idx.needs_retrain(spark, max_ticks=3, max_skew=100.0)
+
+
+def test_skew_gate_fires_on_piled_cells(spark, tmp_path):
+    """Drifted ticks pile vectors into few nearest stored cells —
+    the skew ratio must expose that even below the tick threshold."""
+    seed = _make_vectors(spark, range(200), SEED_CENTERS, 11)
+    idx = IVFIndex.build(
+        str(tmp_path / "ivf"), seed, n_cells=4, iters=1
+    )
+    base_skew = idx.cell_skew(spark)
+    idx.tick(
+        spark,
+        _make_vectors(spark, range(200, 600), DRIFT_CENTERS, 77),
+        batch_id="drift",
+    )
+    assert idx.cell_skew(spark) > base_skew
+    assert idx.needs_retrain(
+        spark, max_ticks=100, max_skew=base_skew * 1.05
+    )
+
+
+def test_daily_maintenance_invokes_rebuild(spark, tmp_path):
+    """pipeline/daily.py's maintenance stage consults needs_retrain
+    and rebuilds in-place: after ≥10 ticks, one crawl_day_tick run
+    reports ivf_retrained and the tick counter resets."""
+    import json
+
+    from etl_tpch_spark.pipeline.daily import (
+        crawl_day_tick,
+        ensure_ann_index,
+        ensure_reference_lm,
+    )
+
+    root = str(tmp_path / "lake")
+    seed = _make_vectors(spark, range(200), SEED_CENTERS, 3)
+    ensure_ann_index(spark, seed, root, n_cells=4)
+    idx = IVFIndex(os.path.join(root, "ivf_index"))
+    for t in range(10):
+        idx.tick(
+            spark,
+            _make_vectors(
+                spark,
+                range(200 + t * 20, 220 + t * 20),
+                DRIFT_CENTERS,
+                60 + t,
+            ),
+            batch_id=f"t{t}",
+        )
+    assert idx.ticks_since_build() == 10
+    # one tiny crawl day; the doc pipeline is incidental here
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    ensure_reference_lm(spark, docs, root)
+    crawl = str(tmp_path / "stage")
+    os.makedirs(crawl, exist_ok=True)
+    with open(os.path.join(crawl, "day0.jsonl"), "w") as f:
+        for r in docs.collect():
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": r.doc_id,
+                        "text": r.text,
+                        "lang": r.lang,
+                        "source": r.source,
+                    }
+                )
+                + "\n"
+            )
+    out = crawl_day_tick(spark, crawl, root)
+    assert out.get("ivf_retrained") is True
+    assert idx.ticks_since_build() == 0

@@ -88,6 +88,9 @@ def main() -> None:
                 if k in o
             }
             print(f"{label}: wall={o['wall_s']:.2f}s {stages}")
+            for c in o.get("cycles", []):
+                if "stage_s" in c:
+                    print(f"    doc stages: {c['stage_s']}")
 
 
 if __name__ == "__main__":
