@@ -161,7 +161,16 @@ class IVFIndex:
         ``contrastive_negatives_indexed`` stratifies it).  No training
         happens here — centroids and inverted lists come from storage;
         the only per-query work is quantize + rank K centroids + scan
-        the probed files."""
+        the probed files.
+
+        ``queries`` is lazily checkpointed: it feeds TWO jobs (the
+        probed-cells collect, then the candidate-scoring plan), and
+        when it derives from a table read — the common
+        filter-the-corpus-for-query-ids shape — the checkpoint makes
+        the second job read the few cached query rows instead of
+        re-scanning the source (one of the driver round-trips VERDICT
+        r4 #4 charged to the indexed retrieval path)."""
+        queries = queries.localCheckpoint(eager=False)
         q_quant = quantize(queries)
         cent = self.centroids(spark)
         d2 = F.aggregate(

@@ -66,9 +66,13 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        # driver testdata ships single files; scaled fixtures
+        # (tools/scale_fixture.py) are Spark-written directories
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     spark = get_spark("etl_tpch_spark-ratio")
