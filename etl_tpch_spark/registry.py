@@ -91,81 +91,74 @@ _QUERY_MODULES = (
 # certification while every operator family kept a live row (full swap
 # log in git history of this file).
 #
-# ROUND 4 (VERDICT r3 #1): retire the certification backlog.  The 27
-# queries that had never had a driver row (judge-computed from the
-# union of CORRECTNESS_r01–r03) take 27 slots; the five operators new
-# this round (index-served negative mining, uncapped word-table bloom,
-# hybrid RRF retrieval, filtered ANN, MMR diversity selection) take
-# 5; the remaining 18 are re-certifying sentinels — previously
-# driver-green entries keeping one live row per §2 family (flagship,
-# TPC-H joins/aggs, dedup + its index tick, ANN trained/quantized,
-# graph, span dedup + its tick, BPE, LM, events/streaming twin,
-# time-series, inference, sketches, bloom, BM25, curation).  After a
+# ROUND 4 (VERDICT r3 #1) retired the certification backlog: after a
 # green round 4, EVERY registered query has at least one external
-# CORRECTNESS row.
+# CORRECTNESS row (full window in git history of this file).
+#
+# ROUND 5: the window re-certifies what round 5 CHANGED, plus the one
+# new query, plus one live sentinel per §2 family.  Changed paths:
+# IVFIndex.candidates now lazily checkpoints its query frame (every
+# sim_ann_*/negatives/MMR/hybrid consumer), SpanIndex.spans_touching
+# gained the range-prune + bloom prefilter (both span queries), BM25
+# term normalization moved into bm25_topk/SearchIndex.search (lexical
+# retrieval), q2/q11/q20 now read the session-materialized derived
+# partsupp, and corpus_cycle serves membership from file-range stats
+# (corpus_curation).  sim_quantized_cosine_pairs re-certifies beside
+# its new _cells product twin as the precision baseline.
 DRIVER_WINDOW = (
-    # ---- certification backlog (never driver-checked before round 4)
-    "agg_argmax",
-    "agg_mode_per_group",
-    "agg_salted_flag_totals",
-    "agg_unpivot_metrics",
-    "curation_model_filter",
-    "dedup_cluster_stats",
-    "events_map_type",
-    "multimodal_byte_histogram",
-    "multimodal_decode_lengths",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "profile_orders_columns",
-    "quality_expectations",
-    "sample_temperature_mixture",
+    # ---- new this round (first certification)
+    "sim_quantized_cosine_pairs_cells",
+    # ---- code paths changed in round 5 (re-certify)
+    "sim_quantized_cosine_pairs",
     "sim_ann_topk_ivf_indexed",
-    "sim_ann_topk_ivfpq",
     "sim_ann_topk_ivfpq_indexed",
-    "text_bigram_lm",
-    "text_boilerplate_ngrams",
-    "text_decontaminate_ngrams",
-    "text_lm_perplexity_buckets",
-    "text_repetition_filter",
-    "text_token_counts_arrow",
-    "udaf_grouped_price_stats",
-    "window_distribution",
-    "window_ntile_quartiles",
-    # ---- new this round (first certification); the five new queries
-    # take the sentinel slots of text_bm25_topk, q9_product_type_profit
-    # and graph_kcore (all r3-certified; TPC-H keeps q1+q21 live,
-    # graph keeps pagerank, lexical ranking stays live through the
-    # hybrid query's sparse channel + the term-sketch sentinel)
-    "sim_contrastive_negatives_indexed",
-    "join_bloom_semi_orders_unbounded",
-    "search_hybrid_rrf",
     "sim_ann_topk_prefiltered",
     "sim_mmr_diverse_topk",
-    "events_markov_transitions",
-    "text_novelty_scores",
-    "text_bm25_topk_indexed",
+    "sim_contrastive_negatives_indexed",
+    "search_hybrid_rrf",
     "search_hybrid_rrf_indexed",
-    # ---- re-certifying family sentinels (driver-green r1–r3; four
-    # late-round additions above took the slots of q21 (TPC-H keeps
-    # q1 live), dedup_minhash_lsh (family stays live via the index
-    # tick), sim_ann_topk_ivf (family stays live via PQ + the
-    # indexed backlog entries) and join_bloom_semi_orders (family
-    # stays live via the unbounded variant above)
-    "flagship_unshipped_orders",
-    "q1_pricing_summary",
-    "dedup_incremental",
-    "sim_ann_topk_pq",
-    "graph_pagerank",
+    "text_bm25_topk_indexed",
     "text_duplicate_spans",
     "text_span_dedup_incremental",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promo_part_suppliers",
+    "corpus_curation",
+    "dedup_incremental",
+    # ---- re-certifying family sentinels (all driver-green r1-r4)
+    "flagship_unshipped_orders",
+    "q1_pricing_summary",
+    "q9_product_type_profit",
+    "q21_waiting_orders",
+    "join_asof_purchases",
+    "agg_rollup",
+    "window_rank",
+    "setop_except",
+    "agg_percentiles",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_exact",
+    "sim_ann_topk_ivf",
+    "sim_cosine_pairs_cells",
+    "sim_ann_topk_lsh_multiprobe",
+    "sim_ann_topk_matryoshka",
+    "graph_pagerank",
+    "graph_kcore",
     "text_bpe_merges",
     "text_lm_quality_filter",
+    "text_lang_id",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_contamination",
+    "text_novelty_scores",
     "events_session_window",
+    "events_markov_transitions",
     "ts_gapfill_hourly",
+    "events_funnel",
     "inference_batch_scores",
     "agg_hll_distinct_customers",
-    "corpus_curation",
+    "join_bloom_semi_orders_unbounded",
+    "multimodal_feature_extract",
 )
 
 _loaded = False
