@@ -388,8 +388,18 @@ class IVFIndex:
         semantics: ticks never change results (assignment against
         stored centroids is deterministic); retraining only restores
         recall lost to drift (measured curve: SCALING.md, pinned floor:
-        tests/test_ivf_maintenance.py)."""
-        if self.ticks_since_build() >= max_ticks:
+        tests/test_ivf_maintenance.py).
+
+        Zero ticks since the last build short-circuits to False: the
+        lists cannot have changed, so the skew aggregation is skipped
+        (the maintenance cadence stays O(1) on no-tick days), and a
+        corpus whose INHERENT cluster imbalance exceeds ``max_skew``
+        cannot thrash into rebuild-every-day (a rebuild would
+        reproduce the same skew)."""
+        ticks = self.ticks_since_build()
+        if ticks == 0:
+            return False
+        if ticks >= max_ticks:
             return True
         return self.cell_skew(spark) > max_skew
 

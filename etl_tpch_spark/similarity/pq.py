@@ -647,8 +647,13 @@ class IVFPQIndex:
         — codebooks quantize residuals against frozen centroids, so a
         drifted batch's residuals fall outside the trained Voronoi
         cells and the 8-byte codes lose precision on top of the cell
-        misassignment."""
-        if self.ticks_since_build() >= max_ticks:
+        misassignment.  Zero ticks → False (no change possible; skips
+        the skew scan and the inherent-skew rebuild-thrash trap — see
+        IVFIndex.needs_retrain)."""
+        ticks = self.ticks_since_build()
+        if ticks == 0:
+            return False
+        if ticks >= max_ticks:
             return True
         row = (
             self.codes_t.read(spark)
