@@ -70,6 +70,7 @@ def test_subquadratic_kernels_have_no_bnlj(spark, sf_dir):
     strictly_clean = (
         "dedup_simhash",
         "sim_cosine_pairs_cells",
+        "sim_quantized_cosine_pairs_cells",
         "dedup_embedding_clusters",
         "dedup_incremental",
         "graph_degree_distribution",
