@@ -1,0 +1,315 @@
+"""Dependency-free scoring of XGBoost-format gradient-boosted trees.
+
+The reference ships a vestigial XGBoost classifier (reference
+model.json:1 — gbtree over [p_partkey, s_acctbal]) and the container
+has no xgboost package, so round 4 could only gate
+``xgboost_scorer_udf`` behind an import check.  This module retires
+that gap: the XGBoost *JSON model schema* is public and documented
+(xgboost doc "Introduction to Model IO"; the per-tree arrays
+``left_children`` / ``right_children`` / ``split_indices`` /
+``split_conditions`` / ``default_left``, with ``left_children[i] ==
+-1`` marking a leaf whose value sits in ``split_conditions[i]``), and
+scoring a parsed tree ensemble is pure array arithmetic — no native
+library required.
+
+Execution shape matches the rest of the inference surface
+(functions/inference.py): an Arrow-batched pandas UDF, each batch
+scored by a vectorized numpy traversal (one ``while`` over tree DEPTH,
+all rows advanced per step — never a per-row Python loop).  The parsed
+model is a handful of small numpy arrays carried in the UDF closure;
+for KB-sized models that is the right distribution mechanism (the
+closure is the broadcast), and a genuinely large model would switch to
+``SparkFiles`` shipping exactly like ``xgboost_scorer_udf`` documents.
+
+Because tree traversal is exact (float comparisons and a fixed-order
+sum of leaf values — no dot products, no reduction-order ambiguity),
+the SAME model also compiles to a nested CASE WHEN SQL expression
+(:func:`sql_gbtree_score`) that DuckDB evaluates bit-identically,
+which is what lets the registered ``inference_gbtree_scores`` query be
+hash-checked end to end instead of settling for the sigmoid stand-in.
+
+Scope: ``binary:logistic`` (sigmoid transform) and the identity
+transform for ``reg:squarederror``; single-output trees.  NaN features
+route by ``default_left`` in the numpy path; the SQL twin assumes
+non-null features (CASE WHEN NULL < t is NULL → ELSE), which holds for
+every registered table column it is used on.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Tree:
+    """One regression tree, stored XGBoost-JSON-style: parallel node
+    arrays indexed by node id, root at 0; ``left[i] == -1`` marks a
+    leaf and ``thr[i]`` then holds the leaf VALUE (the schema reuses
+    ``split_conditions`` for both thresholds and leaf weights)."""
+
+    left: np.ndarray  # int32, -1 at leaves
+    right: np.ndarray  # int32
+    feat: np.ndarray  # int32 split feature index (0 at leaves)
+    thr: np.ndarray  # float64 threshold, or leaf value at leaves
+    default_left: np.ndarray  # bool, NaN routing
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """Leaf value per row of ``X`` (n_rows × n_features, float64).
+        Vectorized over rows; iterates only tree depth times."""
+        n = len(X)
+        rows = np.arange(n)
+        cur = np.zeros(n, dtype=np.int64)
+        active = self.left[cur] != -1
+        while active.any():
+            x = X[rows, self.feat[cur]]
+            miss = np.isnan(x)
+            go_left = np.where(
+                miss, self.default_left[cur], x < self.thr[cur]
+            )
+            nxt = np.where(go_left, self.left[cur], self.right[cur])
+            cur = np.where(active, nxt, cur)
+            active = self.left[cur] != -1
+        return self.thr[cur]
+
+
+@dataclass
+class GbtreeModel:
+    """A parsed gbtree ensemble: margin = sequential sum of per-tree
+    leaf values + base margin, then the objective transform."""
+
+    trees: list[Tree]
+    num_feature: int
+    base_margin: float = 0.0
+    objective: str = "binary:logistic"
+    feature_names: list[str] = field(default_factory=list)
+
+    # -- scoring ----------------------------------------------------
+    def predict_margin(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype="float64")
+        acc = np.full(len(X), self.base_margin, dtype="float64")
+        for t in self.trees:  # fixed tree order = SQL fold order
+            acc = acc + t.predict(X)
+        return acc
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        m = self.predict_margin(X)
+        if self.objective == "binary:logistic":
+            return 1.0 / (1.0 + np.exp(-m))
+        return m  # reg:* objectives are identity on the margin
+
+    # -- public-schema JSON I/O -------------------------------------
+    @classmethod
+    def from_json(cls, src: str) -> "GbtreeModel":
+        """Parse a model from XGBoost's JSON layout: a path or a raw
+        JSON string (anything starting with '{')."""
+        if src.lstrip().startswith("{"):
+            doc = json.loads(src)
+        else:
+            with open(src) as f:
+                doc = json.load(f)
+        learner = doc["learner"]
+        lmp = learner["learner_model_param"]
+        objective = learner["objective"]["name"]
+        base_score = float(lmp["base_score"])
+        if objective == "binary:logistic":
+            # base_score is stored as a PROBABILITY for logistic
+            # objectives; the margin accumulator starts at its logit
+            base_margin = math.log(base_score / (1.0 - base_score))
+        else:
+            base_margin = base_score
+        trees = []
+        for t in learner["gradient_booster"]["model"]["trees"]:
+            trees.append(
+                Tree(
+                    left=np.asarray(t["left_children"], dtype="int32"),
+                    right=np.asarray(t["right_children"], dtype="int32"),
+                    feat=np.asarray(t["split_indices"], dtype="int32"),
+                    thr=np.asarray(t["split_conditions"], dtype="float64"),
+                    default_left=np.asarray(
+                        t["default_left"], dtype="bool"
+                    ),
+                )
+            )
+        return cls(
+            trees=trees,
+            num_feature=int(lmp["num_feature"]),
+            base_margin=base_margin,
+            objective=objective,
+            feature_names=list(learner.get("feature_names", [])),
+        )
+
+    def to_json(self) -> str:
+        """Serialize back to the same public schema (round-trip tested;
+        also what lets tests exercise parse→score end to end)."""
+        if self.objective == "binary:logistic":
+            p = 1.0 / (1.0 + math.exp(-self.base_margin))
+        else:
+            p = self.base_margin
+        trees = []
+        for t in self.trees:
+            n = len(t.left)
+            trees.append(
+                {
+                    "left_children": t.left.tolist(),
+                    "right_children": t.right.tolist(),
+                    "split_indices": t.feat.tolist(),
+                    "split_conditions": t.thr.tolist(),
+                    "default_left": t.default_left.astype(int).tolist(),
+                    "base_weights": [0.0] * n,
+                    "parents": [0] * n,
+                    "loss_changes": [0.0] * n,
+                    "sum_hessian": [0.0] * n,
+                    "split_type": [0] * n,
+                    "categories": [],
+                    "categories_nodes": [],
+                    "categories_segments": [],
+                    "categories_sizes": [],
+                    "id": len(trees),
+                    "tree_param": {
+                        "num_deleted": "0",
+                        "num_feature": str(self.num_feature),
+                        "num_nodes": str(n),
+                        "size_leaf_vector": "1",
+                    },
+                }
+            )
+        doc = {
+            "learner": {
+                "attributes": {},
+                "feature_names": self.feature_names,
+                "feature_types": [],
+                "gradient_booster": {
+                    "model": {
+                        "gbtree_model_param": {
+                            "num_trees": str(len(self.trees)),
+                            "num_parallel_tree": "1",
+                        },
+                        "tree_info": [0] * len(self.trees),
+                        "trees": trees,
+                    },
+                    "name": "gbtree",
+                },
+                "learner_model_param": {
+                    "base_score": repr(p),
+                    "boost_from_average": "1",
+                    "num_class": "0",
+                    "num_feature": str(self.num_feature),
+                    "num_target": "1",
+                },
+                "objective": {
+                    "name": self.objective,
+                    "reg_loss_param": {"scale_pos_weight": "1"},
+                },
+            },
+            "version": [1, 7, 6],
+        }
+        return json.dumps(doc)
+
+
+def gbtree_score(model: GbtreeModel, *features: Column) -> Column:
+    """Score feature columns with the parsed ensemble as an
+    Arrow-batched pandas UDF (same batch shape as logistic_score;
+    the model's arrays ride the UDF closure)."""
+
+    def _score(*cols: pd.Series) -> pd.Series:
+        X = np.column_stack(
+            [c.to_numpy(dtype="float64") for c in cols]
+        )
+        return pd.Series(model.predict(X))
+
+    return F.pandas_udf(_score, "double")(*features)
+
+
+def _node_sql(t: Tree, i: int, fexprs: list[str]) -> str:
+    if t.left[i] == -1:
+        return f"CAST({t.thr[i]!r} AS DOUBLE)"
+    cond = f"{fexprs[t.feat[i]]} < CAST({t.thr[i]!r} AS DOUBLE)"
+    return (
+        f"CASE WHEN {cond} THEN {_node_sql(t, t.left[i], fexprs)} "
+        f"ELSE {_node_sql(t, t.right[i], fexprs)} END"
+    )
+
+
+def sql_gbtree_score(model: GbtreeModel, fexprs: list[str]) -> str:
+    """ANSI-SQL twin of :func:`gbtree_score`: nested CASE WHEN per
+    tree, summed in the same sequential order the numpy path uses
+    (left fold from base margin), then the objective transform.
+    Exact-deterministic — thresholds/leaves are the model's own
+    doubles and each row adds len(trees) values in a fixed order —
+    so DuckDB reproduces scores bit-identically on non-null
+    features."""
+    acc = f"CAST({model.base_margin!r} AS DOUBLE)"
+    for t in model.trees:
+        acc = f"({acc} + {_node_sql(t, 0, fexprs)})"
+    if model.objective == "binary:logistic":
+        return f"(1.0 / (1.0 + exp(-{acc})))"
+    return acc
+
+
+def demo_model() -> GbtreeModel:
+    """A fixed 4-tree binary:logistic ensemble over
+    [p_retailprice, p_size] — hand-written, all thresholds and leaf
+    values exactly representable doubles, depths 2–3, spanning the
+    retailprice/size ranges of every test scale factor so scores
+    vary across rows.  Mirrors the reference classifier's SHAPE
+    (small gbtree over two numeric part/supplier features) without
+    copying its trained weights."""
+
+    def tree(left, right, feat, thr, dflt):
+        return Tree(
+            left=np.asarray(left, dtype="int32"),
+            right=np.asarray(right, dtype="int32"),
+            feat=np.asarray(feat, dtype="int32"),
+            thr=np.asarray(thr, dtype="float64"),
+            default_left=np.asarray(dflt, dtype="bool"),
+        )
+
+    trees = [
+        # price split, then size refinement on the cheap side
+        tree(
+            left=[1, 3, -1, -1, -1],
+            right=[2, 4, -1, -1, -1],
+            feat=[0, 1, 0, 0, 0],
+            thr=[1250.0, 25.0, 0.5, -0.25, 0.375],
+            dflt=[True, True, False, False, False],
+        ),
+        # size split, then price refinement on the large side
+        tree(
+            left=[1, -1, 3, -1, -1],
+            right=[2, -1, 4, -1, -1],
+            feat=[1, 0, 0, 0, 0],
+            thr=[40.0, -0.125, 1750.0, 0.25, -0.5],
+            dflt=[False, False, True, False, False],
+        ),
+        # shallow price stump
+        tree(
+            left=[1, -1, -1],
+            right=[2, -1, -1],
+            feat=[0, 0, 0],
+            thr=[1000.0, -0.1875, 0.0625],
+            dflt=[True, False, False],
+        ),
+        # shallow size stump
+        tree(
+            left=[1, -1, -1],
+            right=[2, -1, -1],
+            feat=[1, 0, 0],
+            thr=[10.0, 0.15625, -0.09375],
+            dflt=[False, False, False],
+        ),
+    ]
+    return GbtreeModel(
+        trees=trees,
+        num_feature=2,
+        base_margin=0.0,
+        objective="binary:logistic",
+        feature_names=["p_retailprice", "p_size"],
+    )
