@@ -67,6 +67,8 @@ HEADLINE = [
     "search_hybrid_rrf",
     "search_hybrid_rrf_indexed",
     "text_bm25_topk_indexed",
+    "sim_quantized_cosine_pairs_cells",
+    "inference_gbtree_scores",
 ]
 
 
