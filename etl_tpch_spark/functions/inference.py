@@ -105,12 +105,19 @@ def xgboost_scorer_udf(model_json: str, feature_cols: list[str]):
     scorer; only ``Booster.predict`` swaps in).  Tree-model scores are
     exact-deterministic (no float-sum ordering), so an installed
     deployment can still oracle-check against a DuckDB re-implementation
-    of the dumped trees."""
+    of the dumped trees.
+
+    Without the package this no longer raises: it falls back to
+    functions/gbtree.py's pure-numpy traversal of the same JSON file
+    (parsed once on the driver, arrays ride the closure), which a
+    gated test pins equal to ``Booster.predict`` wherever xgboost IS
+    installed — so the one public entry point scores real model.json
+    boosters in every environment."""
     if not xgboost_available():
-        raise ImportError(
-            "xgboost not installed: use logistic_score (same UDF shape) "
-            "or install xgboost to score real model.json boosters"
-        )
+        from .gbtree import GbtreeModel, gbtree_score
+
+        model = GbtreeModel.from_json(model_json)
+        return gbtree_score(model, *[F.col(c) for c in feature_cols])
     import numpy as np
 
     def _score(*cols: pd.Series) -> pd.Series:

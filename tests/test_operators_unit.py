@@ -403,10 +403,12 @@ def test_incremental_dedup_equals_full_minus_corpus_pairs(spark, sf_dir):
 
 
 def test_xgboost_scorer_gate(spark, sf_dir):
-    """Real-model inference path: raises a clear ImportError without
-    xgboost; with xgboost installed it must score via the same
-    pandas-UDF shape as the demo scorer (exercised then, skipped now)."""
-    import pytest
+    """Real-model inference path: without xgboost the entry point
+    falls back to functions/gbtree.py's pure-numpy traversal of the
+    same JSON file (scores pinned to the driver-side parser here);
+    with xgboost installed it must score via Booster.predict in the
+    same pandas-UDF shape."""
+    import numpy as np
 
     from etl_tpch_spark.functions.inference import (
         xgboost_available,
@@ -414,8 +416,24 @@ def test_xgboost_scorer_gate(spark, sf_dir):
     )
 
     if not xgboost_available():
-        with pytest.raises(ImportError, match="xgboost not installed"):
-            xgboost_scorer_udf("model.json", ["a", "b"])
+        from etl_tpch_spark.catalog import load_table
+        from etl_tpch_spark.functions.gbtree import demo_model
+
+        path = "/tmp/_gbtree_fallback.json"
+        with open(path, "w") as f:
+            f.write(demo_model().to_json())
+        part = load_table(spark, sf_dir, "part").selectExpr(
+            "p_retailprice AS a", "CAST(p_size AS DOUBLE) AS b"
+        )
+        got = (
+            part.withColumn("score", xgboost_scorer_udf(path, ["a", "b"]))
+            .orderBy("a", "b")
+            .toPandas()
+        )
+        X = np.column_stack([got["a"].to_numpy(), got["b"].to_numpy()])
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), demo_model().predict(X)
+        )
         return
     # installed deployments: smoke the UDF against a trivial booster
     import numpy as np
