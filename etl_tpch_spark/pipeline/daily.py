@@ -112,6 +112,7 @@ def crawl_day_tick(
     threshold: float = 0.5,
     quality_floor: float = 0.2,
     compact_over_files: int = 64,
+    retain_versions: int | None = 30,
     export: bool = False,
     n_shards: int = 8,
 ) -> dict[str, Any]:
@@ -227,6 +228,34 @@ def crawl_day_tick(
     ):
         ivf.rebuild(spark)
         out["ivf_retrained"] = True
+
+    # retention: without a vacuum cadence every superseded compaction/
+    # rebuild keeps its data files forever — at a daily tick rate the
+    # stores grow O(days × corpus), not O(corpus).  Keep a fixed
+    # time-travel horizon (default 30 versions ≈ a month of dailies)
+    # and drop older file generations; vacuum carries the dropped
+    # entries' batch ids forward, so whole-day replays after vacuum
+    # still no-op (pinned in tests/test_daily_tick.py).  Guarded by
+    # version count so no-tick days stay O(1) driver-side.
+    if retain_versions is not None:
+        n_freed = 0
+        stores = [
+            corpus,
+            spans_t,
+            scores_t,
+            minhash_idx.table,
+            span_idx.table,
+            lm_idx.table,
+            search_idx.postings,
+            search_idx.doclens,
+            ivf.cells_t,
+            ivf.cent_t,
+        ]
+        for t in stores:
+            if len(t.versions()) > retain_versions:
+                n_freed += len(t.vacuum(keep_versions=retain_versions))
+        if n_freed:
+            out["vacuumed_files"] = n_freed
     out["maintenance_s"] = round(time.monotonic() - t0, 3)
 
     if export and corpus.latest_version() is not None:

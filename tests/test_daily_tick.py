@@ -199,3 +199,49 @@ def test_vector_drain_extends_the_ann_index(spark, sf_dir, tmp_path):
     # whole-day replay (same files, same checkpoints) is a no-op
     crawl_day_tick(spark, crawl, root, vectors_dir=vecs)
     assert idx.cells_t.latest_version() == v
+
+
+def test_retention_vacuum_bounds_store_growth(spark, sf_dir, tmp_path):
+    """The maintenance stage's retention policy: with
+    retain_versions=1 every tick vacuums superseded generations, yet
+    corpus contents, per-doc idempotence and whole-day replay no-ops
+    all survive truncation (vacuum carries dropped batch ids forward).
+    Without retention the version chain grows one commit per day
+    forever — the O(days × corpus) storage leak this bounds.  Low
+    compact_over_files forces daily compaction, which is what strands
+    superseded file generations for vacuum to free (pure appends never
+    orphan a file — every file stays referenced by the newest
+    version)."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    root = str(tmp_path / "lake")
+    crawl = str(tmp_path / "crawl")
+    ensure_reference_lm(spark, docs, root)
+    for day in (0, 1, 2):
+        cd = os.path.join(crawl, f"d{day}")
+        _stage_docs(docs.filter(F.col("doc_id") % 3 == day), cd, day)
+        out = crawl_day_tick(
+            spark, cd, root, retain_versions=1, compact_over_files=1
+        )
+        if day > 0:
+            assert out.get("vacuumed_files", 0) > 0, out
+
+    corpus = TxTable(os.path.join(root, "corpus"))
+    # contents intact: every staged doc accounted for post-dedup/gate
+    assert corpus.read(spark).count() > 0
+    # the version chain is truncated, not accreting one-per-day:
+    # latest data version + the vacuum marker, regardless of day count
+    assert len(corpus.versions()) <= 2
+    # exactly-once survives truncation: whole-day replay still no-ops
+    before = {
+        n: TxTable(os.path.join(root, n)).latest_version()
+        for n in ("corpus", "spans", "scores", "dedup_index")
+    }
+    out = crawl_day_tick(
+        spark, os.path.join(crawl, "d1"), root, retain_versions=1
+    )
+    after = {
+        n: TxTable(os.path.join(root, n)).latest_version()
+        for n in ("corpus", "spans", "scores", "dedup_index")
+    }
+    assert after == before
+    assert out["cycles"] == []
