@@ -250,6 +250,10 @@ def crawl_day_tick(
             search_idx.doclens,
             ivf.cells_t,
             ivf.cent_t,
+            # folded per-day registers accrete generations like any
+            # other store; versions() is [] when no event stream ever
+            # ran, so the skip-guard below makes this a no-op then
+            TxTable(os.path.join(root_dir, "hll_index")),
         ]
         for t in stores:
             if len(t.versions()) > retain_versions:
