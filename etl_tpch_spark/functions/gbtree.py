@@ -229,12 +229,15 @@ def gbtree_score(model: GbtreeModel, *features: Column) -> Column:
 
 
 def _node_sql(t: Tree, i: int, fexprs: list[str]) -> str:
+    # float()/int() before !r: numpy 2.x reprs scalars as
+    # "np.float64(0.375)", which is not SQL
+    thr = float(t.thr[i])
     if t.left[i] == -1:
-        return f"CAST({t.thr[i]!r} AS DOUBLE)"
-    cond = f"{fexprs[t.feat[i]]} < CAST({t.thr[i]!r} AS DOUBLE)"
+        return f"CAST({thr!r} AS DOUBLE)"
+    cond = f"{fexprs[int(t.feat[i])]} < CAST({thr!r} AS DOUBLE)"
     return (
-        f"CASE WHEN {cond} THEN {_node_sql(t, t.left[i], fexprs)} "
-        f"ELSE {_node_sql(t, t.right[i], fexprs)} END"
+        f"CASE WHEN {cond} THEN {_node_sql(t, int(t.left[i]), fexprs)} "
+        f"ELSE {_node_sql(t, int(t.right[i]), fexprs)} END"
     )
 
 
