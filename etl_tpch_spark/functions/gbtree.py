@@ -83,26 +83,51 @@ class Tree:
 @dataclass
 class GbtreeModel:
     """A parsed gbtree ensemble: margin = sequential sum of per-tree
-    leaf values + base margin, then the objective transform."""
+    leaf values + base margin, then the objective transform.  For
+    ``multi:softprob`` (the reference model's objective), ``tree_info``
+    assigns each tree to a class — XGBoost grows the classes'
+    boosters round-robin — and the transform is a per-row softmax
+    over the per-class margin sums."""
 
     trees: list[Tree]
     num_feature: int
     base_margin: float = 0.0
     objective: str = "binary:logistic"
     feature_names: list[str] = field(default_factory=list)
+    num_class: int = 0  # 0 = single-output (binary / regression)
+    tree_info: list[int] = field(default_factory=list)
 
     # -- scoring ----------------------------------------------------
     def predict_margin(self, X: np.ndarray) -> np.ndarray:
+        """(n,) margin for single-output models, (n, num_class) for
+        multi-class (each tree adds into its tree_info class)."""
         X = np.asarray(X, dtype="float64")
+        if self.num_class > 1:
+            acc = np.full(
+                (len(X), self.num_class), self.base_margin, dtype="float64"
+            )
+            info = self.tree_info or [
+                i % self.num_class for i in range(len(self.trees))
+            ]
+            for t, cls in zip(self.trees, info):
+                acc[:, cls] = acc[:, cls] + t.predict(X)
+            return acc
         acc = np.full(len(X), self.base_margin, dtype="float64")
         for t in self.trees:  # fixed tree order = SQL fold order
             acc = acc + t.predict(X)
         return acc
 
     def predict(self, X: np.ndarray) -> np.ndarray:
+        """Transformed scores: sigmoid probability for
+        binary:logistic, (n, num_class) softmax rows for
+        multi:softprob, raw margin for reg:* objectives."""
         m = self.predict_margin(X)
         if self.objective == "binary:logistic":
             return 1.0 / (1.0 + np.exp(-m))
+        if self.objective == "multi:softprob":
+            z = m - m.max(axis=1, keepdims=True)  # stable softmax
+            e = np.exp(z)
+            return e / e.sum(axis=1, keepdims=True)
         return m  # reg:* objectives are identity on the margin
 
     # -- public-schema JSON I/O -------------------------------------
@@ -121,12 +146,14 @@ class GbtreeModel:
         base_score = float(lmp["base_score"])
         if objective == "binary:logistic":
             # base_score is stored as a PROBABILITY for logistic
-            # objectives; the margin accumulator starts at its logit
+            # objectives; the margin accumulator starts at its logit.
+            # multi:softprob and reg:* store it as a raw margin.
             base_margin = math.log(base_score / (1.0 - base_score))
         else:
             base_margin = base_score
+        gbm = learner["gradient_booster"]["model"]
         trees = []
-        for t in learner["gradient_booster"]["model"]["trees"]:
+        for t in gbm["trees"]:
             trees.append(
                 Tree(
                     left=np.asarray(t["left_children"], dtype="int32"),
@@ -144,6 +171,8 @@ class GbtreeModel:
             base_margin=base_margin,
             objective=objective,
             feature_names=list(learner.get("feature_names", [])),
+            num_class=int(lmp.get("num_class", "0")),
+            tree_info=list(gbm.get("tree_info", [])),
         )
 
     def to_json(self) -> str:
@@ -192,7 +221,9 @@ class GbtreeModel:
                             "num_trees": str(len(self.trees)),
                             "num_parallel_tree": "1",
                         },
-                        "tree_info": [0] * len(self.trees),
+                        "tree_info": (
+                            self.tree_info or [0] * len(self.trees)
+                        ),
                         "trees": trees,
                     },
                     "name": "gbtree",
@@ -200,7 +231,7 @@ class GbtreeModel:
                 "learner_model_param": {
                     "base_score": repr(p),
                     "boost_from_average": "1",
-                    "num_class": "0",
+                    "num_class": str(self.num_class),
                     "num_feature": str(self.num_feature),
                     "num_target": "1",
                 },
@@ -217,13 +248,19 @@ class GbtreeModel:
 def gbtree_score(model: GbtreeModel, *features: Column) -> Column:
     """Score feature columns with the parsed ensemble as an
     Arrow-batched pandas UDF (same batch shape as logistic_score;
-    the model's arrays ride the UDF closure)."""
+    the model's arrays ride the UDF closure).  Multi-class models
+    yield the LAST class's softmax probability — the same column
+    ``xgboost_scorer_udf`` takes from ``inplace_predict`` for
+    softprob boosters, so the two entry points stay drop-in equal."""
 
     def _score(*cols: pd.Series) -> pd.Series:
         X = np.column_stack(
             [c.to_numpy(dtype="float64") for c in cols]
         )
-        return pd.Series(model.predict(X))
+        out = model.predict(X)
+        if out.ndim == 2:
+            out = out[:, -1]
+        return pd.Series(out)
 
     return F.pandas_udf(_score, "double")(*features)
 

@@ -139,6 +139,39 @@ def test_sql_twin_is_bit_identical(spark, sf_dir):
     assert both.filter(F.col("udf") != F.col("sql")).count() == 0
 
 
+def test_multi_softprob_softmax_and_round_trip():
+    """multi:softprob: trees round-robin across classes via tree_info,
+    transform is a per-row softmax — the reference model's objective.
+    Round-trips through the JSON schema with class assignments
+    intact."""
+    m = GbtreeModel(
+        trees=[
+            _stump(0, 10.0, 1.0, 2.0),   # class 0
+            _stump(0, 10.0, 0.5, -0.5),  # class 1
+            _stump(0, 10.0, 0.0, 1.0),   # class 2
+        ],
+        num_feature=1,
+        base_margin=0.5,
+        objective="multi:softprob",
+        num_class=3,
+        tree_info=[0, 1, 2],
+    )
+    X = np.array([[5.0], [15.0]])
+    probs = m.predict(X)
+    assert probs.shape == (2, 3)
+    np.testing.assert_allclose(probs.sum(axis=1), [1.0, 1.0])
+    # row 0 margins: (1.5, 1.0, 0.5) → class 0 wins; row 1: (2.5, 0,
+    # 1.5) → class 0 wins but class 2 beats class 1
+    assert probs[0].argmax() == 0 and probs[1][2] > probs[1][1]
+    expect = np.exp([1.5, 1.0, 0.5]) / np.exp([1.5, 1.0, 0.5]).sum()
+    np.testing.assert_allclose(probs[0], expect)
+    m2 = GbtreeModel.from_json(m.to_json())
+    assert m2.num_class == 3 and m2.tree_info == [0, 1, 2]
+    # softprob base_score stays a raw margin (no logit round-trip)
+    assert m2.base_margin == pytest.approx(0.5, abs=0.0)
+    np.testing.assert_array_equal(m2.predict(X), probs)
+
+
 def test_xgboost_equivalence_if_installed():
     """When the real library is present, our traversal must match
     Booster.predict on the SAME JSON file (skipped in this container:
