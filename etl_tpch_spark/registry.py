@@ -104,10 +104,14 @@ _QUERY_MODULES = (
 # retrieval), q2/q11/q20 now read the session-materialized derived
 # partsupp, and corpus_cycle serves membership from file-range stats
 # (corpus_curation).  sim_quantized_cosine_pairs re-certifies beside
-# its new _cells product twin as the precision baseline.
+# its new _cells product twin as the precision baseline, and
+# inference_gbtree_scores first-certifies the dependency-free tree
+# scorer (agg_percentiles rotates out: agg stays live via agg_rollup
+# + agg_hll_distinct_customers, and percentiles passed r1/r4).
 DRIVER_WINDOW = (
     # ---- new this round (first certification)
     "sim_quantized_cosine_pairs_cells",
+    "inference_gbtree_scores",
     # ---- code paths changed in round 5 (re-certify)
     "sim_quantized_cosine_pairs",
     "sim_ann_topk_ivf_indexed",
@@ -134,7 +138,6 @@ DRIVER_WINDOW = (
     "agg_rollup",
     "window_rank",
     "setop_except",
-    "agg_percentiles",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",
