@@ -55,13 +55,21 @@ def bigram_counts(ref_docs: DataFrame) -> DataFrame:
 def lm_from_counts(counts: DataFrame) -> DataFrame:
     """Derive the conditional table (w1, w2, p_micro) from (possibly
     multi-batch, unmerged) count rows.  The pre-aggregation makes the
-    result invariant to how counts were batched into the store."""
+    result invariant to how counts were batched into the store.
+
+    Per-w1 totals come from a window over the aggregated counts, not a
+    groupBy-then-self-join: the join form derived the ``counts``
+    lineage TWICE (for an in-query LM that meant two full reference
+    explode+count passes), while the window re-exchanges only the
+    LM-sized rows.  Same integer arithmetic, same output."""
+    from pyspark.sql import Window as W
+
     c = counts.groupBy("w1", "w2").agg(F.sum("n_pair").alias("n_pair"))
-    tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
-    return c.join(tot, "w1").select(
+    n_w1 = F.sum("n_pair").over(W.partitionBy("w1"))
+    return c.select(
         "w1",
         "w2",
-        F.round(F.col("n_pair") * float(MICRO) / F.col("n_w1"), 0)
+        F.round(F.col("n_pair") * float(MICRO) / n_w1, 0)
         .cast("long")
         .alias("p_micro"),
     )

@@ -104,9 +104,10 @@ def test_scoring_tick_reads_index_not_reference_text(
     spark, sf_dir, tmp_path
 ):
     """The O(new) contract: scoring a new crawl batch tokenizes the
-    NEW docs only — the reference corpus contributes columnar scans of
-    the stored count table (two branches: pair counts and per-w1
-    totals), never a second documents scan for LM retraining."""
+    NEW docs only — the reference corpus contributes ONE columnar scan
+    of the stored count table (per-w1 totals ride a window over the
+    same scan since the lm_from_counts self-join was retired), never a
+    second documents scan for LM retraining."""
     idx = _build(spark, sf_dir, tmp_path / "lm")
     new_docs = (
         load_table(spark, sf_dir, "documents")
@@ -114,9 +115,9 @@ def test_scoring_tick_reads_index_not_reference_text(
     )
     scored = idx.score(spark, new_docs)
     feats = plan_features(scored)
-    # 1 documents scan (the new batch) + 2 stored-count scans (the
-    # conditional derivation's self-join) — nothing else
-    assert feats["parquet_scans"] == 3, feats
+    # 1 documents scan (the new batch) + 1 stored-count scan — nothing
+    # else
+    assert feats["parquet_scans"] == 2, feats
     plan = scored._jdf.queryExecution().executedPlan().toString()
     doc_scans = [
         ln
