@@ -26,6 +26,13 @@ def spark():
         shuffle_partitions=8,
         extra_conf={"spark.driver.memory": "4g"},
     )
+    # Several tests assert that an index path appears in the rendered
+    # plan; FileScan truncates its Location metadata at 100 chars
+    # (spark.sql.maxMetadataStringLength), so a long pytest tmp_path
+    # (the tmpdir counter rolling to 3 digits) silently clips the path
+    # out of the string.  Widen it so plan-audit assertions see the
+    # full file list.
+    s.conf.set("spark.sql.maxMetadataStringLength", "2000")
     yield s
 
 
