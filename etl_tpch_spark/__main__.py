@@ -355,7 +355,9 @@ def main(argv: list[str] | None = None) -> int:
             # crashed between ingest and layout — optimize is driven
             # by the observable file count, not a built-this-run flag
             idx.optimize(spark)
-        idx.search(spark, args.terms, args.topk).show(
+        # MaxScore-pruned plan (exact; falls back to the unpruned
+        # shape whenever no term is provably non-essential)
+        idx.search_pruned(spark, args.terms, args.topk).show(
             args.topk, truncate=False
         )
         return 0

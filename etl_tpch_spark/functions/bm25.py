@@ -41,6 +41,7 @@ def bm25_topk(
     dl: DataFrame,
     terms: Sequence[str],
     topk: int,
+    df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``topk`` (doc_id, bm25) for a bag-of-terms query (k1=1.2,
     b=0.75).  ``tf`` carries only the query terms' postings; ``dl``
@@ -53,7 +54,13 @@ def bm25_topk(
     duplicated term would otherwise produce two identical pivot
     columns and be summed twice, silently inflating scores.  An empty
     term set returns an empty (doc_id, bm25) frame — reachable from
-    the CLI ``search`` command with no valid tokens."""
+    the CLI ``search`` command with no valid tokens.
+
+    ``df`` optionally supplies the per-term document frequencies
+    (term, df) instead of deriving them from ``tf`` — the MaxScore
+    path (SearchIndex.search_pruned) restricts ``tf`` to candidate
+    docs, so idf must be computed from the UNRESTRICTED postings or
+    non-essential terms would silently gain idf."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         return tf.select(
@@ -63,7 +70,8 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if df is None:
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")

@@ -53,6 +53,17 @@ from ..functions.text import tokens
 from .txlog import TxTable
 
 
+def _normalize_terms(terms: Sequence[str]) -> list[str]:
+    """Raw user terms → the index's token space: whitespace-split,
+    empty-dropped, first-occurrence-deduped (a duplicated term must
+    not double its BM25 contribution)."""
+    return list(
+        dict.fromkeys(
+            tok for t in terms for tok in (t or "").split(" ") if tok
+        )
+    )
+
+
 class SearchIndex:
     """Inverted file over a crawl corpus: postings + doclens TxTables
     with term-directed data skipping."""
@@ -63,6 +74,13 @@ class SearchIndex:
             os.path.join(path, "postings"), bloom_cols=("term",)
         )
         self.doclens = TxTable(os.path.join(path, "doclens"))
+        # per-term document frequencies, refreshed by optimize() —
+        # the MaxScore pruning bounds (search_pruned) read df here.
+        # Ticks between optimizes leave it STALE-LOW, which is the
+        # safe direction: BM25's idf is decreasing in df, so an
+        # undercounted df overestimates the term's score ceiling and
+        # pruning stays admissible (never drops a true top-k doc)
+        self.termstats = TxTable(os.path.join(path, "termstats"))
 
     # ------------------------------------------------------------ write
     def ingest(
@@ -107,6 +125,17 @@ class SearchIndex:
             spark, target_files, cluster_by=("term", "doc_id")
         )
         self.doclens.compact(spark, 1)
+        # refresh the per-term df snapshot the MaxScore bounds read.
+        # O(vocabulary) at maintenance cadence — one groupBy over the
+        # freshly clustered postings, one small overwrite
+        if self.postings.latest_version() is not None:
+            self.termstats.overwrite(
+                self.postings.read(spark)
+                .groupBy("term")
+                .agg(
+                    F.countDistinct("doc_id").cast("long").alias("df")
+                )
+            )
 
     # ------------------------------------------------------------- read
     def probe(
@@ -179,21 +208,163 @@ class SearchIndex:
         term must not double its BM25 contribution).  Matching stays
         verbatim/case-sensitive — exactly what the stored tokens
         are."""
-        terms = list(
-            dict.fromkeys(
-                tok
-                for t in terms
-                for tok in (t or "").split(" ")
-                if tok
-            )
-        )
+        terms = _normalize_terms(terms)
         tf = self.probe(spark, terms)
+        return bm25_topk(tf, self._dl(spark), terms, topk)
+
+    def _dl(self, spark: SparkSession) -> DataFrame:
         if self.doclens.latest_version() is None:
-            dl = spark.createDataFrame([], "doc_id LONG, dl LONG")
-        else:
-            dl = (
-                self.doclens.read(spark)
-                .groupBy("doc_id")
-                .agg(F.max("dl").cast("long").alias("dl"))
-            )
-        return bm25_topk(tf, dl, terms, topk)
+            return spark.createDataFrame([], "doc_id LONG, dl LONG")
+        return (
+            self.doclens.read(spark)
+            .groupBy("doc_id")
+            .agg(F.max("dl").cast("long").alias("dl"))
+        )
+
+    # ------------------------------------------- MaxScore early exit
+    def maxscore_plan(
+        self,
+        spark: SparkSession,
+        terms: Sequence[str],
+        topk: int,
+        dl: DataFrame | None = None,
+    ) -> dict:
+        """Term-level MaxScore planning (Turtle & Flood's upper-bound
+        partition, the relational face of WAND-family early
+        termination — the scale path SCALING.md's 100× BM25 row
+        names).  Driver-side, from corpus-size-independent inputs:
+
+        1. ``U_t`` — an admissible per-term score ceiling.  BM25's
+           per-doc weight is < idf(t)·(k1+1) for any tf/dl, and idf
+           is estimated from the optimize()-time df snapshot
+           (termstats) with the CURRENT manifest row count
+           (TxTable.snapshot_rows — driver-side, zero jobs): ticks
+           only append, so stored df ≤ true df and manifest rows ≥
+           distinct docs; idf is increasing in N and decreasing in
+           df, so the estimate only overshoots and the ceiling stays
+           an upper bound — no staleness gate needed.
+        2. ``theta`` — a lower bound on the k-th best TOTAL score:
+           the k-th best exact single-term score of the highest-
+           ceiling ("seed") term (totals only add non-negative
+           weights).  One probe of one term's postings.
+        3. The ascending-``U`` prefix whose ceilings sum below
+           ``theta`` is **non-essential**: a doc containing ONLY
+           those terms scores below the k-th doc and provably cannot
+           rank.  Everything else is essential.
+
+        Returns {essential, nonessential, theta, ceilings,
+        stored_df} — ``stored_df`` (the optimize()-time per-term df
+        snapshot) lets :meth:`search_pruned` bound the candidate-set
+        size driver-side when choosing its join strategy."""
+        terms = _normalize_terms(terms)
+        out = {
+            "essential": terms,
+            "nonessential": [],
+            "theta": 0.0,
+            "ceilings": {},
+            "stored_df": {},
+        }
+        if (
+            len(terms) < 2
+            or self.termstats.latest_version() is None
+            or self.doclens.latest_version() is None
+        ):
+            return out
+        import math
+
+        if dl is None:
+            dl = self._dl(spark)
+        n = self.doclens.snapshot_rows()
+        if n is None:  # stats-less manifest — pay one count job
+            n = dl.count()
+        if n == 0:
+            return out
+        stored = {
+            r["term"]: r["df"]
+            for r in self.termstats.read(spark)
+            .filter(F.col("term").isin(*terms))
+            .collect()
+        }
+        out["stored_df"] = stored
+        ceil = {}
+        for t in terms:
+            d = min(stored.get(t, 0), n)
+            ceil[t] = math.sqrt((n - d + 0.5) / (d + 0.5)) * 2.2
+        out["ceilings"] = ceil
+        seed = max(terms, key=lambda t: ceil[t])
+        seeded = bm25_topk(
+            self.probe(spark, [seed]), dl, [seed], topk
+        ).collect()
+        if len(seeded) < topk:
+            return out
+        # bm25_topk rounds to 4 digits; retreat theta past the worst
+        # round-up so the bound stays a true lower bound
+        theta = seeded[-1]["bm25"] - 1e-3
+        out["theta"] = theta
+        budget, ne = 0.0, []
+        for t in sorted(terms, key=lambda t: ceil[t]):
+            if t == seed or budget + ceil[t] >= theta:
+                break
+            budget += ceil[t]
+            ne.append(t)
+        out["nonessential"] = ne
+        out["essential"] = [t for t in terms if t not in ne]
+        return out
+
+    def search_pruned(
+        self,
+        spark: SparkSession,
+        terms: Sequence[str],
+        topk: int,
+    ) -> DataFrame:
+        """:meth:`search` with MaxScore early termination — the SAME
+        exact top-``topk`` (pinned in tests/test_search_index.py),
+        reached without scoring every posting of every query term.
+
+        :meth:`maxscore_plan` splits the query into essential and
+        non-essential terms.  Candidates are the docs holding at
+        least one essential posting; non-essential postings enter
+        the weight/pivot stage only semi-joined to that candidate
+        set.  On stopword-shaped queries (one discriminative term +
+        ubiquitous terms with million-doc postings — the shape the
+        100× bench measured at 2.4 s) the heavy lists are reduced to
+        candidate lookups BEFORE the doc-id shuffle: essential terms
+        are rare by construction (highest idf ceilings), so the
+        candidate set is broadcast and the restriction is applied
+        map-side — the O(|postings of query terms|) shuffle/pivot
+        volume that SCALING.md names drops to O(|essential postings|
+        + |candidate ∩ non-essential|) with NO full-postings
+        exchange.  When the optimize()-time df snapshot says the
+        essential lists are too big to broadcast (stale-LOW, so an
+        underestimate — a strategy heuristic only, never a
+        correctness input), it degrades to a shuffled semi-join.
+        The non-essential lists still pay one pruned columnar scan
+        for their true df (idf must stay corpus-wide — exactness),
+        but that scan map-combines to |terms| rows without
+        shuffling postings.  Falls back to the unpruned plan when
+        no term is provably non-essential (single-term queries,
+        < k corpus matches, never-optimized index)."""
+        terms = _normalize_terms(terms)
+        dl = self._dl(spark)
+        plan = self.maxscore_plan(spark, terms, topk, dl=dl)
+        if not plan["nonessential"]:
+            tf = self.probe(spark, terms)
+            return bm25_topk(tf, dl, terms, topk)
+        tf = self.probe(spark, terms)
+        true_df = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        # candidates ride the SAME probed scan (term-clustered files
+        # already opened for tf) instead of a second index probe
+        cand = (
+            tf.filter(F.col("term").isin(*plan["essential"]))
+            .select("doc_id")
+            .distinct()
+        )
+        est = sum(
+            plan["stored_df"].get(t, 0) for t in plan["essential"]
+        )
+        if est <= 2_000_000:
+            cand = F.broadcast(cand)
+        restricted = tf.join(cand, "doc_id", "left_semi")
+        return bm25_topk(restricted, dl, terms, topk, df=true_df)

@@ -430,6 +430,24 @@ class TxTable:
             raise ValueError(f"version {version} not in log")
         return self._read_entry(v)["files"]
 
+    def snapshot_rows(self, version: int | None = None) -> int | None:
+        """Committed row count of a snapshot from the manifest stats
+        alone — no data file opened, no Spark job (the same discipline
+        as :meth:`pruned_files`/:meth:`history`).  ``None`` when any
+        file in the snapshot lacks recorded stats; an empty snapshot
+        is provably 0.  Index planners use this as a driver-side doc
+        count (SearchIndex.maxscore_plan) — for a table that may hold
+        per-batch duplicates it is an upper bound on the distinct-key
+        count, which is the admissible direction for idf ceilings."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        e = self._read_entry(v)
+        stats = e.get("stats", {})
+        if all(f in stats and "rows" in stats[f] for f in e["files"]):
+            return sum(stats[f]["rows"] for f in e["files"])
+        return None
+
     def applied_batch_ids(self) -> set[str]:
         """All batch ids ever applied.  Reads the latest checkpoint (if
         any) + only the log entries AFTER it — O(suffix), not

@@ -243,6 +243,33 @@ def text_bm25_topk_indexed(
     return idx.search(spark, _BM25_TERMS, _BM25_TOPK)
 
 
+@query(
+    "text_bm25_topk_pruned",
+    oracle=REGISTRY["text_bm25_topk"].oracle,
+)
+def text_bm25_topk_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MaxScore early termination over the persisted index
+    (SearchIndex.search_pruned) — the scale path past the one cost
+    SCALING.md's 100× table leaves O(corpus-dependent): scoring work
+    proportional to the query terms' full postings lists.  Driver-side
+    planning from corpus-size-independent inputs (optimize()-time
+    per-term df snapshot + one seed-term probe) splits the query into
+    essential and non-essential terms; docs holding ONLY non-essential
+    terms provably score below the current k-th doc, so the heavy
+    (stopword-shaped) postings lists enter the weight/pivot stage
+    semi-joined to the essential candidates instead of wholesale.
+    EXACT — the same top-k as text_bm25_topk/..._indexed, so the
+    full-scan oracle applies verbatim; equality, admissibility under
+    post-optimize ticks, and engagement (non-empty non-essential set
+    on this corpus) are pinned in tests/test_search_index.py."""
+    from .text import _BM25_TERMS, _BM25_TOPK
+
+    idx = _search_index_for(spark, sf_dir)
+    return idx.search_pruned(spark, _BM25_TERMS, _BM25_TOPK)
+
+
 # ----------------------------------------- fully index-served hybrid
 
 

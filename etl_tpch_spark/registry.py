@@ -112,6 +112,7 @@ DRIVER_WINDOW = (
     # ---- new this round (first certification)
     "sim_quantized_cosine_pairs_cells",
     "inference_gbtree_scores",
+    "text_bm25_topk_pruned",
     # ---- code paths changed in round 5 (re-certify)
     "sim_quantized_cosine_pairs",
     "sim_ann_topk_ivf_indexed",
@@ -140,7 +141,9 @@ DRIVER_WINDOW = (
     "setop_except",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_exact",
+    # (dedup_exact rotated out for text_bm25_topk_pruned: the dedup
+    # family keeps three live rows incl. the lsh + incremental paths,
+    # and dedup_exact is driver-green r1+r4 on an unchanged code path)
     "sim_ann_topk_ivf",
     "sim_cosine_pairs_cells",
     "sim_ann_topk_lsh_multiprobe",

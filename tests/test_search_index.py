@@ -171,3 +171,98 @@ def test_duplicate_arrival_is_idempotent(spark, sf_dir, tmp_path):
         for r in dup.search(spark, _BM25_TERMS, _BM25_TOPK).collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------ MaxScore early exit
+
+
+def _stopword_corpus(spark, n=400, extra_offset=0):
+    """One discriminative term + one ubiquitous stopword + one medium
+    term — the query shape whose heavy postings lists MaxScore exists
+    to prune."""
+    rows = []
+    for i in range(extra_offset, extra_offset + n):
+        txt = "the the filler body text"
+        if i % 80 == 0:
+            txt += " zanzibar"
+        if i % 9 == 0:
+            txt += " medium"
+        rows.append((i, txt))
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_maxscore_pruned_equals_search_and_engages(spark, tmp_path):
+    """search_pruned returns the EXACT same top-k as search(), and on
+    the stopword-shaped corpus the plan genuinely classifies the heavy
+    terms non-essential (not the fallback path)."""
+    idx = SearchIndex(str(tmp_path / "inv"))
+    idx.ingest(_stopword_corpus(spark), batch_id="b0")
+    idx.optimize(spark)
+    terms = ["zanzibar", "the", "medium"]
+    plan = idx.maxscore_plan(spark, terms, 3)
+    assert "the" in plan["nonessential"]
+    assert "zanzibar" in plan["essential"]
+    got = [tuple(r) for r in idx.search_pruned(spark, terms, 3).collect()]
+    want = [tuple(r) for r in idx.search(spark, terms, 3).collect()]
+    assert got == want
+    assert len(got) == 3
+
+
+def test_maxscore_admissible_after_post_optimize_ticks(spark, tmp_path):
+    """Ticks after optimize() leave termstats stale-LOW — the safe
+    direction (idf ceilings only overshoot).  New docs shift N, avgdl,
+    true df, and even add new top-k contenders; the pruned search must
+    stay exactly equal to the unpruned one."""
+    idx = SearchIndex(str(tmp_path / "inv"))
+    idx.ingest(_stopword_corpus(spark), batch_id="b0")
+    idx.optimize(spark)
+    # a post-optimize crawl day: more rare-term docs, shorter texts
+    idx.ingest(
+        spark.createDataFrame(
+            [(10_000 + i, "zanzibar medium the") for i in range(25)],
+            "doc_id LONG, text STRING",
+        ),
+        batch_id="b1",
+    )
+    terms = ["zanzibar", "the", "medium"]
+    got = [tuple(r) for r in idx.search_pruned(spark, terms, 5).collect()]
+    want = [tuple(r) for r in idx.search(spark, terms, 5).collect()]
+    assert got == want
+
+
+def test_maxscore_fallbacks(spark, tmp_path):
+    """No provably non-essential term ⇒ the plan degrades to the
+    unpruned shape, never to an error: single-term queries, < k corpus
+    matches, and a never-optimized index (no termstats)."""
+    idx = SearchIndex(str(tmp_path / "inv"))
+    idx.ingest(_stopword_corpus(spark, n=100), batch_id="b0")
+    # never optimized: no termstats table
+    plan = idx.maxscore_plan(spark, ["zanzibar", "the"], 3)
+    assert plan["nonessential"] == []
+    idx.optimize(spark)
+    # single term: nothing to partition
+    assert idx.maxscore_plan(spark, ["the"], 3)["nonessential"] == []
+    # fewer matches than k: theta stays 0, everything essential
+    plan = idx.maxscore_plan(spark, ["zanzibar", "the"], 50)
+    assert plan["nonessential"] == []
+    got = [
+        tuple(r)
+        for r in idx.search_pruned(spark, ["zanzibar", "the"], 50).collect()
+    ]
+    want = [
+        tuple(r) for r in idx.search(spark, ["zanzibar", "the"], 50).collect()
+    ]
+    assert got == want
+
+
+def test_maxscore_pruned_on_fixture_corpus(spark, sf_dir, tmp_path):
+    """End-to-end on the real documents table with the registered
+    query's terms: pruned == unpruned == the full-scan query."""
+    idx = _build_batched(spark, sf_dir, tmp_path / "inv")
+    idx.optimize(spark)
+    got = [
+        tuple(r)
+        for r in idx.search_pruned(spark, _BM25_TERMS, _BM25_TOPK).collect()
+    ]
+    want = [tuple(r) for r in text_bm25_topk(spark, sf_dir).collect()]
+    assert got == want

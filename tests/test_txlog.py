@@ -417,3 +417,17 @@ def test_append_schema_recheck_after_rival_overwrite(spark, orders, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         t.append(orders.limit(2))
     assert t.read(spark).columns == ["o_orderkey"]  # rival's schema stands
+
+
+def test_snapshot_rows_from_manifest_alone(spark, orders, tmp_path):
+    """snapshot_rows answers from the commit log's per-file stats —
+    no data file opened, no job — and tracks appends, time travel,
+    and the empty table (None, mirroring latest_version)."""
+    t = TxTable(str(tmp_path / "t"))
+    assert t.snapshot_rows() is None
+    n1 = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    assert t.snapshot_rows() == n1
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    assert t.snapshot_rows() == orders.count()
+    assert t.snapshot_rows(version=1) == n1
