@@ -388,10 +388,11 @@ def search_hybrid_rrf_indexed(
       and their collected term rows become a literal broadcast frame,
       so the EXECUTED plan touches only the index.  Candidates AND df
       weights derive from ONE term-restricted postings probe (df as a
-      window count over the probe — identical values to a
-      full-vocabulary count for every joined row, with no
-      vocabulary-sized aggregate or broadcast, the full-scan form's
-      scale bottleneck at a 100 TB vocabulary).
+      map-combined groupBy over the probe, broadcast back — |query
+      terms| rows, identical values to a full-vocabulary count for
+      every joined row, with no vocabulary-sized aggregate and no
+      per-term window shuffle, the full-scan form's scale bottleneck
+      at a 100 TB vocabulary).
     - DENSE: candidates from the persisted IVF index's probed cells
       (similarity/index.py — stored centroids, file-pruned cell scan),
       exactly sim_ann_topk_ivf_indexed's path.
@@ -429,15 +430,16 @@ def search_hybrid_rrf_indexed(
         "query_id LONG, term STRING",
     )
     qterms = sorted({r.term for r in q_rows})
-    # ONE pruned probe pass: df rides a window count over the probe
-    # itself, so no second scan and nothing to cache
-    probe = (
-        idx_lex.probe(spark, qterms)
-        .select("doc_id", "term")
-        .withColumn(
-            "df", F.count(F.lit(1)).over(W.partitionBy("term"))
-        )
+    # df over the probe as a map-combined groupBy broadcast back onto
+    # the probe — |terms| rows cross the wire.  NOT a window count
+    # partitioned by term: that shape shuffles every probed posting
+    # and funnels each stopword's entire list through ONE reducer —
+    # exactly the skew a 100 TB postings table cannot survive
+    probe = idx_lex.probe(spark, qterms).select("doc_id", "term")
+    dfreq = probe.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
     )
+    probe = probe.join(F.broadcast(dfreq), "term")
     lex = (
         F.broadcast(q)
         .join(probe, "term")
