@@ -484,11 +484,18 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-exact cross-engine.  Docs under 3 tokens have no grams and
     no row.
 
-    Scale shape: one distinct-gram explode, one min-aggregate keyed by
-    gram (the first-occurrence table — at 100 TB this is the stored
-    artifact a daily tick would append to, exactly the SpanIndex
-    recipe one level coarser), one gram-keyed join back and a per-doc
-    aggregate.  Nothing quadratic, nothing collected."""
+    Scale shape: one distinct-gram explode, ONE gram-keyed shuffle
+    (first_doc as a min window over the gram partition — the
+    groupBy+join-back form exchanged the long gram strings a second
+    time and built a distinct-gram hash table; same values, one fewer
+    corpus-sized exchange), then a per-doc aggregate whose shuffle
+    carries only (doc_id, flag) — grams are projected away before the
+    second exchange.  At 100 TB the first-occurrence table is the
+    stored artifact a daily tick would append to, exactly the
+    SpanIndex recipe one level coarser.  Nothing quadratic, nothing
+    collected."""
+    from pyspark.sql import Window as W
+
     from ..dedup.operators import word_shingles
 
     t = Tables(spark, sf_dir)
@@ -496,21 +503,21 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles(F.col("text"), 3)).alias("gram"),
     )
-    first = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return (
-        ex.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("long").alias("n_novel"),
-            F.expr(
-                "CAST(1000000 * sum(CASE WHEN first_doc = doc_id "
-                "THEN 1 ELSE 0 END) div count(1) AS BIGINT)"
-            ).alias("novelty_micro"),
+    marked = ex.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy("gram"))
         )
+        .cast("int")
+        .alias("is_first"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_first").cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(1000000 * sum(is_first) div count(1) AS BIGINT)"
+        ).alias("novelty_micro"),
     )
 
 

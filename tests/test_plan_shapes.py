@@ -115,6 +115,8 @@ NLJ_ALLOWED = {
     # only the 50-row pool
     "text_bm25_topk_indexed",  # the same 1-row corpus-stats (N,
     # avgdl) broadcast as text_bm25_topk — shared kernel
+    "text_bm25_topk_pruned",  # same shared bm25_topk kernel (1-row
+    # stats crossjoin); the MaxScore restriction adds equi-joins only
     "search_hybrid_rrf_indexed",  # |Q|×K stored-centroid ranking
     # (the IVF probe, like sim_ann_topk_ivf_indexed) + the 1-row
     # BM25-stats broadcast; every corpus-sized join is an equi-join
