@@ -563,7 +563,14 @@ def quantized_cosine_pairs_cells(
     (|q| ≤ 127, 64 dims ⇒ dots < 2²¹, norm products < 2⁴¹ — exact in
     long AND double), so the only float ops are one sqrt and one
     division per pair, bit-identical to the expression form with no
-    fold-order discipline.  Per-cell work is block-decomposed into
+    fold-order discipline.  Quantization itself happens INSIDE the
+    Arrow batch kernel (vectorized numpy ``floor(x·(127/max|x|)+0.5)``
+    — the identical IEEE-double op sequence as
+    :func:`quantize_embeddings`'s Catalyst expression, so the same
+    integers), not as a row-at-a-time higher-order-function pass over
+    the whole table: the A/B measured the Catalyst transform/aggregate
+    pass at ~2× the entire float-cells kernel.  Per-cell work is
+    block-decomposed into
     B(B+1)/2 tasks keyed (cell, p, q) — a skewed duplicate-heavy cell
     spreads across tasks with bounded memory.  Cross-cell pairs are
     unscored by design (recall < 1); emitted pairs are verified with
@@ -592,12 +599,18 @@ def quantized_cosine_pairs_cells(
             )
         ids = pdf["vec_id"].to_numpy()
         blk = pdf["b"].to_numpy()
-        Q = np.stack(pdf["qv"].to_numpy()).astype("int64")
-        qn = pdf["qn"].to_numpy().astype("int64")
+        V = np.stack(pdf["v"].to_numpy())  # float64 (n, dims)
+        maxabs = np.abs(V).max(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = 127.0 / maxabs  # same op order as the expression
+            Q = np.floor(V * scale[:, None] + 0.5)
+        Q = np.where(np.isnan(Q), 0.0, Q).astype("int64")
+        qn = (Q * Q).sum(axis=1)
         dot = Q @ Q.T  # exact: every |entry| < 2^21
-        cos = dot.astype("float64") / np.sqrt(
-            np.outer(qn, qn).astype("float64")
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot.astype("float64") / np.sqrt(
+                np.outer(qn, qn).astype("float64")
+            )
         want = ids[:, None] < ids[None, :]
         if p != q:  # intra-block pairs belong to the diagonal group only
             want &= blk[:, None] != blk[None, :]
@@ -615,10 +628,12 @@ def quantized_cosine_pairs_cells(
     cells = kmeans_assignments(embeddings, k, iters).select(
         "vec_id", "cluster"
     )
-    prepped = quantize_embeddings(embeddings)
+    raw = embeddings.select(
+        "vec_id", _as_double_array(F.col("embedding")).alias("v")
+    )
     b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
-    tagged = prepped.join(cells, "vec_id").select(
-        "cluster", "vec_id", "qv", "qn", b.alias("b")
+    tagged = raw.join(cells, "vec_id").select(
+        "cluster", "vec_id", "v", b.alias("b")
     )
     pairs_keys = F.array(
         *[
@@ -630,7 +645,7 @@ def quantized_cosine_pairs_cells(
         ]
     )
     exploded = tagged.select(
-        "cluster", "vec_id", "qv", "qn", "b",
+        "cluster", "vec_id", "v", "b",
         F.explode(F.array_distinct(pairs_keys)).alias("pk"),
     )
     return exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
