@@ -62,3 +62,65 @@ def test_search_invariant_to_ingest_batching(
     assert got == want
     # stored doclens cover every doc exactly once regardless of split
     assert idx.doclens.read(spark).count() == N_DOCS
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    masks=st.lists(
+        st.integers(min_value=0, max_value=31), min_size=20, max_size=60
+    ),
+    tick_masks=st.lists(
+        st.integers(min_value=0, max_value=31), min_size=0, max_size=12
+    ),
+    qmask=st.integers(min_value=1, max_value=31),
+    topk=st.integers(min_value=1, max_value=8),
+)
+def test_maxscore_exact_on_random_corpora(
+    spark, tmp_path_factory, masks, tick_masks, qmask, topk
+):
+    """MaxScore admissibility as a PROPERTY: for arbitrary corpora
+    (arbitrary term co-occurrence, including empty docs), an arbitrary
+    post-optimize tick (stale-LOW termstats), any query subset and any
+    k, search_pruned returns EXACTLY search()'s top-k.  The fixed
+    tests pin the engineered stopword shape; this pins the bound's
+    soundness where hand-built corpora can't reach — ties at theta,
+    all-rare queries, every-term-everywhere queries, k > matches."""
+
+    def text_of(mask: int) -> str:
+        return " ".join(w for j, w in enumerate(VOCAB) if mask >> j & 1)
+
+    base = tmp_path_factory.mktemp("ms")
+    idx = SearchIndex(str(base / "inv"))
+    idx.ingest(
+        spark.createDataFrame(
+            [(i, text_of(m)) for i, m in enumerate(masks)],
+            "doc_id LONG, text STRING",
+        ),
+        batch_id="b0",
+    )
+    idx.optimize(spark)
+    if tick_masks:
+        idx.ingest(
+            spark.createDataFrame(
+                [
+                    (1000 + i, text_of(m))
+                    for i, m in enumerate(tick_masks)
+                ],
+                "doc_id LONG, text STRING",
+            ),
+            batch_id="b1",
+        )
+    terms = [w for j, w in enumerate(VOCAB) if qmask >> j & 1]
+    got = [
+        tuple(r) for r in idx.search_pruned(spark, terms, topk).collect()
+    ]
+    want = [tuple(r) for r in idx.search(spark, terms, topk).collect()]
+    assert got == want
