@@ -214,14 +214,22 @@ def _train(t: Tables) -> tuple[list[Row], DataFrame]:
 
 
 def train_bpe_driver(
-    wordfreq: list[tuple[str, int]], n_merges: int
-) -> list[Row]:
+    wordfreq: list[tuple[str, int]],
+    n_merges: int,
+    *,
+    with_vocab: bool = False,
+) -> list[Row] | tuple[list[Row], list[tuple[list[str], int]]]:
     """Driver-side BPE merge loop over a collected (word, freq) table —
     byte-for-byte the relational trainer's semantics: candidate pairs
     are adjacent symbols with l != r weighted by word freq (every
     occurrence counts), argmax ties break on (count DESC, l, r), and a
     merge rewrites every non-overlapping match (overlap is impossible
-    for l != r).  Pure Python: no Spark session touched."""
+    for l != r).  Pure Python: no Spark session touched.
+
+    ``with_vocab=True`` additionally returns the final per-word
+    segmentations (parallel to ``wordfreq`` order) — the application
+    queries read the tokenizer from here instead of re-running the
+    K-round relational trainer."""
     vocab: list[tuple[list[str], int]] = [
         (list(w), f) for w, f in wordfreq
     ]
@@ -258,6 +266,8 @@ def train_bpe_driver(
                     out.append(syms[i])
                     i += 1
             vocab[idx] = (out, freq)
+    if with_vocab:
+        return merges, vocab
     return merges
 
 
@@ -310,13 +320,39 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
+def _trained_vocab(spark: SparkSession, t: Tables) -> DataFrame:
+    """(word, freq, T=final segmentation) via the PRODUCTION trainer:
+    one word-count job, then the whole merge loop driver-side
+    (:func:`train_bpe_driver`, byte-identical to the relational
+    trainer — pinned in tests/test_bpe.py), shipped back as a
+    vocab-sized literal frame.  The application queries read the
+    tokenizer from here — a real pipeline applies a stored merges.txt,
+    it does not re-train per query; the K-round relational trainer
+    stays exercised (and oracle-unrolled) by text_bpe_merges."""
+    wf = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    wordfreq = [(r["word"], r["freq"]) for r in wf]
+    _, vocab = train_bpe_driver(wordfreq, _BPE_K, with_vocab=True)
+    return spark.createDataFrame(
+        [
+            (w, f, syms)
+            for (w, f), (syms, _) in zip(wordfreq, vocab)
+        ],
+        "word STRING, freq LONG, T ARRAY<STRING>",
+    )
+
+
 @query("text_bpe_segment", oracle=_SQL_BPE_SEGMENT)
 def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained tokenizer applied to its own vocabulary: each word's
     subword segmentation after all K merges, with the subword count the
     corpus token budget is computed from.  (Tokenizing NEW text is the
     same transform chain replayed from the stored merge table.)"""
-    merges, v = _train(Tables(spark, sf_dir))
+    v = _trained_vocab(spark, Tables(spark, sf_dir))
     out = v.select(
         "word",
         "freq",
@@ -354,12 +390,13 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer's own counts — the number that decides epochs, packing,
     and cost for an LLM training run.
 
-    Scale shape: training as in text_bpe_merges; application is one
-    corpus-sized explode + one join keyed on word against the
+    Scale shape: training via the production path (one word-count job
+    + the driver merge loop — see :func:`_trained_vocab`); application
+    is one corpus-sized explode + one join keyed on word against the
     vocabulary frame (optimizer picks broadcast vs shuffle by vocab
     size) + one per-doc aggregate."""
     t = Tables(spark, sf_dir)
-    _, v = _train(t)
+    v = _trained_vocab(spark, t)
     seg = v.select("word", F.size("T").cast("long").alias("n_sub"))
     tok = t.documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
