@@ -130,6 +130,9 @@ DRIVER_WINDOW = (
     "q20_promo_part_suppliers",
     "corpus_curation",
     "dedup_incremental",
+    "text_bpe_segment",
+    "text_bpe_token_counts",
+    "flagship_all_segments_union",
     # ---- re-certifying family sentinels (all driver-green r1-r4)
     "flagship_unshipped_orders",
     "q1_pricing_summary",
@@ -138,9 +141,11 @@ DRIVER_WINDOW = (
     "join_asof_purchases",
     "agg_rollup",
     "window_rank",
-    "setop_except",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # (setop_except, text_lang_id, ts_gapfill_hourly rotated out for
+    # the three round-5-changed paths above: all three are
+    # driver-green r1-r4 on unchanged code)
     # (dedup_exact rotated out for text_bm25_topk_pruned: the dedup
     # family keeps three live rows incl. the lsh + incremental paths,
     # and dedup_exact is driver-green r1+r4 on an unchanged code path)
@@ -152,14 +157,12 @@ DRIVER_WINDOW = (
     "graph_kcore",
     "text_bpe_merges",
     "text_lm_quality_filter",
-    "text_lang_id",
     "text_pack_sequences",
     "text_pii_redact",
     "text_contamination",
     "text_novelty_scores",
     "events_session_window",
     "events_markov_transitions",
-    "ts_gapfill_hourly",
     "events_funnel",
     "inference_batch_scores",
     "agg_hll_distinct_customers",
