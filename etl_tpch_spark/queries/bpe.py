@@ -30,6 +30,7 @@ north-star LLM-data surface (SURVEY.md §2 "beyond the reference").
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,11 +62,11 @@ def _sql_merge_apply(tcol: str, bcte: str) -> str:
     )
 
 
-def _bpe_ctes() -> str:
+def _bpe_ctes(where: str = "") -> str:
     parts = [
         f"""wf AS (
             SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+            FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents {where})
             GROUP BY w
         ), v0 AS (
             SELECT word, freq,
@@ -404,4 +405,169 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.join(seg, "word").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("ws_tokens"),
         F.sum("n_sub").alias("bpe_tokens"),
+    )
+
+
+# --------------------------------------------- encode UNSEEN text
+#
+# The missing third of a tokenizer's lifecycle: train (above) → store
+# the merge table → ENCODE text the trainer never saw (the daily crawl
+# a 100 TB pipeline actually tokenizes).  Encoding replays the ranked
+# merge table over a word's characters; replaying rank order
+# sequentially-and-exhaustively is exactly the trainer's own vocabulary
+# evolution (merge k's constituents are only ever produced by merges
+# < k, so a later merge cannot create an opportunity for an earlier
+# one), which is what lets the SAME per-round CTE chain the trainer is
+# oracle-checked with double as the encode oracle — and makes OOV
+# handling free: an unseen word starts from characters and takes
+# whatever merges apply.
+
+_SQL_BPE_ENCODE = (
+    "WITH "
+    + _bpe_ctes(where="WHERE doc_id % 2 = 0")
+    + f""",
+    nw AS (
+        SELECT DISTINCT w AS word
+        FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents
+              WHERE doc_id % 2 = 1)
+    ), e0 AS (
+        SELECT word,
+               list_transform(range(1, length(word)+1), i -> word[i]) AS T
+        FROM nw
+    )"""
+)
+for _k in range(1, _BPE_K + 1):
+    _SQL_BPE_ENCODE += f""",
+    e{_k} AS (
+        SELECT word,
+               CASE WHEN b{_k}.l IS NULL THEN T
+                    ELSE {_sql_merge_apply('T', f'b{_k}')} END AS T
+        FROM e{_k - 1} LEFT JOIN b{_k} ON TRUE
+    )"""
+_SQL_BPE_ENCODE += f""",
+    seg AS (SELECT word, CAST(len(T) AS BIGINT) AS n_sub FROM e{_BPE_K}),
+    tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+        WHERE doc_id % 2 = 1
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(seg.n_sub) AS BIGINT) AS bpe_tokens,
+           CAST(sum(CASE WHEN wf.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens
+    FROM tok
+    JOIN seg ON tok.word = seg.word
+    LEFT JOIN wf ON tok.word = wf.word
+    GROUP BY tok.doc_id
+"""
+
+
+def apply_merges_chain(words: DataFrame, merges: list[Row]) -> DataFrame:
+    """Replay a ranked merge table over a (word, T) frame as chained
+    JVM transforms — one :func:`_spark_merge_expr` per merge, each with
+    the pair bound as literals.  Executor-side and vocabulary-sized;
+    right for demo K.  Production K (32k-100k merges) cannot be an
+    expression chain — :func:`bpe_encode_word` under a pandas UDF with
+    the broadcast merge table is that path (equality pinned in
+    tests/test_bpe.py)."""
+    v = words
+    for m in merges:
+        v = v.select(
+            "word", F.expr(_spark_merge_expr(m.lhs, m.rhs)).alias("T")
+        )
+    return v
+
+
+def bpe_encode_word(word: str, ranked: list[tuple[str, str]]) -> list[str]:
+    """Encode ONE word with a ranked merge list — the per-word loop of
+    every production BPE encoder (pure Python, byte-identical to
+    :func:`apply_merges_chain`'s expression replay)."""
+    syms = list(word)
+    for l, r in ranked:
+        if l not in syms:
+            continue
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_udf(merges: list[Row]):
+    """Arrow-batched production encoder: word column → subword array,
+    the ranked merge table shipped once in the UDF closure and each
+    distinct word encoded once per batch via an LRU cache (real
+    corpora are Zipfian — the cache hit rate IS the speedup).  Scale
+    shape: encode rides the executors; no driver round-trip, no
+    expression chain growing with K."""
+    ranked = [(m.lhs, m.rhs) for m in merges]
+
+    @F.pandas_udf("array<string>")
+    def enc(words: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 16)
+        def one(w: str) -> tuple[str, ...]:
+            return tuple(bpe_encode_word(w, ranked))
+
+        return words.map(lambda w: list(one(w)))
+
+    return enc
+
+
+@query("text_bpe_encode_holdout", oracle=_SQL_BPE_ENCODE)
+def text_bpe_encode_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize text the trainer NEVER SAW: train on the even-doc_id
+    half of the corpus (production driver-loop trainer), then encode
+    the odd half's words by replaying the stored merge table —
+    including out-of-vocabulary words, which start from characters and
+    take whatever merges apply (`oov_tokens` counts them per doc).
+    This is the operation a 100 TB pipeline runs daily: the merge
+    table is a fixed artifact; the corpus-sized work is one explode +
+    a vocabulary join.
+
+    Scale shape: distinct held-out words (executor-side dedup), the
+    K-merge replay on that vocabulary frame, one join back to the
+    exploded corpus, one per-doc aggregate.  The even/odd split is the
+    cross-engine-trivial stand-in for a train/serve date boundary."""
+    t = Tables(spark, sf_dir)
+    train_docs = t.documents.filter(F.col("doc_id") % 2 == 0)
+    held = t.documents.filter(F.col("doc_id") % 2 == 1)
+    merges = train_bpe(train_docs, _BPE_K)
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    nw = (
+        held.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .select("word", chars.alias("T"))
+    )
+    seg = apply_merges_chain(nw, merges).select(
+        "word", F.size("T").cast("long").alias("n_sub")
+    )
+    trained = (
+        train_docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    tok = held.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        tok.join(seg, "word")
+        .join(trained, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sub").alias("bpe_tokens"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
     )

@@ -113,6 +113,7 @@ DRIVER_WINDOW = (
     "sim_quantized_cosine_pairs_cells",
     "inference_gbtree_scores",
     "text_bm25_topk_pruned",
+    "text_bpe_encode_holdout",
     # ---- code paths changed in round 5 (re-certify)
     "sim_quantized_cosine_pairs",
     "sim_ann_topk_ivf_indexed",
@@ -163,7 +164,9 @@ DRIVER_WINDOW = (
     "text_novelty_scores",
     "events_session_window",
     "events_markov_transitions",
-    "events_funnel",
+    # (events_funnel rotated out for text_bpe_encode_holdout's first
+    # certification: events keeps two live rows, funnel green r2/r4
+    # on an unchanged path)
     "inference_batch_scores",
     "agg_hll_distinct_customers",
     "join_bloom_semi_orders_unbounded",

@@ -167,3 +167,51 @@ def test_sampled_trainer_is_deterministic(spark, sf_dir):
     b = train_bpe(t.documents, 8, sample_pct=50)
     assert a == b
     assert len(a) > 0
+
+
+def test_encoder_udf_equals_expression_chain(spark, sf_dir):
+    """The production pandas-UDF encoder (broadcast merge table, LRU
+    word cache) segments every held-out word identically to the
+    K-chained expression replay the oracle checks — including words
+    the trainer never saw (OOV: start from chars, take what applies)."""
+    from pyspark.sql import functions as F
+
+    from etl_tpch_spark.functions.text import tokens
+    from etl_tpch_spark.queries.bpe import (
+        _BPE_K,
+        apply_merges_chain,
+        bpe_encode_udf,
+        bpe_encode_word,
+        train_bpe,
+    )
+
+    t = Tables(spark, sf_dir)
+    train_docs = t.documents.filter(F.col("doc_id") % 2 == 0)
+    merges = train_bpe(train_docs, _BPE_K)
+    held = (
+        t.documents.filter(F.col("doc_id") % 2 == 1)
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    chain = {
+        r["word"]: r["T"]
+        for r in apply_merges_chain(
+            held.select("word", chars.alias("T")), merges
+        ).collect()
+    }
+    udf = {
+        r["word"]: r["seg"]
+        for r in held.select(
+            "word", bpe_encode_udf(merges)(F.col("word")).alias("seg")
+        ).collect()
+    }
+    assert chain == udf and len(chain) > 0
+    # a word with characters the trainer HAS seen but a shape it has
+    # not: still segments (char fallback + applicable merges), and the
+    # pure-Python per-word encoder agrees with itself via the UDF path
+    ranked = [(m.lhs, m.rhs) for m in merges]
+    novel = "zzzduplicatedzzz"
+    assert "".join(bpe_encode_word(novel, ranked)) == novel
