@@ -4,7 +4,7 @@ dedup/index.py).
 
 The batch operator (queries/text.py text_duplicate_spans) re-windows
 the whole corpus per run.  Window keys are content hashes — a stored
-document's (pos, md5(gram)) rows never change — so at scale the window
+document's (pos, hash(gram)) rows never change — so at scale the window
 table is a stored artifact: a TxTable of (doc_id, pos, h) clustered by
 append order, with exactly-once crawl-batch ids.  A daily tick then
 windows ONLY the new batch (one pass over new text), appends, and
@@ -29,20 +29,79 @@ SPAN_W = 8  # minimum duplicated run, in tokens (Lee et al. use 50 BPE
 # tokens; fixture docs are ~100 words, so 8 keeps span statistics real)
 
 
+def _rot(col, amount):
+    """Bitwise left-rotation of a BIGINT by ``amount`` (a column in
+    [0, 64)).  Pure bitwise ops — overflow-free under ANSI mode; Java
+    masks shift distances to 6 bits, so the amount-0 edge collapses to
+    ``x | x = x`` on its own."""
+    return F.call_function("shiftleft", col, amount).bitwiseOR(
+        F.call_function("shiftrightunsigned", col, F.lit(64) - amount)
+    )
+
+
 def window_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, h): every SPAN_W-token sliding window of ``docs``
-    (doc_id, text), keyed by the 16-byte md5 of its text — an internal
-    pruning key (oracle-exempt: outputs are integer positions)."""
+    (doc_id, text), keyed by a 128-bit content hash — an internal
+    pruning key (oracle-exempt: outputs are integer positions).
+
+    The key is a cyclic-polynomial (Buzhash) rolling hash computed in
+    O(1) per window instead of O(SPAN_W): token p contributes its
+    xxhash64 rotated by 7·(offset within the window), rotation
+    distributes over xor, so every window hash is a prefix-xor range
+    query — one running ``bit_xor`` window + one ``lead`` — rather
+    than a per-window ``slice``+fold.  The earlier form (gram string +
+    md5 per window) spent ~60% of the whole span-dedup query inside
+    the interpreted higher-order ``transform`` building 50-byte gram
+    strings; this shape is whole-stage-codegen end to end and measured
+    2.3× faster at the 10× fixture (SCALING.md round-6 row).  Two
+    independent 64-bit lanes (seeded xxhash64) keep the collision
+    budget at the md5 path's effective 128 bits, so the "duplicated ⟺
+    same gram text" contract is unchanged for any realistic corpus.
+    The struct key shuffles/joins/groups exactly like the old binary
+    key and is 16 bytes on the wire, same as the md5 it replaces."""
+    from pyspark.sql import Window as W
+
     d = docs.select("doc_id", tokens(F.col("text")).alias("W")).filter(
         F.size("W") >= SPAN_W
     )
-    grams = F.expr(
-        f"transform(sequence(0, size(W) - {SPAN_W}), "
-        f"i -> concat_ws(' ', slice(W, i + 1, {SPAN_W})))"
+    toks = d.select("doc_id", F.posexplode("W").alias("pos", "tok"))
+    # per-token lane hashes, pre-rotated so a window's hash is a pure
+    # xor range: g_p = rot(th_p, 7*(SPAN_W-1-p) mod 64)
+    pre = F.pmod(F.lit(7) * (F.lit(SPAN_W - 1) - F.col("pos")), F.lit(64))
+    g = toks.select(
+        "doc_id",
+        "pos",
+        _rot(F.xxhash64("tok"), pre).alias("g1"),
+        _rot(F.xxhash64("tok", F.lit(0x9E3779B9)), pre).alias("g2"),
     )
-    return d.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    ).select("doc_id", "pos", F.unhex(F.md5("gram")).alias("h"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    run = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pref = g.withColumn(
+        "P",
+        F.struct(
+            F.expr("bit_xor(g1)").over(run).alias("p1"),
+            F.expr("bit_xor(g2)").over(run).alias("p2"),
+        ),
+    )
+    post = F.pmod(F.lit(7) * F.col("pos"), F.lit(64))
+    w = (
+        pref.withColumn("Pend", F.lead("P", SPAN_W - 1).over(wd))
+        .withColumn("Pprev", F.lag("P", 1).over(wd))
+        .filter(F.col("Pend").isNotNull())
+    )
+    lane = lambda i: _rot(  # noqa: E731
+        F.when(
+            F.col("Pprev").isNull(), F.col(f"Pend.p{i}")
+        ).otherwise(
+            F.col(f"Pend.p{i}").bitwiseXOR(F.col(f"Pprev.p{i}"))
+        ),
+        post,
+    )
+    return w.select(
+        "doc_id",
+        "pos",
+        F.struct(lane(1).alias("h1"), lane(2).alias("h2")).alias("h"),
+    )
 
 
 def merge_islands(hits: DataFrame) -> DataFrame:

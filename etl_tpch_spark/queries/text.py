@@ -994,7 +994,7 @@ def _duplicate_spans(t: Tables) -> DataFrame:
 
     Plan (the 100 TB shape — everything linear in corpus token volume):
     1. one map-side explode of sliding ``_SPAN_W``-token windows, each
-       carried as a 16-byte md5 of the gram text (internal pruning key,
+       carried as a 128-bit rolling hash of the gram (internal pruning key,
        oracle-exempt like the bloom/xxhash64 recipe — the OUTPUT is
        integer positions, so the hash never crosses engines);
     2. ONE shuffle keyed on the hash, where a window min/max over the
@@ -1248,7 +1248,9 @@ def text_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
     new = t.documents.filter(F.col("doc_id") % 2 == 1)
-    idx = SpanIndex(scratch_index_dir("span-idx", sf_dir))
+    # kind carries the window-hash format version: v2 = struct rolling
+    # hash (a persisted v1 md5-binary index must not be reused)
+    idx = SpanIndex(scratch_index_dir("span-idx-v2", sf_dir))
     idx.ingest(corpus, batch_id="corpus-day0")
     return idx.tick(spark, new, batch_id="crawl-day1")
 
