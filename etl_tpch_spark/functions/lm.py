@@ -28,17 +28,23 @@ def bigram_pairs(docs: DataFrame) -> DataFrame:
     (multiplicity kept — it IS the statistic), carrying all original
     columns.  Documents with fewer than two tokens contribute nothing
     (explode of an empty array)."""
-    toks = tokens(F.col("text"))
     # clamp at 0: slice() raises on negative lengths, and empty /
     # whitespace-only text (routine in crawl JSON-lines) tokenizes to
     # size 0, which would make sz-1 == -1 and kill the whole batch.
-    n = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    z = F.zip_with(
-        F.slice(toks, 1, n),
-        F.slice(toks, 2, n),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    # arrays_zip (a codegen'd built-in) replaces the earlier
+    # zip_with+struct lambda: higher-order functions evaluate their
+    # lambda interpreted per element, and the pair explode was the
+    # single largest term in every LM query at the 10× fixture
+    # (2.24 s → 1.05 s for the same 2.7M pairs, SCALING.md round 6).
+    n = F.greatest(F.size("W") - F.lit(1), F.lit(0))
+    z = F.arrays_zip(
+        F.slice("W", 1, n).alias("w1"), F.slice("W", 2, n).alias("w2")
     )
-    return docs.withColumn("p", F.explode(z))
+    return (
+        docs.withColumn("W", tokens(F.col("text")))
+        .withColumn("p", F.explode(z))
+        .drop("W")
+    )
 
 
 def bigram_counts(ref_docs: DataFrame) -> DataFrame:
@@ -75,11 +81,15 @@ def lm_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
-def score_docs(docs: DataFrame, lm: DataFrame) -> DataFrame:
+def score_docs(
+    docs: DataFrame, lm: DataFrame, *, sort: bool = True
+) -> DataFrame:
     """Per-document LM score: average bigram micro-probability under
     ``lm`` (unseen bigrams score 0 — the perplexity penalty).  Returns
     (doc_id, lang, source, n_bigrams, covered_bigrams, avg_p_micro),
-    ordered by doc_id.
+    ordered by doc_id (``sort=False`` skips the global sort for
+    consumers that re-aggregate — the sort is a range exchange whose
+    sampling job re-executes the whole upstream).
 
     Scale shape: one doc-sized bigram explode joined against the
     LM-sized conditional table (broadcast when it fits, (w1, w2)
@@ -101,8 +111,5 @@ def score_docs(docs: DataFrame, lm: DataFrame) -> DataFrame:
     avg = F.round(
         F.col("score_sum_micro") * 1.0 / F.col("n_bigrams"), 0
     ).cast("long")
-    return (
-        scored.withColumn("avg_p_micro", avg)
-        .drop("score_sum_micro")
-        .orderBy("doc_id")
-    )
+    out = scored.withColumn("avg_p_micro", avg).drop("score_sum_micro")
+    return out.orderBy("doc_id") if sort else out

@@ -696,17 +696,10 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w1, w2), one per-w1 aggregate joined back (vocab-sized — tiny
     relative to the corpus at any scale).  No text recrosses a
     shuffle."""
+    from ..functions.lm import bigram_pairs
+
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    sz = F.size(toks)
-    z = F.zip_with(
-        F.slice(toks, 1, sz - 1),
-        F.slice(toks, 2, sz - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    pairs = t.documents.select(F.explode(z).alias("p")).select(
-        "p.w1", "p.w2"
-    )
+    pairs = bigram_pairs(t.documents).select("p.w1", "p.w2")
     c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
     return c.join(tot, "w1").select(
@@ -1303,6 +1296,34 @@ def text_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_REF_SOURCE = "src0"  # the in-domain reference corpus (wiki stand-in)
 _LM_KEEP_MICRO = 33000  # keep floor on the avg bigram micro-probability
 
+# (application id, realpath(sf_dir)) → persisted reference LM table.
+# The LM is vocab-sized (~1k conditional rows at any fixture — it is
+# broadcast into every scoring join), but its LINEAGE is a quarter-
+# corpus explode+count; without pinning, every job of every LM query
+# re-runs that build.  Session cache like derived_partsupp / the LSH
+# signature cache: steady-state cost in a long-lived session is the
+# scoring pass only.
+_LM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _reference_lm(t: Tables) -> DataFrame:
+    import os as _os
+
+    from ..functions.lm import bigram_counts, lm_from_counts
+
+    key = (
+        t._spark.sparkContext.applicationId,
+        _os.path.realpath(t._sf_dir),
+    )
+    cached = _LM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    built = lm_from_counts(
+        bigram_counts(t.documents.filter(F.col("source") == _LM_REF_SOURCE))
+    ).persist()
+    _LM_CACHE[key] = built
+    return built
+
 _LM_PAIRS = (
     "unnest(list_transform(range(1, len(W)), "
     "i -> {'w1': W[i], 'w2': W[i+1]})) AS p"
@@ -1381,15 +1402,10 @@ def text_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the LM fits, shuffle on (w1, w2) otherwise — Catalyst/AQE
     picks) and one per-doc aggregate.  No text recrosses a shuffle; no
     corpus×corpus work anywhere."""
-    from ..functions.lm import bigram_counts, lm_from_counts, score_docs
+    from ..functions.lm import score_docs
 
     t = Tables(spark, sf_dir)
-    lm = lm_from_counts(
-        bigram_counts(
-            t.documents.filter(F.col("source") == _LM_REF_SOURCE)
-        )
-    )
-    return score_docs(t.documents, lm).withColumn(
+    return score_docs(t.documents, _reference_lm(t)).withColumn(
         "keep", F.col("avg_p_micro") >= _LM_KEEP_MICRO
     )
 
@@ -1425,15 +1441,10 @@ def text_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/lm.py / the _LM_CTES chain)."""
     from pyspark.sql import Window as W
 
-    from ..functions.lm import bigram_counts, lm_from_counts, score_docs
+    from ..functions.lm import score_docs
 
     t = Tables(spark, sf_dir)
-    lm = lm_from_counts(
-        bigram_counts(
-            t.documents.filter(F.col("source") == _LM_REF_SOURCE)
-        )
-    )
-    perdoc = score_docs(t.documents, lm)
+    perdoc = score_docs(t.documents, _reference_lm(t), sort=False)
     w = W.partitionBy("lang").orderBy(
         F.col("avg_p_micro").desc(), "doc_id"
     )
