@@ -30,6 +30,21 @@ from ..similarity.ann import (
 QUERY_IDS = [0, 1, 2, 3, 4]
 TOP_K = 10
 PAIR_THRESHOLD = 0.4
+
+
+def _emb_stamp(sf_dir: str) -> str:
+    """Session-cache key for in-query k-means fits over ``sf_dir``'s
+    embeddings: realpath + (mtime, size) of the parquet, so a
+    regenerated fixture at the same path can never hit a stale fit
+    (the scratch_index_dir / _reused_index convention)."""
+    from ..catalog import table_path
+
+    real = os.path.realpath(sf_dir)
+    try:
+        st = os.stat(table_path(real, "embeddings"))
+        return f"{real}|{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        return real
 BUCKET_BITS = 8
 
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
@@ -311,7 +326,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.kmeans import kmeans_assignments
 
     t = Tables(spark, sf_dir)
-    return kmeans_assignments(t.embeddings)
+    return kmeans_assignments(
+        t.embeddings, cache_key=_emb_stamp(sf_dir)
+    )
 
 
 def cell_pairs_sql(threshold: float, k: int = 8, iters: int = 2) -> str:
@@ -380,7 +397,9 @@ def quantized_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import quantized_cosine_pairs_cells
 
     t = Tables(spark, sf_dir)
-    return quantized_cosine_pairs_cells(t.embeddings, PAIR_THRESHOLD)
+    return quantized_cosine_pairs_cells(
+        t.embeddings, PAIR_THRESHOLD, cache_key=_emb_stamp(sf_dir)
+    )
 
 
 N_IVF_ITERS = 1  # one Lloyd round: measured recall 0.88 vs 0.84 at two
@@ -440,6 +459,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         t.embeddings, QUERY_IDS, TOP_K,
         n_cells=N_CELLS, n_probe=N_PROBE, iters=N_IVF_ITERS,
+        cache_key=_emb_stamp(sf_dir),
     )
 
 
@@ -533,7 +553,9 @@ def cosine_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import cosine_pairs_threshold_cells
 
     t = Tables(spark, sf_dir)
-    return cosine_pairs_threshold_cells(t.embeddings, PAIR_THRESHOLD)
+    return cosine_pairs_threshold_cells(
+        t.embeddings, PAIR_THRESHOLD, cache_key=_emb_stamp(sf_dir)
+    )
 
 
 def _cos_dims_sql(a: str, b: str, d: int) -> str:

@@ -168,6 +168,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN with TRAINED centroids: deterministic
     quantized k-means (similarity/kmeans.py) partitions the corpus into
@@ -189,9 +190,12 @@ def cosine_topk_ivf(
     """
     from .kmeans import kmeans_fit, quantize
 
-    # single downstream reference (the cells join) → no checkpoint
+    # single downstream reference (the cells join) → no checkpoint;
+    # a cache_key pins the trained fit for the session instead of
+    # re-training cells on every query invocation
     assign, cent_rows = kmeans_fit(
-        embeddings, n_cells, iters, materialize=False
+        embeddings, n_cells, iters, materialize=False,
+        cache_key=cache_key,
     )
     cells = _with_norm(embeddings, "vec_id", "v_emb", "v_norm").join(
         assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
@@ -386,6 +390,7 @@ def cosine_pairs_threshold_cells(
     k: int = 8,
     iters: int = 2,
     n_blocks: int = 4,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: k-means cells → exact cosine only
     WITHIN each cell (the SemDeDup recipe — cluster first, compare
@@ -449,9 +454,9 @@ def cosine_pairs_threshold_cells(
             {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cosine": cosv[keep]}
         )
 
-    cells = kmeans_assignments(embeddings, k, iters).select(
-        "vec_id", "cluster"
-    )
+    cells = kmeans_assignments(
+        embeddings, k, iters, cache_key=cache_key
+    ).select("vec_id", "cluster")
     b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
     tagged = embeddings.join(cells, "vec_id").select(
         "cluster", "vec_id", "embedding", b.alias("b")
@@ -547,6 +552,7 @@ def quantized_cosine_pairs_cells(
     k: int = 8,
     iters: int = 2,
     n_blocks: int = 4,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Sub-quadratic int8-quantized near-dup pairs — the PRODUCT path
     for compressed-embedding dedup at 100 TB, composing
@@ -625,9 +631,9 @@ def quantized_cosine_pairs_cells(
             }
         )
 
-    cells = kmeans_assignments(embeddings, k, iters).select(
-        "vec_id", "cluster"
-    )
+    cells = kmeans_assignments(
+        embeddings, k, iters, cache_key=cache_key
+    ).select("vec_id", "cluster")
     raw = embeddings.select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
