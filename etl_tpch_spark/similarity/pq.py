@@ -42,6 +42,13 @@ M_SUB = 8
 SUB_DIM = 8
 K_CODES = 16
 PQ_ITERS = 1
+# raw-vector training reservoir: per coarse cell, the N vectors with
+# the smallest xxhash64(vec_id) are persisted verbatim beside the codes
+# (n_cells·N rows — a fixed-size artifact at any corpus scale), so a
+# retrain never has to re-read the embeddings source (PQ codes are
+# lossy).  Min-hash order makes the sample a deterministic function of
+# the id SET: the same vectors win regardless of arrival batching.
+RESERVOIR_PER_CELL = 64
 
 
 def _train_codebooks(
@@ -431,6 +438,19 @@ class IVFPQIndex:
         self.codes_t = TxTable(os.path.join(path, "codes"))
         self.cent_t = TxTable(os.path.join(path, "centroids"))
         self.books_t = TxTable(os.path.join(path, "books"))
+        # bounded raw-vector training reservoir (vec_id, embedding, h,
+        # cell) — what rebuild() retrains from (see RESERVOIR_PER_CELL)
+        self.train_t = TxTable(os.path.join(path, "train"))
+        # raw rows ingested SINCE the last (re)build (vec_id,
+        # embedding) — the uncompressed hot buffer every tick fills and
+        # every rebuild drains.  Rows encoded against artifacts trained
+        # on their own distribution decode faithfully, but a DRIFTED
+        # batch's codes lose the information a retrain needs (its
+        # residuals fall outside the trained codebooks), so rebuild
+        # re-encodes since-build rows from these raws exactly and only
+        # pre-build rows from their decode.  Size is bounded by the
+        # retrain cadence (max_ticks batches), not the corpus.
+        self.raw_t = TxTable(os.path.join(path, "raw"))
 
     @classmethod
     def build(
@@ -444,6 +464,7 @@ class IVFPQIndex:
         sub_dim: int = SUB_DIM,
         k_codes: int = K_CODES,
         pq_iters: int = PQ_ITERS,
+        reservoir_per_cell: int = RESERVOIR_PER_CELL,
     ) -> "IVFPQIndex":
         from .kmeans import kmeans_fit
 
@@ -469,7 +490,8 @@ class IVFPQIndex:
             "vec_id",
             F.col("cr.cell").alias("cell"),
             F.col("cr.rv").alias("qv"),
-        )
+        ).persist()  # read by PQ training, the codes write AND the
+        # reservoir's cell tags
         books = _train_codebooks(
             res.select("vec_id", "qv"),
             m_sub, sub_dim, k_codes, pq_iters,
@@ -516,6 +538,20 @@ class IVFPQIndex:
                 "j long, cent_id long, cv array<long>",
             )
         )
+        # the raw-vector training reservoir: per cell, the
+        # reservoir_per_cell rows with the smallest xxhash64(vec_id)
+        # (deterministic in the id set).  rebuild() retrains from this
+        # table so a retrain never re-reads the embeddings source.
+        wres = W.partitionBy("cell").orderBy("h", "vec_id")
+        idx.train_t.overwrite(
+            embeddings.select("vec_id", "embedding")
+            .join(res.select("vec_id", "cell"), "vec_id")
+            .withColumn("h", F.xxhash64("vec_id"))
+            .withColumn("rrn", F.row_number().over(wres))
+            .filter(F.col("rrn") <= reservoir_per_cell)
+            .select("vec_id", "embedding", "h", "cell")
+        )
+        res.unpersist()
         # the build/query contract is cross-process: persist the
         # geometry so a later opener can't misparse stored books with
         # different assumed parameters
@@ -530,6 +566,8 @@ class IVFPQIndex:
                     "n_cells": n_cells,
                     "k_codes": k_codes,
                     "pq_iters": pq_iters,
+                    "cell_iters": cell_iters,
+                    "reservoir_per_cell": reservoir_per_cell,
                 },
                 f,
             )
@@ -617,10 +655,85 @@ class IVFPQIndex:
         maintenance cadence retrains against drift; tick files land
         unclustered, so the same cadence should
         ``codes_t.compact(cluster_by=('cell',))`` to keep probe-time
-        file skipping effective."""
-        return self.codes_t.append(
-            self.encode_batch(spark, new_embeddings), batch_id=batch_id
+        file skipping effective.
+
+        The training reservoir ingests too: batch rows whose
+        xxhash64(vec_id) beats the stored per-cell threshold (or land
+        in an under-full cell) append to ``train/`` — the min-hash
+        order means the reservoir stays the same deterministic sample
+        a fresh full-corpus build would pick, and expected additions
+        per tick decay as the corpus grows (only hash-record-breakers
+        enter), so the table stays ~n_cells·N rows between the
+        rebuild-time prunes.  Without this, drifted vectors could
+        never reach the training set and a reservoir retrain could
+        not adapt to drift at all."""
+        new_embeddings = new_embeddings.localCheckpoint(eager=False)
+        enc = self.encode_batch(spark, new_embeddings).localCheckpoint(
+            eager=False
+        )  # one Arrow encode pass feeds both the codes append and the
+        # reservoir candidate tags
+        replay = (
+            batch_id is not None
+            and batch_id in self.codes_t.applied_batch_ids()
         )
+        n = self.codes_t.append(enc, batch_id=batch_id)
+        if replay:  # replayed batch — the side-table appends would
+            # no-op on their own batch_ids too; skip the planning work
+            return n
+        # hot buffer: the batch's raw vectors, exact until the next
+        # rebuild re-encodes and drains them
+        self.raw_t.append(
+            new_embeddings.select("vec_id", "embedding"),
+            batch_id=batch_id,
+        )
+        import json
+        import os
+
+        if not self.train_t.versions():
+            # pre-reservoir index (built before train/ existed): ticks
+            # keep working; rebuild() will require a corpus source
+            return n
+        cap = RESERVOIR_PER_CELL
+        meta_p = os.path.join(self.path, "meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                cap = json.load(f).get(
+                    "reservoir_per_cell", RESERVOIR_PER_CELL
+                )
+        thr = {
+            r["cell"]: (r["n"], r["mx"])
+            for r in self.train_t.read(spark)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+            .collect()  # K-sized: one row per coarse cell
+        }
+        cand = (
+            new_embeddings.select("vec_id", "embedding")
+            .join(enc.select("vec_id", "cell"), "vec_id")
+            .withColumn("h", F.xxhash64("vec_id"))
+        )
+        keep = F.lit(False)
+        for cell, (cnt, mx) in thr.items():
+            ok = (
+                F.lit(True)
+                if cnt < cap
+                else (F.col("h") < F.lit(mx))
+            )
+            keep = F.when(F.col("cell") == F.lit(cell), ok).otherwise(
+                keep
+            )
+        # cells with no stored rows yet (a drifted batch can populate
+        # a previously empty cell) always qualify
+        if thr:
+            known = F.col("cell").isin(*thr.keys())
+            keep = F.when(~known, F.lit(True)).otherwise(keep)
+        else:
+            keep = F.lit(True)
+        self.train_t.append(
+            cand.filter(keep).select("vec_id", "embedding", "h", "cell"),
+            batch_id=batch_id,
+        )
+        return n
 
     def ticks_since_build(self) -> int:
         """Append commits on the codes table since the last full
@@ -669,30 +782,248 @@ class IVFPQIndex:
     def rebuild(
         self,
         spark: SparkSession,
-        embeddings: DataFrame,
+        embeddings: DataFrame | None = None,
         *,
         n_cells: int | None = None,
         **build_kwargs,
     ) -> "IVFPQIndex":
-        """Retrain coarse centroids AND residual codebooks from the
-        full corpus, rewriting the codes table in place.  Unlike
-        IVFIndex.rebuild, PQ codes are LOSSY — the raw vectors are not
-        recoverable from storage — so the caller supplies the
-        embeddings source (at 100 TB: the embeddings lake table the
-        ticks drew from)."""
+        """Retrain coarse centroids AND residual codebooks, rewriting
+        the codes table in place.
+
+        ``embeddings=None`` (the default maintenance path) retrains
+        INDEX-LOCALLY: centroids and codebooks train on the persisted
+        raw-vector reservoir (``train/`` — n_cells·N rows, fixed size
+        at any corpus scale), and the inverted file re-encodes from the
+        index's own storage in two strata:
+
+        - rows ingested since the last build re-encode EXACTLY from
+          the raw hot buffer (``raw/`` — bounded by the retrain
+          cadence).  This stratum is where drift lives, and drifted
+          rows' old codes are unrecoverable (their residuals fell
+          outside the codebooks trained before the drift) — measured:
+          decode-only re-encoding left every drifted vector in the old
+          seed cells and recall at 0;
+        - pre-build rows re-encode from their DECODE (old centroid +
+          codebook reconstruction, one Arrow pass over the ~8-byte
+          rows).  They were in-distribution when their artifacts
+          trained, so their decode error is ordinary PQ quantization
+          noise, one step of which enters per reservoir rebuild.
+
+        Nothing outside the index root is read: at 100 TB the retrain
+        touches a ~3 TB codes table, a cadence-bounded raw buffer it
+        then drains, and a KB-scale training set — instead of the
+        100 TB embeddings lake.  The recall floor vs the corpus-sourced
+        rebuild is pinned in tests/test_ivf_maintenance.py.
+
+        Passing ``embeddings`` keeps the exact corpus-sourced retrain
+        (a full :meth:`build` over the supplied source) — the baseline
+        the reservoir path is measured against, and the only option
+        for pre-reservoir indexes."""
         import json
         import os
 
+        meta: dict = {}
+        meta_p = os.path.join(self.path, "meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
         if n_cells is None:
-            meta_p = os.path.join(self.path, "meta.json")
-            if os.path.exists(meta_p):
-                with open(meta_p) as f:
-                    n_cells = json.load(f)["n_cells"]
-            else:
-                n_cells = 16
-        return IVFPQIndex.build(
-            self.path, embeddings, n_cells=n_cells, **build_kwargs
+            n_cells = meta.get("n_cells", 16)
+        if embeddings is not None:
+            return IVFPQIndex.build(
+                self.path, embeddings, n_cells=n_cells, **build_kwargs
+            )
+        if not self.train_t.versions():
+            raise ValueError(
+                "index has no training reservoir (built before train/ "
+                "existed) — pass the embeddings source to rebuild"
+            )
+        from .kmeans import kmeans_fit
+
+        m_sub = build_kwargs.get("m_sub", meta.get("m_sub", M_SUB))
+        sub_dim = build_kwargs.get(
+            "sub_dim", meta.get("sub_dim", SUB_DIM)
         )
+        k_codes = build_kwargs.get(
+            "k_codes", meta.get("k_codes", K_CODES)
+        )
+        pq_iters = build_kwargs.get(
+            "pq_iters", meta.get("pq_iters", PQ_ITERS)
+        )
+        cell_iters = build_kwargs.get(
+            "cell_iters", meta.get("cell_iters", 1)
+        )
+        cap = build_kwargs.get(
+            "reservoir_per_cell",
+            meta.get("reservoir_per_cell", RESERVOIR_PER_CELL),
+        )
+        reservoir = (
+            self.train_t.read(spark)
+            .select("vec_id", "embedding", "h")
+            .localCheckpoint(eager=False)
+        )
+        # ---- train new artifacts on the reservoir ONLY
+        _, cents = kmeans_fit(
+            reservoir.select("vec_id", "embedding"),
+            n_cells,
+            cell_iters,
+            materialize=False,
+        )
+        cell_ids = np.array([c for c, _cv in cents], dtype="int64")
+        cell_mat = np.array([cv for _c, cv in cents], dtype="int64")
+
+        @F.pandas_udf("cell long, rv array<long>")
+        def cell_res(qv: pd.Series) -> pd.DataFrame:
+            X = np.stack(qv.to_numpy()).astype("int64")
+            diff = X[:, None, :] - cell_mat[None, :, :]
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            rv = X - cell_mat[best] + RES_OFFSET
+            return pd.DataFrame({"cell": cell_ids[best], "rv": list(rv)})
+
+        res = (
+            quantize(reservoir.select("vec_id", "embedding"))
+            .withColumn("cr", cell_res("qv"))
+            .select(
+                "vec_id",
+                F.col("cr.cell").alias("cell"),
+                F.col("cr.rv").alias("qv"),
+            )
+            .persist()  # PQ training + the reservoir's new cell tags
+        )
+        books = _train_codebooks(
+            res.select("vec_id", "qv"), m_sub, sub_dim, k_codes, pq_iters
+        )
+        new_mats = [
+            np.array([cv for (_c, cv) in sorted(b)], dtype="int64")
+            for b in books
+        ]
+        # ---- decode stored codes against the OLD artifacts, re-encode
+        # against the new (geometry collected before any overwrite)
+        old_m, old_sd, old_ids, old_mat, old_mats = (
+            self._stored_geometry(spark)
+        )
+
+        @F.pandas_udf("cell long, codes array<long>")
+        def recode(cell: pd.Series, codes: pd.Series) -> pd.DataFrame:
+            C = np.stack(codes.to_numpy()).astype("int64")
+            ci = np.searchsorted(
+                old_ids, cell.to_numpy().astype("int64")
+            )
+            rec = np.empty((len(C), old_m * old_sd), dtype="int64")
+            for j in range(old_m):
+                rec[:, j * old_sd : (j + 1) * old_sd] = old_mats[j][
+                    C[:, j]
+                ]
+            qv = old_mat[ci] + rec - RES_OFFSET  # ≈ the stored vector
+            diff = qv[:, None, :] - cell_mat[None, :, :]
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            rv = qv - cell_mat[best] + RES_OFFSET
+            out = np.zeros((len(qv), m_sub), dtype="int64")
+            for j in range(m_sub):
+                sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
+                d = sub[:, None, :] - new_mats[j][None, :, :]
+                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            return pd.DataFrame(
+                {"cell": cell_ids[best], "codes": list(out)}
+            )
+
+        @F.pandas_udf("cell long, codes array<long>")
+        def enc_new(qv: pd.Series) -> pd.DataFrame:
+            # exact encode against the NEW artifacts (encode_batch's
+            # arithmetic with the retrained geometry closed over)
+            X = np.stack(qv.to_numpy()).astype("int64")
+            diff = X[:, None, :] - cell_mat[None, :, :]
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            rv = X - cell_mat[best] + RES_OFFSET
+            out = np.zeros((len(X), m_sub), dtype="int64")
+            for j in range(m_sub):
+                sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
+                d = sub[:, None, :] - new_mats[j][None, :, :]
+                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            return pd.DataFrame(
+                {"cell": cell_ids[best], "codes": list(out)}
+            )
+
+        old_codes = self.codes_t.read(spark).select(
+            "vec_id", "cell", "codes"
+        )
+        if self.raw_t.versions():
+            raws = self.raw_t.read(spark).select("vec_id", "embedding")
+            exact = (
+                quantize(raws)
+                .withColumn("cc", enc_new("qv"))
+                .select(
+                    "vec_id",
+                    F.col("cc.cell").alias("cell"),
+                    F.col("cc.codes").alias("codes"),
+                )
+            )
+            stale = old_codes.join(
+                raws.select("vec_id"), "vec_id", "left_anti"
+            )
+            recoded = stale.withColumn(
+                "nc", recode("cell", "codes")
+            ).select(
+                "vec_id",
+                F.col("nc.cell").alias("cell"),
+                F.col("nc.codes").alias("codes"),
+            ).unionByName(exact)
+        else:
+            recoded = old_codes.withColumn(
+                "nc", recode("cell", "codes")
+            ).select(
+                "vec_id",
+                F.col("nc.cell").alias("cell"),
+                F.col("nc.codes").alias("codes"),
+            )
+        self.codes_t.overwrite(recoded)  # old files stay readable
+        # (time travel) until vacuum, so the lazy self-read is safe
+        if self.raw_t.versions():
+            # drain the hot buffer: everything it held is now encoded
+            # against in-distribution artifacts
+            self.raw_t.overwrite(raws.limit(0))
+        self.codes_t.compact(
+            spark,
+            target_files=max(1, n_cells // 2),
+            cluster_by=("cell",),
+        )
+        self.cent_t.overwrite(
+            spark.createDataFrame(cents, "cent_id long, cv array<long>")
+        )
+        self.books_t.overwrite(
+            spark.createDataFrame(
+                [
+                    (j, cid, cv)
+                    for j, b in enumerate(books)
+                    for (cid, cv) in b
+                ],
+                "j long, cent_id long, cv array<long>",
+            )
+        )
+        # ---- re-tag the reservoir's cells against the NEW centroids
+        # and prune back to the per-cell cap
+        wres = W.partitionBy("cell").orderBy("h", "vec_id")
+        self.train_t.overwrite(
+            reservoir.join(res.select("vec_id", "cell"), "vec_id")
+            .withColumn("rrn", F.row_number().over(wres))
+            .filter(F.col("rrn") <= cap)
+            .select("vec_id", "embedding", "h", "cell")
+        )
+        res.unpersist()
+        with open(meta_p, "w") as f:
+            json.dump(
+                {
+                    "m_sub": m_sub,
+                    "sub_dim": sub_dim,
+                    "n_cells": n_cells,
+                    "k_codes": k_codes,
+                    "pq_iters": pq_iters,
+                    "cell_iters": cell_iters,
+                    "reservoir_per_cell": cap,
+                },
+                f,
+            )
+        return self
 
     def topk(
         self,
