@@ -47,37 +47,45 @@ _EDGES_SQL = f"""
 """
 
 
-# (application id, embeddings stamp) → persisted edge list.  The
-# kernel is deterministic (integer Lloyd + fold-ordered cosines), so a
-# cached edge set is bit-identical to a fresh run; the edge list is
-# near-dup pairs — orders of magnitude smaller than the corpus — so
+# (application id, embeddings stamp, threshold) → persisted edge list.
+# The kernel is deterministic (integer Lloyd + fold-ordered cosines),
+# so a cached edge set is bit-identical to a fresh run; the edge list
+# is near-dup pairs — orders of magnitude smaller than the corpus — so
 # pinning it is centroid-cache-sized, not corpus-sized.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge list, persisted per session: every consumer references it
-    2-3 times in one plan (both directions, wedge+closing joins), and
-    SIX graph queries share the identical edge definition — without
+def _edges_at(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Edge list at ``threshold``, persisted per session: every
+    consumer references it 2-3 times in one plan (both directions,
+    wedge+closing joins), and the graph queries share edge definitions
+    (0.4 for pagerank/triangles/degrees, 0.2 for the k-core) — without
     caching each invocation re-ran the Lloyd passes and the per-cell
     cosine kernel (the session-cache convention of derived_partsupp /
     the LSH signatures / the reference LM / the k-means fits)."""
     from .similarity import _emb_stamp
 
-    key = (spark.sparkContext.applicationId, _emb_stamp(sf_dir))
+    stamp = _emb_stamp(sf_dir)
+    key = (spark.sparkContext.applicationId, stamp, threshold)
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
     t = Tables(spark, sf_dir)
     built = (
         cosine_pairs_threshold_cells(
-            t.embeddings, PAIR_THRESHOLD, cache_key=_emb_stamp(sf_dir)
+            t.embeddings, threshold, cache_key=stamp
         )
         .select("vec_a", "vec_b")
         .persist()
     )
     _EDGE_CACHE[key] = built
     return built
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges_at(spark, sf_dir, PAIR_THRESHOLD)
 
 
 @query(
@@ -264,12 +272,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically; the fixed round budget keeps both engines on the
     identical computation whether or not the peel has converged (at
     the test fixture it has — asserted in tests/test_graph_kcore.py)."""
-    t = Tables(spark, sf_dir)
-    e = (
-        cosine_pairs_threshold_cells(t.embeddings, _KCORE_THRESHOLD)
-        .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
-    )
+    e = _edges_at(spark, sf_dir, _KCORE_THRESHOLD)
     both = e.select(F.col("vec_a").alias("vec_id")).unionAll(
         e.select(F.col("vec_b").alias("vec_id"))
     )
