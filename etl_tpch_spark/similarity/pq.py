@@ -552,6 +552,14 @@ class IVFPQIndex:
             .select("vec_id", "embedding", "h", "cell")
         )
         res.unpersist()
+        # establish (or drain) the raw hot buffer: a full build encodes
+        # every supplied vector from its true values, so any raws a
+        # previous generation accumulated are superseded — and an empty
+        # typed table means tick()/rebuild() never hit a missing-table
+        # branch on a fresh index
+        idx.raw_t.overwrite(
+            embeddings.select("vec_id", "embedding").limit(0)
+        )
         # the build/query contract is cross-process: persist the
         # geometry so a later opener can't misparse stored books with
         # different assumed parameters
