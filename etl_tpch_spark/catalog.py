@@ -28,6 +28,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_stamp(sf_dir: str, name: str) -> str:
+    """Session-cache key for ``sf_dir``'s ``name`` table: realpath +
+    (mtime_ns, size) of the parquet, so a regenerated fixture at the
+    same path can never hit a stale cached derivation — the ONE
+    definition of the staleness recipe every per-session cache keys on
+    (k-means fits, edge lists, reference LM, query-term rows,
+    scratch_index_dir / _reused_index markers)."""
+    real = os.path.realpath(sf_dir)
+    try:
+        st = os.stat(table_path(real, name))
+        return f"{real}|{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        return real
+
+
+def evict_superseded(cache: dict, match) -> None:
+    """Drop (and unpersist) every cache entry whose key satisfies
+    ``match`` — called by the session caches right before inserting a
+    fresh entry for the same identity (same fixture path / index, new
+    stamp or version), so a regenerated fixture or a ticked index
+    releases the replaced persisted DataFrames instead of pinning one
+    generation of executor storage per rebuild for the application
+    lifetime.  Values may be DataFrames or tuples whose first element
+    is one."""
+    for k in [k for k in cache if match(k)]:
+        v = cache.pop(k)
+        df = v[0] if isinstance(v, tuple) else v
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # plain values (lists, dicts) have nothing to release
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table. Schema comes from parquet footers (exact);
     explicit schemas in `schemas.py` are for JSON/streaming sources where

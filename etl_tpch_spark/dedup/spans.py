@@ -147,12 +147,57 @@ def merge_islands(hits: DataFrame) -> DataFrame:
     )
 
 
+# window-hash storage format id.  v1 stored h as the 16-byte md5 of
+# the gram text; v2 (the Buzhash rewrite) stores struct<h1,h2>.  The
+# two are incompatible on disk AND in value, so an index written by
+# one must never be appended to by the other.
+_WINDOW_HASH_FORMAT = "rolling-2x64-v2"
+
+
 class SpanIndex:
     """A TxTable of (doc_id, pos, h) window rows — the persisted state
     of daily-crawl span dedup."""
 
     def __init__(self, path: str) -> None:
+        import os
+
         self.table = TxTable(path)
+        marker = os.path.join(path, "_WINDOW_HASH_FORMAT")
+        if self.table.versions():
+            try:
+                with open(marker) as f:
+                    fmt = f.read()
+            except OSError:
+                # marker-less non-empty index: decide from the stored
+                # schema itself (one parquet footer, no Spark job) —
+                # v2 stores h as struct<h1,h2>, v1 as 16-byte binary.
+                # A v2 index that predates the marker backfills it.
+                fmt = "md5-v1 (pre-marker index)"
+                files = self.table.snapshot_files()
+                if files:
+                    import pyarrow.parquet as pq
+
+                    sch = pq.read_schema(os.path.join(path, files[0]))
+                    if "h" in sch.names and str(
+                        sch.field("h").type
+                    ).startswith("struct"):
+                        fmt = _WINDOW_HASH_FORMAT
+                        with open(marker, "w") as f:
+                            f.write(fmt)
+            if fmt != _WINDOW_HASH_FORMAT:
+                raise ValueError(
+                    f"span index at {path} uses window-hash format "
+                    f"{fmt!r}, this build writes "
+                    f"{_WINDOW_HASH_FORMAT!r}.  Window rows are "
+                    "derived state: delete the index directory and "
+                    "re-ingest (or keep running the old build) — "
+                    "appending across formats would mix incomparable "
+                    "keys and silently miss every cross-format "
+                    "duplicate."
+                )
+        else:
+            with open(marker, "w") as f:
+                f.write(_WINDOW_HASH_FORMAT)
 
     def ingest(self, docs: DataFrame, *, batch_id: str | None = None) -> int:
         """Window ``docs`` (one pass over the new text only) and append

@@ -284,6 +284,15 @@ class SearchIndex:
         hit = _PLAN_CACHE.get(ck)
         if hit is not None:
             return hit
+        # a new index generation supersedes this (path, terms, topk)'s
+        # old plans — drop them so daily ticks don't accrete one dict
+        # per generation per query for the application lifetime
+        for old in [
+            k
+            for k in _PLAN_CACHE
+            if k[0] == ck[0] and k[4:] == ck[4:] and k != ck
+        ]:
+            del _PLAN_CACHE[old]
         out = {
             "essential": terms,
             "nonessential": [],

@@ -72,6 +72,16 @@ def _edges_at(
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
+    from ..catalog import evict_superseded
+
+    real = stamp.split("|", 1)[0]
+    evict_superseded(
+        _EDGE_CACHE,
+        lambda k: k[0] == key[0]
+        and k[2] == threshold
+        and k[1].split("|", 1)[0] == real
+        and k[1] != stamp,
+    )
     t = Tables(spark, sf_dir)
     built = (
         cosine_pairs_threshold_cells(

@@ -205,20 +205,21 @@ _QTERM_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _query_term_rows(spark: SparkSession, sf_dir: str) -> list:
-    import os as _os
+    from ..catalog import table_stamp
 
-    from ..catalog import table_path
-
-    real = _os.path.realpath(sf_dir)
-    try:
-        st = _os.stat(table_path(real, "documents"))
-        stamp = f"{real}|{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        stamp = real
-    key = (spark.sparkContext.applicationId, stamp)
+    key = (spark.sparkContext.applicationId, table_stamp(sf_dir, "documents"))
     hit = _QTERM_CACHE.get(key)
     if hit is not None:
         return hit
+    from ..catalog import evict_superseded
+
+    real = key[1].split("|", 1)[0]
+    evict_superseded(
+        _QTERM_CACHE,
+        lambda k: k[0] == key[0]
+        and k[1].split("|", 1)[0] == real
+        and k[1] != key[1],
+    )
     t = Tables(spark, sf_dir)
     rows = (
         t.documents.filter(F.col("doc_id").isin(QUERY_IDS))

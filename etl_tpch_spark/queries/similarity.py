@@ -34,17 +34,11 @@ PAIR_THRESHOLD = 0.4
 
 def _emb_stamp(sf_dir: str) -> str:
     """Session-cache key for in-query k-means fits over ``sf_dir``'s
-    embeddings: realpath + (mtime, size) of the parquet, so a
-    regenerated fixture at the same path can never hit a stale fit
-    (the scratch_index_dir / _reused_index convention)."""
-    from ..catalog import table_path
+    embeddings (catalog.table_stamp — realpath + mtime/size, so a
+    regenerated fixture can never hit a stale fit)."""
+    from ..catalog import table_stamp
 
-    real = os.path.realpath(sf_dir)
-    try:
-        st = os.stat(table_path(real, "embeddings"))
-        return f"{real}|{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        return real
+    return table_stamp(sf_dir, "embeddings")
 BUCKET_BITS = 8
 
 _IDS = ", ".join(str(i) for i in QUERY_IDS)

@@ -1296,7 +1296,7 @@ def text_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_REF_SOURCE = "src0"  # the in-domain reference corpus (wiki stand-in)
 _LM_KEEP_MICRO = 33000  # keep floor on the avg bigram micro-probability
 
-# (application id, realpath(sf_dir)) → persisted reference LM table.
+# (application id, documents table_stamp) → persisted reference LM.
 # The LM is vocab-sized (~1k conditional rows at any fixture — it is
 # broadcast into every scoring join), but its LINEAGE is a quarter-
 # corpus explode+count; without pinning, every job of every LM query
@@ -1307,17 +1307,25 @@ _LM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _reference_lm(t: Tables) -> DataFrame:
-    import os as _os
-
+    from ..catalog import table_stamp
     from ..functions.lm import bigram_counts, lm_from_counts
 
     key = (
         t._spark.sparkContext.applicationId,
-        _os.path.realpath(t._sf_dir),
+        table_stamp(t._sf_dir, "documents"),
     )
     cached = _LM_CACHE.get(key)
     if cached is not None:
         return cached
+    from ..catalog import evict_superseded
+
+    real = key[1].split("|", 1)[0]
+    evict_superseded(
+        _LM_CACHE,
+        lambda k: k[0] == key[0]
+        and k[1].split("|", 1)[0] == real
+        and k[1] != key[1],
+    )
     built = lm_from_counts(
         bigram_counts(t.documents.filter(F.col("source") == _LM_REF_SOURCE))
     ).persist()

@@ -46,19 +46,29 @@ _PARTSUPP_SQL = """
 """
 
 
-# (application id, realpath(sf_dir)) → persisted derived partsupp;
-# entries live for the session, like the LSH signature cache
+# (application id, part table_stamp) → persisted derived partsupp;
+# entries live for the session, like the LSH signature cache; a
+# regenerated fixture changes the stamp and evicts the stale build
 _PS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def derived_partsupp(t: Tables) -> DataFrame:
+    from ..catalog import evict_superseded, table_stamp
+
     key = (
         t._spark.sparkContext.applicationId,
-        os.path.realpath(t._sf_dir),
+        table_stamp(t._sf_dir, "part"),
     )
     cached = _PS_CACHE.get(key)
     if cached is not None:
         return cached
+    real = key[1].split("|", 1)[0]
+    evict_superseded(
+        _PS_CACHE,
+        lambda k: k[0] == key[0]
+        and k[1].split("|", 1)[0] == real
+        and k[1] != key[1],
+    )
     built = _build_partsupp(t).persist()
     _PS_CACHE[key] = built
     return built

@@ -201,6 +201,18 @@ def kmeans_fit(
         hit = _FIT_CACHE.get(ck)
         if hit is not None:
             return hit
+        # a regenerated fixture (same path, new stamp) supersedes the
+        # old fit — release its persisted assignment before rebuilding
+        from ..catalog import evict_superseded
+
+        real = cache_key.split("|", 1)[0]
+        evict_superseded(
+            _FIT_CACHE,
+            lambda key: key[0] == ck[0]
+            and key[2:] == ck[2:]
+            and key[1].split("|", 1)[0] == real
+            and key[1] != cache_key,
+        )
     q = quantize(embeddings).cache()
     cent_rows = [
         (r.cent_id, list(r.cv)) for r in _init_centroids(q, k).collect()

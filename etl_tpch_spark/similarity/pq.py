@@ -267,6 +267,31 @@ def l2_topk_exact(
 RES_OFFSET = 2_000_000  # shifts residuals (qv - centroid) non-negative
 
 
+def _nearest_cell_rv(X, cell_mat):
+    """Shared coarse-assignment arithmetic: nearest centroid row index
+    (np.argmin takes the first minimum — with centroids sorted by id
+    this IS the (d2, cent_id) tie-break) and the offset residual.  ONE
+    definition, so every encoder in this module (build, encode_batch,
+    the per-run operator, rebuild's re-encoders) is bit-identical by
+    construction — the 'tick-encoded rows are bit-interchangeable'
+    contract rests on this."""
+    diff = X[:, None, :] - cell_mat[None, :, :]
+    best = (diff * diff).sum(axis=2).argmin(axis=1)
+    return best, X - cell_mat[best] + RES_OFFSET
+
+
+def _pq_code_cols(rv, mats, m_sub, sub_dim):
+    """Shared per-subspace code assignment: position of the nearest
+    codebook row (sorted-cent_id order) per subspace."""
+    out = np.zeros((len(rv), m_sub), dtype="int64")
+    for j in range(m_sub):
+        sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
+        d = sub[:, None, :] - mats[j][None, :, :]
+        out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+    return out
+
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -315,10 +340,7 @@ def ivfpq_topk(
     @F.pandas_udf("cell long, rv array<long>")
     def cell_res(qv: pd.Series) -> pd.DataFrame:
         X = np.stack(qv.to_numpy()).astype("int64")
-        diff = X[:, None, :] - cell_mat[None, :, :]
-        d2 = (diff * diff).sum(axis=2)
-        best = d2.argmin(axis=1)  # first-min == (d2, cent_id)
-        rv = X - cell_mat[best] + RES_OFFSET
+        best, rv = _nearest_cell_rv(X, cell_mat)
         return pd.DataFrame(
             {"cell": cell_ids[best], "rv": list(rv)}
         )
@@ -368,15 +390,9 @@ def ivfpq_topk(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def adc(qv: pd.Series) -> pd.Series:
         X = np.stack(qv.to_numpy()).astype("int64")
-        diff = X[:, None, :] - cell_mat[None, :, :]
-        best = (diff * diff).sum(axis=2).argmin(axis=1)
+        best, rv = _nearest_cell_rv(X, cell_mat)
         cells = cell_ids[best]
-        rv = X - cell_mat[best] + RES_OFFSET
-        codes = np.zeros((len(X), m_sub), dtype="int64")
-        for j in range(m_sub):
-            sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
-            d = sub[:, None, :] - book_mats[j][None, :, :]
-            codes[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+        codes = _pq_code_cols(rv, book_mats, m_sub, sub_dim)
         out = np.full((len(X), n_q), -1, dtype="int64")
         sub_idx = np.arange(m_sub)
         for qi in range(n_q):
@@ -479,9 +495,7 @@ class IVFPQIndex:
         @F.pandas_udf("cell long, rv array<long>")
         def cell_res(qv: pd.Series) -> pd.DataFrame:
             X = np.stack(qv.to_numpy()).astype("int64")
-            diff = X[:, None, :] - cell_mat[None, :, :]
-            best = (diff * diff).sum(axis=2).argmin(axis=1)
-            rv = X - cell_mat[best] + RES_OFFSET
+            best, rv = _nearest_cell_rv(X, cell_mat)
             return pd.DataFrame(
                 {"cell": cell_ids[best], "rv": list(rv)}
             )
@@ -504,13 +518,10 @@ class IVFPQIndex:
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def encode(rv: pd.Series) -> pd.Series:
             X = np.stack(rv.to_numpy()).astype("int64")
-            out = np.zeros((len(X), m_sub), dtype="int64")
-            for j in range(m_sub):
-                sub = X[:, j * sub_dim : (j + 1) * sub_dim]
-                d = sub[:, None, :] - mats[j][None, :, :]
-                # store the POSITION (0..K-1) in sorted-cent_id order
-                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
-            return pd.Series(list(out))
+            # stores the POSITION (0..K-1) in sorted-cent_id order
+            return pd.Series(
+                list(_pq_code_cols(X, mats, m_sub, sub_dim))
+            )
 
         idx = cls(path)
         idx.codes_t.overwrite(
@@ -625,14 +636,8 @@ class IVFPQIndex:
         @F.pandas_udf("cell long, codes array<long>")
         def enc(qv: pd.Series) -> pd.DataFrame:
             X = np.stack(qv.to_numpy()).astype("int64")
-            diff = X[:, None, :] - cell_mat[None, :, :]
-            best = (diff * diff).sum(axis=2).argmin(axis=1)
-            rv = X - cell_mat[best] + RES_OFFSET
-            out = np.zeros((len(X), m_sub), dtype="int64")
-            for j in range(m_sub):
-                sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
-                d = sub[:, None, :] - mats[j][None, :, :]
-                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            best, rv = _nearest_cell_rv(X, cell_mat)
+            out = _pq_code_cols(rv, mats, m_sub, sub_dim)
             return pd.DataFrame(
                 {"cell": cell_ids[best], "codes": list(out)}
             )
@@ -667,26 +672,38 @@ class IVFPQIndex:
 
         The training reservoir ingests too: batch rows whose
         xxhash64(vec_id) beats the stored per-cell threshold (or land
-        in an under-full cell) append to ``train/`` — the min-hash
-        order means the reservoir stays the same deterministic sample
-        a fresh full-corpus build would pick, and expected additions
-        per tick decay as the corpus grows (only hash-record-breakers
-        enter), so the table stays ~n_cells·N rows between the
-        rebuild-time prunes.  Without this, drifted vectors could
-        never reach the training set and a reservoir retrain could
-        not adapt to drift at all."""
+        in an under-full cell) append to ``train/``; expected
+        additions per tick decay as the corpus grows (only
+        hash-record-breakers enter), so the table stays ~n_cells·N
+        rows between the rebuild-time prunes.  Without this, drifted
+        vectors could never reach the training set and a reservoir
+        retrain could not adapt to drift at all.  Admission tests
+        against the CURRENT cell tags, so it is exactly the fresh
+        full-corpus sample only w.r.t. the current generation's
+        centroids; a tick-time rejection is reconsidered at the next
+        rebuild (which pools the raw hot buffer back into the
+        candidate set before re-tagging and pruning), so only rows
+        both rejected AND already drained — i.e. losers under two
+        consecutive generations' tags — can be missing vs a fresh
+        full-corpus sample."""
         new_embeddings = new_embeddings.localCheckpoint(eager=False)
         enc = self.encode_batch(spark, new_embeddings).localCheckpoint(
             eager=False
         )  # one Arrow encode pass feeds both the codes append and the
         # reservoir candidate tags
+        # the replay short-circuit keys on the LAST table this method
+        # commits (train_t): a crash between the codes append and the
+        # side-table appends then replays to completion — the landed
+        # tables no-op on their batch ids, the missing ones land —
+        # exactly the two-table crash contract SearchIndex.ingest
+        # documents.  Keying on codes_t (the FIRST commit) would make
+        # such a half-landed batch unreachable forever.
         replay = (
             batch_id is not None
-            and batch_id in self.codes_t.applied_batch_ids()
+            and batch_id in self.train_t.applied_batch_ids()
         )
         n = self.codes_t.append(enc, batch_id=batch_id)
-        if replay:  # replayed batch — the side-table appends would
-            # no-op on their own batch_ids too; skip the planning work
+        if replay:
             return n
         # hot buffer: the batch's raw vectors, exact until the next
         # rebuild re-encodes and drains them
@@ -883,9 +900,7 @@ class IVFPQIndex:
         @F.pandas_udf("cell long, rv array<long>")
         def cell_res(qv: pd.Series) -> pd.DataFrame:
             X = np.stack(qv.to_numpy()).astype("int64")
-            diff = X[:, None, :] - cell_mat[None, :, :]
-            best = (diff * diff).sum(axis=2).argmin(axis=1)
-            rv = X - cell_mat[best] + RES_OFFSET
+            best, rv = _nearest_cell_rv(X, cell_mat)
             return pd.DataFrame({"cell": cell_ids[best], "rv": list(rv)})
 
         res = (
@@ -923,14 +938,8 @@ class IVFPQIndex:
                     C[:, j]
                 ]
             qv = old_mat[ci] + rec - RES_OFFSET  # ≈ the stored vector
-            diff = qv[:, None, :] - cell_mat[None, :, :]
-            best = (diff * diff).sum(axis=2).argmin(axis=1)
-            rv = qv - cell_mat[best] + RES_OFFSET
-            out = np.zeros((len(qv), m_sub), dtype="int64")
-            for j in range(m_sub):
-                sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
-                d = sub[:, None, :] - new_mats[j][None, :, :]
-                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            best, rv = _nearest_cell_rv(qv, cell_mat)
+            out = _pq_code_cols(rv, new_mats, m_sub, sub_dim)
             return pd.DataFrame(
                 {"cell": cell_ids[best], "codes": list(out)}
             )
@@ -940,14 +949,8 @@ class IVFPQIndex:
             # exact encode against the NEW artifacts (encode_batch's
             # arithmetic with the retrained geometry closed over)
             X = np.stack(qv.to_numpy()).astype("int64")
-            diff = X[:, None, :] - cell_mat[None, :, :]
-            best = (diff * diff).sum(axis=2).argmin(axis=1)
-            rv = X - cell_mat[best] + RES_OFFSET
-            out = np.zeros((len(X), m_sub), dtype="int64")
-            for j in range(m_sub):
-                sub = rv[:, j * sub_dim : (j + 1) * sub_dim]
-                d = sub[:, None, :] - new_mats[j][None, :, :]
-                out[:, j] = (d * d).sum(axis=2).argmin(axis=1)
+            best, rv = _nearest_cell_rv(X, cell_mat)
+            out = _pq_code_cols(rv, new_mats, m_sub, sub_dim)
             return pd.DataFrame(
                 {"cell": cell_ids[best], "codes": list(out)}
             )
@@ -1008,12 +1011,28 @@ class IVFPQIndex:
                 "j long, cent_id long, cv array<long>",
             )
         )
-        # ---- re-tag the reservoir's cells against the NEW centroids
-        # and prune back to the per-cell cap
+        # ---- refresh the reservoir: pool the drained raw rows back
+        # into the candidate set (their NEW cell tags are already in
+        # ``exact``), re-tag everything against the new centroids and
+        # prune to the per-cell cap.  The pooling is what makes a
+        # tick-time admission rejection non-permanent: it gets a
+        # second chance under the retrained tags before the buffer
+        # drains.
         wres = W.partitionBy("cell").orderBy("h", "vec_id")
+        cand_res = reservoir.join(res.select("vec_id", "cell"), "vec_id")
+        if self.raw_t.versions():
+            raw_cand = (
+                raws.withColumn("h", F.xxhash64("vec_id"))
+                .join(exact.select("vec_id", "cell"), "vec_id")
+                .select("vec_id", "embedding", "h", "cell")
+            )
+            cand_res = (
+                cand_res.select("vec_id", "embedding", "h", "cell")
+                .unionByName(raw_cand)
+                .dropDuplicates(["vec_id"])
+            )
         self.train_t.overwrite(
-            reservoir.join(res.select("vec_id", "cell"), "vec_id")
-            .withColumn("rrn", F.row_number().over(wres))
+            cand_res.withColumn("rrn", F.row_number().over(wres))
             .filter(F.col("rrn") <= cap)
             .select("vec_id", "embedding", "h", "cell")
         )
