@@ -148,6 +148,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     dash.add_argument("--root", required=True)
     dash.add_argument("--limit", type=int, default=10)
+    dash.add_argument(
+        "--html",
+        default=None,
+        metavar="OUT",
+        help="also render the web form: one static self-contained "
+        "HTML page (the reference's Streamlit view as a gold-zone "
+        "artifact)",
+    )
 
     hist = sub.add_parser(
         "history",
@@ -283,6 +291,11 @@ def main(argv: list[str] | None = None) -> int:
             format_for_display(spark.read.parquet(seg_path)).show(
                 args.limit, truncate=False
             )
+        if args.html:
+            from .pipeline.serving import render_dashboard_html
+
+            out = render_dashboard_html(spark, results, args.html)
+            print(f"wrote {out}")
         return 0
 
     if args.cmd == "daily-tick":

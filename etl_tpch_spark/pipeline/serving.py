@@ -42,3 +42,81 @@ def format_for_display(results: DataFrame) -> DataFrame:
         F.date_format(date_col, "MM/dd/yyyy").alias("order_date"),
         F.col("o_orderpriority").alias("priority"),
     )
+
+
+def render_dashboard_html(
+    spark,
+    results_dir: str,
+    out_path: str,
+    *,
+    limit: int = 50,
+) -> str:
+    """The reference's WEB dashboard as a static artifact
+    (reference dashboard.py:9-70): one self-contained HTML page with
+    each segment's top unshipped orders, formatted by the SAME
+    hash-checked transform the terminal form uses
+    (:func:`format_for_display` ≙ dashboard.py prepare_data).  A
+    static export replaces the Streamlit server deliberately — the
+    gold zone is recomputed on the reduce cadence, so the display
+    artifact regenerates on the same cadence and needs no serving
+    process, no framework dependency, and no engine coupling.  Pure
+    stdlib rendering; segment navigation is plain anchors (the
+    reference's selectbox).  Returns ``out_path``."""
+    import html
+    import os
+
+    sections = []
+    nav = []
+    for entry in sorted(os.listdir(results_dir)):
+        seg_path = os.path.join(results_dir, entry)
+        if not os.path.isdir(seg_path):
+            continue
+        seg = entry.split(".")[0]
+        rows = (
+            format_for_display(spark.read.parquet(seg_path))
+            .limit(limit)
+            .collect()
+        )
+        nav.append(
+            f'<a href="#{html.escape(seg)}">{html.escape(seg.title())}</a>'
+        )
+        body = "\n".join(
+            "<tr>"
+            + "".join(
+                f"<td>{html.escape(str(v))}</td>"
+                for v in (
+                    r["order_id"],
+                    r["order_date"],
+                    r["revenue_display"],
+                    r["priority"],
+                )
+            )
+            + "</tr>"
+            for r in rows
+        )
+        sections.append(
+            f'<section id="{html.escape(seg)}">'
+            f"<h2>{html.escape(seg.title())}</h2>"
+            "<table><thead><tr><th>Order ID</th><th>Date Ordered</th>"
+            "<th>Revenue (in USD)</th><th>Priority</th></tr></thead>"
+            f"<tbody>{body}</tbody></table></section>"
+        )
+    page = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        "<title>Top Unshipped Orders</title><style>"
+        "body{font-family:system-ui,sans-serif;margin:2rem;}"
+        "table{border-collapse:collapse;margin:1rem 0;}"
+        "td,th{border:1px solid #ccc;padding:0.3rem 0.8rem;"
+        "text-align:left;}th{background:#f3f3f3;}"
+        "nav a{margin-right:1rem;}</style></head><body>"
+        "<h1>Top Unshipped Orders</h1>"
+        "<p><em>Top unshipped orders with the highest revenue, "
+        "per market segment.</em></p>"
+        f"<nav>{''.join(nav)}</nav>"
+        f"{''.join(sections)}"
+        "</body></html>"
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(page)
+    return out_path

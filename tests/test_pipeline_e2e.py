@@ -221,3 +221,39 @@ def test_serve_loop_cadences(spark, tmp_path_factory):
     assert all(o["ready"] for o in outs)
     # every tick generated + ingested (the 15-min cadence stages)
     assert all("generate" in o and "ingest" in o for o in outs)
+
+
+def test_dashboard_html_export(spark, tmp_path_factory):
+    """render_dashboard_html (the reference's web dashboard as a
+    static gold-zone artifact): one self-contained page with every
+    segment's formatted top orders — the same hash-checked
+    format_for_display values the terminal form prints."""
+    import re
+
+    from etl_tpch_spark.pipeline.serving import (
+        format_for_display,
+        render_dashboard_html,
+    )
+    from etl_tpch_spark.pipeline.workflow import run_cycle
+
+    root = str(tmp_path_factory.mktemp("dash"))
+    run_cycle(spark, TEST_SF_DIR, root, now=NOW, reduce=True, k=5)
+    results = os.path.join(root, "results")
+    out = render_dashboard_html(
+        spark, results, os.path.join(root, "dash.html"), limit=5
+    )
+    page = open(out).read()
+    # all five segment sections + anchors are present
+    for seg in ("automobile", "building", "furniture",
+                "household", "machinery"):
+        assert f'id="{seg}"' in page, seg
+        assert f'href="#{seg}"' in page
+    # the rows are the display transform's values, verbatim
+    seg_path = os.path.join(results, "building.snappy.parquet")
+    want = format_for_display(spark.read.parquet(seg_path)).limit(5)
+    for r in want.collect():
+        assert str(r["order_id"]) in page
+        assert r["revenue_display"] in page
+        assert r["order_date"] in page
+    # self-contained: no external resources requested
+    assert not re.search(r'src=|link rel|https?://', page)
