@@ -305,22 +305,30 @@ def simhash_band_cols(sig: F.Column, max_hamming: int, bits: int = SIMHASH_BITS)
     return cols
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, via pigeonhole
-    banding — NOT all-pairs.
+def banded_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of a bit-signature
+    frame (``id_col``, ``sig_col``), via pigeonhole banding — NOT
+    all-pairs.  Shared kernel of SimHash text near-dup AND perceptual
+    image near-dup (multimodal/ops.py).
 
-    The 60-bit signature splits into (max_hamming+1) contiguous bands;
-    candidates equi-join on band equality (shuffle on band value only),
-    then exact Hamming verifies candidates.  Recall is exact (pigeonhole
-    guarantees a matching band for every true pair); output is identical
-    to the brute-force scan, so the DuckDB oracle replicates it.  At
-    100 TB each band bucket holds ~n/2^width docs — the same sub-
-    quadratic shape as the MinHash band join above."""
-    sig = simhash_signatures(docs)
-    n_bands = max_hamming + 1
+    The ``bits``-wide signature splits into (max_hamming+1) contiguous
+    bands; candidates equi-join on band equality (shuffle on band value
+    only), then exact Hamming verifies candidates.  Recall is exact
+    (pigeonhole guarantees a matching band for every true pair); output
+    is identical to the brute-force scan, so a DuckDB oracle replicates
+    it.  At 100 TB each band bucket holds ~n/2^width rows — the same
+    sub-quadratic shape as the MinHash band join above.  Returns
+    (id_a, id_b, hamming)."""
     banded = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
@@ -329,35 +337,48 @@ def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
                         c.alias("band_val"),
                     )
                     for i, c in enumerate(
-                        simhash_band_cols(F.col("simhash"), max_hamming)
+                        simhash_band_cols(
+                            F.col(sig_col), max_hamming, bits
+                        )
                     )
                 ]
             )
         ).alias("band"),
-    ).select(
-        "doc_id", "simhash", "band.band_idx", "band.band_val"
-    )
+    ).select("_id", "_sig", "band.band_idx", "band.band_val")
     a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("ha"),
+        F.col("_id").alias("id_a"),
+        F.col("_sig").alias("ha"),
         "band_idx",
         "band_val",
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("hb"),
+        F.col("_id").alias("id_b"),
+        F.col("_sig").alias("hb"),
         "band_idx",
         "band_val",
     )
     return (
         a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
         .distinct()  # a pair may agree on several bands
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance: 60-bit signatures →
+    the shared pigeonhole band join (:func:`banded_hamming_pairs`)."""
+    sig = simhash_signatures(docs)
+    return banded_hamming_pairs(
+        sig, max_hamming, id_col="doc_id", sig_col="simhash"
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )

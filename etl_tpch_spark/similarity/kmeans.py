@@ -27,6 +27,8 @@ corpus-sized traffic never moves.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -159,6 +161,77 @@ _FIT_CACHE: dict[
 ] = {}
 
 
+def _fit_store_dir(cache_key: str, k: int, iters: int) -> str:
+    """Stable on-disk root for the persisted fit of ``cache_key``'s
+    corpus: keyed by the corpus PATH only (the stamp lives in the
+    marker, so a regenerated fixture overwrites in place instead of
+    leaking one directory per mtime)."""
+    import hashlib
+    import tempfile
+
+    real = cache_key.split("|", 1)[0]
+    tag = hashlib.md5(real.encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"kmeans-fit-{tag}-{k}-{iters}"
+    )
+
+
+def _load_persisted_fit(
+    spark, cache_key: str, k: int, iters: int
+) -> tuple[DataFrame, list[tuple[int, list[int]]]] | None:
+    """Open a stored fit if its marker matches ``cache_key`` exactly
+    (same corpus path AND same parquet mtime/size — catalog.table_stamp
+    staleness); None ⇒ train fresh."""
+    from ..pipeline.txlog import TxTable
+
+    root = _fit_store_dir(cache_key, k, iters)
+    marker = os.path.join(root, "_BUILD_COMPLETE")
+    try:
+        with open(marker) as f:
+            if f.read() != cache_key:
+                return None
+    except OSError:
+        return None
+    cent_t = TxTable(os.path.join(root, "centroids"))
+    assign_t = TxTable(os.path.join(root, "assign"))
+    cents = sorted(
+        (r.cent_id, list(r.cv)) for r in cent_t.read(spark).collect()
+    )
+    final = assign_t.read(spark).select("vec_id", "cluster", "d2")
+    return final.persist(), cents
+
+
+def _store_fit(
+    spark,
+    cache_key: str,
+    k: int,
+    iters: int,
+    final: DataFrame,
+    cent_rows: list[tuple[int, list[int]]],
+) -> None:
+    """Materialize a trained fit as TxTables + stamp marker (the
+    IVFIndex build-once/query-many lifecycle, similarity/index.py):
+    `centroids` is K rows; `assign` is (vec_id, cluster, d2) — three
+    longs per corpus row, the IVF inverted-file shape, NOT the
+    embedding vectors.  Marker written LAST so a crashed build is
+    simply retrained."""
+    import shutil
+
+    from ..pipeline.txlog import TxTable
+
+    root = _fit_store_dir(cache_key, k, iters)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    TxTable(os.path.join(root, "centroids")).overwrite(
+        spark.createDataFrame(
+            cent_rows, "cent_id long, cv array<long>"
+        )
+    )
+    TxTable(os.path.join(root, "assign")).overwrite(final)
+    with open(os.path.join(root, "_BUILD_COMPLETE"), "w") as f:
+        f.write(cache_key)
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = K_CLUSTERS,
@@ -213,6 +286,16 @@ def kmeans_fit(
             and key[1].split("|", 1)[0] == real
             and key[1] != cache_key,
         )
+        # cold-session path: a fit trained by ANY earlier session over
+        # this exact corpus stamp is a stored artifact — load it instead
+        # of retraining (training is integer-exact, so the stored fit is
+        # bit-identical to a fresh one; VERDICT r6 #2)
+        stored = _load_persisted_fit(
+            embeddings.sparkSession, cache_key, k, iters
+        )
+        if stored is not None:
+            _FIT_CACHE[ck] = stored
+            return stored
     q = quantize(embeddings).cache()
     cent_rows = [
         (r.cent_id, list(r.cv)) for r in _init_centroids(q, k).collect()
@@ -227,6 +310,12 @@ def kmeans_fit(
         final = final.persist()  # id/label columns only — 3 longs/row
         q.unpersist()
         out = (final, sorted(cent_rows))
+        # promote the trained fit to a stored artifact so the NEXT
+        # session opens it instead of retraining (build-once/query-many;
+        # the memory entry above keeps this session's plan reuse)
+        _store_fit(
+            embeddings.sparkSession, cache_key, k, iters, final, out[1]
+        )
         _FIT_CACHE[ck] = out
         return out
     if materialize:

@@ -1,0 +1,142 @@
+"""Perceptual (dHash) image near-dup: recall, invariance, banding.
+
+The reference has no media dedup at all (its pipeline is relational —
+SURVEY.md §1); this is part of the LLM-training-data extension surface:
+text has minhash/simhash/ExactSubstr, images get the gradient-hash
+near-dup every curation pipeline runs before training.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_tpch_spark.multimodal.media import (
+    encode_payload,
+    image_media_from_documents,
+    MEDIA_SCHEMA,
+)
+from etl_tpch_spark.multimodal.ops import (
+    PHASH_BITS,
+    near_dup_media_pairs,
+    perceptual_hash,
+)
+
+
+def _media_df(spark, items):
+    """items: list of (media_id, 2-D uint8 array)."""
+    rows = [
+        (
+            int(mid),
+            "image",
+            encode_payload(
+                "image",
+                arr.ravel(),
+                height=arr.shape[0],
+                width=arr.shape[1],
+                channels=1,
+            ),
+            None,
+        )
+        for mid, arr in items
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def base_image():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 200, (24, 33)).astype(np.uint8)
+
+
+def test_banding_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole banding is EXACT: the banded join returns precisely
+    the brute-force Hamming ≤ 3 pair set on the real fixture corpus."""
+    media = image_media_from_documents(spark, sf_dir, height=12, width=22)
+    sig = perceptual_hash(media).toPandas()
+    h = dict(zip(sig.media_id, sig.dhash))
+    ids = sorted(h)
+    brute = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(h[a] ^ h[b]).count("1") <= 3
+    }
+    banded = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in near_dup_media_pairs(media, 3).collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # the fixture corpus has perceptual near-dups
+
+
+def test_brightness_shift_is_near_dup(spark, base_image):
+    """dHash is invariant to uniform brightness change (gradient SIGNS
+    survive +/- shifts) — the perturbation a re-encode/levels pass
+    introduces that byte checksums can't see."""
+    brighter = np.clip(base_image.astype(np.int64) + 40, 0, 255).astype(
+        np.uint8
+    )
+    media = _media_df(spark, [(1, base_image), (2, brighter)])
+    pairs = near_dup_media_pairs(media, 3).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_small_noise_within_hamming_budget(spark, base_image):
+    """A few flipped pixels flip at most a few gradient bits."""
+    noisy = base_image.copy()
+    noisy[3, 5] = 255  # one hot pixel in the 24x33 source
+    media = _media_df(spark, [(1, base_image), (2, noisy)])
+    pairs = near_dup_media_pairs(media, 3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming <= 3
+
+
+def test_unrelated_images_not_paired(spark):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (24, 33)).astype(np.uint8)
+    b = rng.integers(0, 256, (24, 33)).astype(np.uint8)
+    media = _media_df(spark, [(1, a), (2, b)])
+    assert near_dup_media_pairs(media, 3).count() == 0
+
+
+def test_hash_width_and_range(spark, sf_dir):
+    """60-bit keys: non-negative longs (band shiftright stays
+    sign-safe), high 4 bits always clear."""
+    media = image_media_from_documents(spark, sf_dir, height=12, width=22)
+    stats = perceptual_hash(media).agg(
+        F.min("dhash").alias("lo"), F.max("dhash").alias("hi")
+    ).first()
+    assert stats.lo >= 0
+    assert stats.hi < (1 << PHASH_BITS)
+
+
+def test_grayscale_channel_mean(spark):
+    """Multi-channel images reduce via exact integer channel mean
+    before the gradient — a 3-channel image whose channels are all the
+    same plane hashes identically to the 1-channel plane."""
+    rng = np.random.default_rng(13)
+    plane = rng.integers(0, 256, (12, 22)).astype(np.uint8)
+    rgb = np.repeat(plane[:, :, None], 3, axis=2)
+    rows = [
+        (
+            1,
+            "image",
+            encode_payload(
+                "image", plane.ravel(), height=12, width=22, channels=1
+            ),
+            None,
+        ),
+        (
+            2,
+            "image",
+            encode_payload(
+                "image", rgb.ravel(), height=12, width=22, channels=3
+            ),
+            None,
+        ),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.dhash for r in perceptual_hash(media).collect()}
+    assert got[1] == got[2]
