@@ -14,24 +14,25 @@ def test_window_names_exist_and_lead():
 
 
 def test_window_covers_differentiating_operators():
-    # round 4: 27-query certification backlog + the round's new
-    # operators + one re-certifying sentinel per differentiating
-    # family (late-round swaps: minhash-lsh → the index tick keeps
-    # dedup live, sim_ann_topk_ivf → its _indexed backlog entry)
+    # round 7 policy (VERDICT r6 #6): oldest-certification-first.  The
+    # window must still lead with the round's NEW surface and the
+    # changed code paths, and keep at least one live row per
+    # differentiating family (dedup / similarity / graph / text /
+    # events / multimodal) ahead of the relational backlog tail.
     must_have = {
-        "dedup_incremental",
-        "sim_ann_topk_ivf_indexed",
-        "text_bm25_topk_indexed",
-        "events_markov_transitions",
-        "text_novelty_scores",
-        "sim_contrastive_negatives_indexed",
-        "events_session_window",
-        "corpus_curation",
+        # new this round
+        "multimodal_near_dup_pairs",
+        "text_bigram_lm_indexed",
+        # round-7-changed code paths
+        "dedup_simhash",
         "graph_pagerank",
-        "text_duplicate_spans",
-        "inference_batch_scores",
-        "multimodal_feature_extract",
-        "join_bloom_semi_orders_unbounded",
+        "sim_ann_topk_ivf",
+        "sim_cosine_pairs_cells",
+        "text_bigram_lm",
+        # family sentinels from the backlog slice
+        "dedup_exact",
+        "sim_kmeans_clusters",
+        "events_funnel",
     }
     assert must_have <= set(DRIVER_WINDOW)
 
