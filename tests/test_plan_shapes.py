@@ -127,20 +127,36 @@ NLJ_ALLOWED = {
 def test_no_unexpected_nested_loop_joins(spark, sf_dir):
     """Every registered query's plan is free of CartesianProduct /
     BroadcastNestedLoopJoin unless explicitly allowlisted — catches an
-    accidentally-dropped equi-join condition anywhere in the engine."""
+    accidentally-dropped equi-join condition anywhere in the engine.
+
+    Plans are built on a thread pool: planning happens JVM-side (py4j
+    releases the GIL), queries only READ the shared session, and the
+    few session mutations a q.fn performs (createOrReplaceTempView,
+    cache-dict inserts) are idempotent for a fixed sf_dir — this was
+    the suite's single slowest test (~66 s serial for 160+ plans)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     qs = registry.load_all()
-    offenders = {}
-    for name, q in qs.items():
-        plan = q.fn(spark, sf_dir)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+
+    def plan_marks(item):
+        name, q = item
+        plan = (
+            q.fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
         )
-        marks = [
+        return name, [
             m
             for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
             if m in plan
         ]
-        if marks and name not in NLJ_ALLOWED:
-            offenders[name] = marks
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(plan_marks, qs.items()))
+    offenders = {
+        name: marks
+        for name, marks in results
+        if marks and name not in NLJ_ALLOWED
+    }
     assert not offenders, offenders
