@@ -325,7 +325,14 @@ def banded_hamming_pairs(
     is identical to the brute-force scan, so a DuckDB oracle replicates
     it.  At 100 TB each band bucket holds ~n/2^width rows — the same
     sub-quadratic shape as the MinHash band join above.  Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming).
+
+    The signature frame feeds BOTH join sides; without materialization
+    Spark computes its lineage twice — for the perceptual-hash caller
+    that is a second full media decode pass.  Lazy localCheckpoint (the
+    kmeans_fit convention): 2 small columns per row, blocks released by
+    the ContextCleaner once the result is consumed."""
+    sig = sig.select(id_col, sig_col).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col).alias("_id"),
         F.col(sig_col).alias("_sig"),

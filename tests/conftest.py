@@ -24,7 +24,16 @@ def spark():
     s = get_spark(
         "etl_tpch_spark-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # parallelize()/createDataFrame default to one partition
+            # per core (32); test frames are tiny, and the scheduling
+            # overhead of 32-slice empty/near-empty stages dominates
+            # several suites (an empty cross join alone scheduled ~1k
+            # no-op tasks).  8 matches shuffle_partitions; real files
+            # still split by maxPartitionBytes, unaffected.
+            "spark.default.parallelism": "8",
+        },
     )
     # Several tests assert that an index path appears in the rendered
     # plan; FileScan truncates its Location metadata at 100 chars

@@ -37,7 +37,10 @@ EMB_SCHEMA = T.StructType(
 
 
 def _empty(spark, schema):
-    return spark.createDataFrame([], schema)
+    # one partition, not defaultParallelism(32): an empty all-pairs
+    # cross join otherwise schedules 32×32 ≈ 1k empty tasks (~17 s of
+    # pure scheduling for a 0-row result — measured round 7)
+    return spark.createDataFrame([], schema).coalesce(1)
 
 
 def test_dedup_operators_on_empty_corpus(spark):

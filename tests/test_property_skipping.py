@@ -39,12 +39,16 @@ n_batches = st.integers(min_value=1, max_value=3)
 def test_read_where_equals_full_filter(spark, tmp_path_factory, data, predicates, nb):
     d = tmp_path_factory.mktemp("prop")
     t = TxTable(str(d / "t"))
-    df = spark.createDataFrame(data, "a: long, b: long")
-    # split into nb batches so files get distinct stat ranges
+    # split into nb batches so files get distinct stat ranges; batch
+    # membership is computed driver-side (the data is a python list
+    # already) — the earlier filter().take(1) per batch cost two extra
+    # Spark jobs per example for the same split
     for i in range(nb):
-        part = df.filter((df.a % nb) == i).coalesce(1)
-        if part.take(1):
-            t.append(part)
+        chunk = [r for r in data if r[0] % nb == i]
+        if chunk:
+            t.append(
+                spark.createDataFrame(chunk, "a: long, b: long").coalesce(1)
+            )
     if t.latest_version() is None:
         return
     got = sorted(
