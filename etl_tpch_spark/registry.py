@@ -119,6 +119,8 @@ DRIVER_WINDOW = (
     "sim_ann_topk_ivf",  # stored kmeans-fit artifact path
     "sim_cosine_pairs_cells",  # stored kmeans-fit artifact path
     "text_bigram_lm",  # oracle moved to shared constant
+    "text_lm_quality_filter",  # reference LM now served from the
+    # stored LmIndex artifact (same counts, new lineage)
     # ---- certification backlog, oldest-first: last green in ROUND 2
     # (dedup + events lead so the differentiating surface stays ahead
     # of the relational tail for prefix-sampling harnesses)
@@ -130,7 +132,9 @@ DRIVER_WINDOW = (
     "sim_kmeans_clusters",
     "events_cohort_retention",
     "events_funnel",
-    "events_json_extract",
+    # (events_json_extract yields its slot to the changed-path
+    # text_lm_quality_filter re-cert; events keeps two live rows and
+    # json_extract is green r2 on an unchanged path)
     # ---- certification backlog: last green in ROUND 1 (all 34)
     "agg_cube",
     "agg_grouping_sets",
