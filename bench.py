@@ -69,6 +69,8 @@ HEADLINE = [
     "text_bm25_topk_indexed",
     "sim_quantized_cosine_pairs_cells",
     "inference_gbtree_scores",
+    "multimodal_near_dup_pairs",
+    "text_bigram_lm_indexed",
 ]
 
 

@@ -272,6 +272,75 @@ def near_dup_media_pairs(
     )
 
 
+AUDIO_SEGMENTS = 61  # 60 envelope-gradient bits — band-compatible
+
+
+def audio_fingerprint(
+    media: DataFrame, *, segments: int = AUDIO_SEGMENTS
+) -> DataFrame:
+    """Per-clip audio fingerprint: decode → split the sample stream
+    into ``segments`` equal spans → integer mean energy per span →
+    envelope-gradient bits packed into one long (an echoprint-style
+    60-bit key; the 1-D twin of the image dHash above, sharing its
+    band join).
+
+    Invariant to uniform gain change (means shift together, gradient
+    SIGNS survive) and robust to localized sample noise (each bit
+    averages over n/61 samples).  Integer-exact: span s covers sample
+    indices [s·n//S, (s+1)·n//S), mean = sum // width (non-negative,
+    so truncating and flooring division agree across engines); clips
+    shorter than ``segments`` samples have no 1-sample-wide span and
+    are excluded — mirrored by the oracle's length filter."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, keys = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, arr = _decode_payload(bytes(content))
+                flat = arr.ravel().astype(np.int64)
+                n = flat.size
+                if n < segments:
+                    continue
+                bounds = (np.arange(segments + 1) * n) // segments
+                sums = np.add.reduceat(flat, bounds[:-1])
+                widths = np.diff(bounds)
+                means = sums // widths
+                bits = (means[1:] > means[:-1]).ravel()
+                key = 0
+                for b in np.flatnonzero(bits):
+                    key |= 1 << int(b)
+                ids.append(mid)
+                keys.append(key)
+            yield pd.DataFrame({"media_id": ids, "dhash": keys})
+
+    return media.filter(media.kind == "audio").mapInPandas(fn, PHASH_SCHEMA)
+
+
+def near_dup_audio_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    *,
+    segments: int = AUDIO_SEGMENTS,
+) -> DataFrame:
+    """Audio near-duplicate pairs: envelope fingerprints → the shared
+    pigeonhole band join (dedup/operators.py banded_hamming_pairs) →
+    exact Hamming verify.  Returns (media_a, media_b, hamming)."""
+    from ..dedup.operators import banded_hamming_pairs
+
+    sig = audio_fingerprint(media, segments=segments)
+    return banded_hamming_pairs(
+        sig,
+        max_hamming,
+        id_col="media_id",
+        sig_col="dhash",
+        bits=segments - 1,
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         _f("media_id", T.LongType()),

@@ -257,6 +257,57 @@ def multimodal_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AF_S = 61  # audio envelope segments → 60 gradient bits
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id, length(text) AS n,
+                   list_transform(range(1, length(text) + 1),
+                       i -> ascii(substr(text, i, 1))) AS v
+            FROM documents WHERE length(text) >= {_AF_S}
+        ),
+        m AS (
+            SELECT doc_id,
+                   list_transform(range(0, {_AF_S}),
+                       s -> list_sum(
+                                v[(s * n) // {_AF_S} + 1
+                                  : ((s + 1) * n) // {_AF_S}])
+                            // (((s + 1) * n) // {_AF_S}
+                                - (s * n) // {_AF_S})) AS means
+            FROM px
+        )
+        SELECT doc_id AS media_id,
+               CAST(sum(CASE WHEN means[b + 2] > means[b + 1]
+                        THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) AS dhash
+        FROM m, unnest(range(0, {_AF_S - 1})) AS t(b)
+        GROUP BY doc_id
+    """,
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip AUDIO fingerprint through the real decode path, fully
+    hash-checked (multimodal/ops.py audio_fingerprint): documents
+    become audio clips (1 byte = 1 sample), the Arrow decode pass
+    splits each stream into 61 equal spans, takes integer mean energy
+    per span, and packs the 60 envelope-gradient bits into one long —
+    the echoprint-style key whose banded near-dup join
+    (near_dup_audio_pairs) shares the SimHash/dHash pigeonhole kernel.
+    Gain-shift invariance and the band-join recall contract are pinned
+    on synthetic clips in tests/test_multimodal_neardup.py (this
+    corpus's near-dup texts differ by INSERTIONS, which shift every
+    later sample — real misaligned audio needs overlapping frames, so
+    the pair query would be trivially empty here; the fingerprint row
+    is the content-sensitive check).  The oracle rebuilds every span
+    mean from ascii bytes with the same floor divisions."""
+    from ..multimodal.ops import audio_fingerprint
+
+    media = media_from_documents(spark, sf_dir)
+    return audio_fingerprint(media, segments=_AF_S)
+
+
 @query(
     "multimodal_byte_histogram",
     oracle="""

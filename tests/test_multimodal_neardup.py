@@ -140,3 +140,71 @@ def test_grayscale_channel_mean(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r.dhash for r in perceptual_hash(media).collect()}
     assert got[1] == got[2]
+
+
+# ------------------------------- audio envelope fingerprint ----------
+
+
+def _audio_df(spark, items):
+    """items: list of (media_id, 1-D uint8 array)."""
+    rows = [
+        (
+            int(mid),
+            "audio",
+            encode_payload("audio", arr, sample_rate=16000),
+            None,
+        )
+        for mid, arr in items
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_audio_gain_shift_is_near_dup(spark):
+    """Uniform gain change preserves envelope-gradient signs — the
+    re-encode/normalization perturbation byte checksums can't see."""
+    from etl_tpch_spark.multimodal.ops import near_dup_audio_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 200, 4000).astype(np.uint8)
+    louder = (base.astype(np.int64) + 30).clip(0, 255).astype(np.uint8)
+    media = _audio_df(spark, [(1, base), (2, louder)])
+    pairs = near_dup_audio_pairs(media, 3).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_audio_localized_noise_within_budget(spark):
+    """A short corrupted burst touches few spans → few bits flip."""
+    from etl_tpch_spark.multimodal.ops import near_dup_audio_pairs
+
+    rng = np.random.default_rng(19)
+    base = rng.integers(0, 256, 4000).astype(np.uint8)
+    noisy = base.copy()
+    noisy[100:140] = 255  # one 40-sample burst inside one ~65-sample span
+    media = _audio_df(spark, [(1, base), (2, noisy)])
+    pairs = near_dup_audio_pairs(media, 3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming <= 3
+
+
+def test_audio_unrelated_clips_not_paired(spark):
+    from etl_tpch_spark.multimodal.ops import near_dup_audio_pairs
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 256, 4000).astype(np.uint8)
+    b = rng.integers(0, 256, 4000).astype(np.uint8)
+    media = _audio_df(spark, [(1, a), (2, b)])
+    assert near_dup_audio_pairs(media, 3).count() == 0
+
+
+def test_audio_short_clips_excluded(spark):
+    """Clips under 61 samples have no 1-sample-wide span — excluded,
+    mirroring the oracle's length filter."""
+    from etl_tpch_spark.multimodal.ops import audio_fingerprint
+
+    rng = np.random.default_rng(29)
+    media = _audio_df(
+        spark,
+        [(1, rng.integers(0, 256, 60).astype(np.uint8)),
+         (2, rng.integers(0, 256, 61).astype(np.uint8))],
+    )
+    got = [r.media_id for r in audio_fingerprint(media).collect()]
+    assert got == [2]
