@@ -32,6 +32,7 @@ the identical edge set from the unrolled-Lloyd CTE.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,7 @@ _EDGES_SQL = f"""
 # is near-dup pairs — orders of magnitude smaller than the corpus — so
 # pinning it is centroid-cache-sized, not corpus-sized.
 _EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_EDGE_LOCK = threading.Lock()
 
 
 def _edge_store_dir(stamp: str, threshold: float) -> str:
@@ -86,6 +88,22 @@ def _edges_at(
 
     stamp = _emb_stamp(sf_dir)
     key = (spark.sparkContext.applicationId, stamp, threshold)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # serialize the miss path against concurrent planners (threaded
+    # plan audit): two threads must not race one artifact dir
+    with _EDGE_LOCK:
+        return _edges_miss(spark, sf_dir, stamp, key, threshold)
+
+
+def _edges_miss(
+    spark: SparkSession,
+    sf_dir: str,
+    stamp: str,
+    key: tuple,
+    threshold: float,
+) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -123,12 +141,17 @@ def _edges_at(
     )
     import shutil
 
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    edges_t = TxTable(os.path.join(root, "edges"))
-    edges_t.overwrite(built)
-    with open(marker, "w") as f:
-        f.write(stamp)
+    # storing is an optimization — a failed write must not fail the
+    # query (marker-last: a partial store is ignored next session)
+    try:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        edges_t = TxTable(os.path.join(root, "edges"))
+        edges_t.overwrite(built)
+        with open(marker, "w") as f:
+            f.write(stamp)
+    except Exception:
+        pass
     _EDGE_CACHE[key] = built
     return built
 

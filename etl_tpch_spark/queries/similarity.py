@@ -8,6 +8,7 @@ the LSH-bucketed ANN is hash-checked, not just row-counted.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -457,6 +458,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INDEX_BUILD_LOCK = threading.Lock()
+
+
 def _reused_index(
     kind: str,
     sf_dir: str,
@@ -474,27 +478,30 @@ def _reused_index(
     warm-cache convention the bench protocol documents for LSH).  The
     marker folds the embeddings parquet's (mtime, size) and the build
     parameters, so a regenerated fixture or a parameter change forces
-    a rebuild; a missing/mismatched marker rebuilds from scratch."""
+    a rebuild; a missing/mismatched marker rebuilds from scratch.
+    Build-or-open is serialized per process (threaded planners — the
+    plan audit — must not race one index dir's rmtree/build)."""
     import shutil
 
     from ..catalog import scratch_index_dir, table_path
 
-    path = scratch_index_dir(kind, sf_dir)
-    marker = os.path.join(path, "_BUILD_COMPLETE")
-    st = os.stat(table_path(os.path.realpath(sf_dir), table))
-    stamp = f"{st.st_mtime_ns}-{st.st_size}-{params}"
-    try:
-        with open(marker) as f:
-            if f.read() == stamp:
-                return opener(path)
-    except OSError:
-        pass
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    idx = builder(path)
-    with open(marker, "w") as f:
-        f.write(stamp)
-    return idx
+    with _INDEX_BUILD_LOCK:
+        path = scratch_index_dir(kind, sf_dir)
+        marker = os.path.join(path, "_BUILD_COMPLETE")
+        st = os.stat(table_path(os.path.realpath(sf_dir), table))
+        stamp = f"{st.st_mtime_ns}-{st.st_size}-{params}"
+        try:
+            with open(marker) as f:
+                if f.read() == stamp:
+                    return opener(path)
+        except OSError:
+            pass
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        idx = builder(path)
+        with open(marker, "w") as f:
+            f.write(stamp)
+        return idx
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str):

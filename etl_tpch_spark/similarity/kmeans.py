@@ -28,6 +28,7 @@ corpus-sized traffic never moves.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -159,6 +160,7 @@ _FIT_CACHE: dict[
     tuple[str, str, int, int],
     tuple[DataFrame, list[tuple[int, list[int]]]],
 ] = {}
+_FIT_LOCK = threading.Lock()
 
 
 def _fit_store_dir(cache_key: str, k: int, iters: int) -> str:
@@ -264,13 +266,21 @@ def kmeans_fit(
     map-only quantize+argmin pass instead of paying a persist step —
     cheaper for one reference, wrong for self-joining consumers (the
     assignment subtree would compute once per plan branch)."""
-    if cache_key is not None:
-        ck = (
-            embeddings.sparkSession.sparkContext.applicationId,
-            cache_key,
-            k,
-            iters,
-        )
+    if cache_key is None:
+        return _fit_train(embeddings, k, iters, materialize=materialize)
+    ck = (
+        embeddings.sparkSession.sparkContext.applicationId,
+        cache_key,
+        k,
+        iters,
+    )
+    hit = _FIT_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    # concurrent planners (e.g. the threaded plan audit) must not race
+    # the store/load of one artifact dir: serialize the miss path;
+    # late arrivals then hit the memory cache
+    with _FIT_LOCK:
         hit = _FIT_CACHE.get(ck)
         if hit is not None:
             return hit
@@ -287,15 +297,48 @@ def kmeans_fit(
             and key[1] != cache_key,
         )
         # cold-session path: a fit trained by ANY earlier session over
-        # this exact corpus stamp is a stored artifact — load it instead
-        # of retraining (training is integer-exact, so the stored fit is
-        # bit-identical to a fresh one; VERDICT r6 #2)
+        # this exact corpus stamp is a stored artifact — load it
+        # instead of retraining (training is integer-exact, so the
+        # stored fit is bit-identical to a fresh one; VERDICT r6 #2)
         stored = _load_persisted_fit(
             embeddings.sparkSession, cache_key, k, iters
         )
         if stored is not None:
             _FIT_CACHE[ck] = stored
             return stored
+        final, cents = _fit_train(
+            embeddings, k, iters, materialize=False, persist_final=True
+        )
+        out = (final, cents)
+        # promote the trained fit to a stored artifact so the NEXT
+        # session opens it instead of retraining (build-once/
+        # query-many; the memory entry keeps this session's plan
+        # reuse).  Storing is an optimization: a failed write
+        # (read-only /tmp, disk pressure) must not fail a query whose
+        # compute succeeded — marker-last means a partial store is
+        # simply ignored.
+        try:
+            _store_fit(
+                embeddings.sparkSession, cache_key, k, iters, final, cents
+            )
+        except Exception:
+            pass
+        _FIT_CACHE[ck] = out
+        return out
+
+
+def _fit_train(
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    *,
+    materialize: bool,
+    persist_final: bool = False,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """The actual Lloyd rounds (see kmeans_fit docstring).
+    ``persist_final`` persists the assignment for multi-branch cached
+    consumers; ``materialize`` lazily checkpoints it for single-branch
+    uncached ones; neither ⇒ the caller recomputes the one map pass."""
     q = quantize(embeddings).cache()
     cent_rows = [
         (r.cent_id, list(r.cv)) for r in _init_centroids(q, k).collect()
@@ -306,19 +349,9 @@ def kmeans_fit(
             (r.cent_id, list(r.cv)) for r in _update(assign).collect()
         ]
     final = _assign_numpy(q, cent_rows).select("vec_id", "cluster", "d2")
-    if cache_key is not None:
+    if persist_final:
         final = final.persist()  # id/label columns only — 3 longs/row
-        q.unpersist()
-        out = (final, sorted(cent_rows))
-        # promote the trained fit to a stored artifact so the NEXT
-        # session opens it instead of retraining (build-once/query-many;
-        # the memory entry above keeps this session's plan reuse)
-        _store_fit(
-            embeddings.sparkSession, cache_key, k, iters, final, out[1]
-        )
-        _FIT_CACHE[ck] = out
-        return out
-    if materialize:
+    elif materialize:
         final = final.localCheckpoint(eager=False)
     q.unpersist()
     return final, sorted(cent_rows)
