@@ -378,6 +378,82 @@ def banded_hamming_pairs(
     )
 
 
+def banded_hamming_pairs_touching(
+    sig: DataFrame,
+    new_ids: DataFrame,
+    max_hamming: int,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Asymmetric variant of :func:`banded_hamming_pairs` for the
+    daily-crawl tick: pairs within ``max_hamming`` where at least one
+    side is in ``new_ids`` (single column named ``id_col``).
+
+    Only the NEW batch's bands fan out against the full signature set
+    (the candidates_touching shape of the MinHash index): stored rows
+    are never re-banded against each other, so tick cost is
+    O(|new| · bands) joined into the band index, not O(corpus²).
+    Pairs are normalized (id_a < id_b) and exact-recall by the same
+    pigeonhole argument.  Returns (id_a, id_b, hamming)."""
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        c.alias("band_val"),
+                    )
+                    for i, c in enumerate(
+                        simhash_band_cols(
+                            F.col(sig_col), max_hamming, bits
+                        )
+                    )
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_sig", "band.band_idx", "band.band_val")
+    new_bands = banded.join(
+        new_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+    )
+    x = new_bands.select(
+        F.col("_id").alias("id_x"),
+        F.col("_sig").alias("hx"),
+        "band_idx",
+        "band_val",
+    )
+    y = banded.select(
+        F.col("_id").alias("id_y"),
+        F.col("_sig").alias("hy"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        x.join(y, ["band_idx", "band_val"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.when(F.col("id_x") < F.col("id_y"), F.col("hx"))
+            .otherwise(F.col("hy"))
+            .alias("ha"),
+            F.when(F.col("id_x") < F.col("id_y"), F.col("hy"))
+            .otherwise(F.col("hx"))
+            .alias("hb"),
+        )
+        .distinct()  # band multi-hits + both-new double counting
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance: 60-bit signatures →
     the shared pigeonhole band join (:func:`banded_hamming_pairs`)."""

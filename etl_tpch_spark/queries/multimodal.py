@@ -257,6 +257,73 @@ def multimodal_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_near_dup_incremental",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform({_PH_POSITIONS},
+                       p -> ascii(substr(
+                           rpad(substr(text, 1, {_PH_NBYTES}),
+                                {_PH_NBYTES}, ' '), p, 1))) AS v
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v[(b // {_PH_GW}) * {_PH_DST_W}
+                                        + (b % {_PH_GW}) + 2] >
+                                      v[(b // {_PH_GW}) * {_PH_DST_W}
+                                        + (b % {_PH_GW}) + 1]
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS dhash
+            FROM px, unnest(range(0, {_PH_BITS})) AS t(b)
+            GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, dhash, b AS band_idx,
+                   (dhash >> (b * 15)) & 32767 AS band_val
+            FROM h, unnest(range(0, {_PH_MAX_HAMMING + 1})) AS t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS media_a, x.dhash AS ha,
+                            y.doc_id AS media_b, y.dhash AS hb
+            FROM bands x JOIN bands y USING (band_idx, band_val)
+            WHERE x.doc_id < y.doc_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {_PH_MAX_HAMMING}
+          AND (media_a % 2 = 1 OR media_b % 2 = 1)
+    """,
+)
+def multimodal_near_dup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental (daily-crawl) media near-dup through the PERSISTED
+    signature index (multimodal/index.py MediaHashIndex): even
+    media_ids play the existing corpus (yesterday's index state), odd
+    ids the new batch.  The tick decodes + hashes ONLY the new batch,
+    appends the 8-byte signatures to the index TxTable, and band-joins
+    the new bands against ALL stored signatures — stored media is
+    NEVER re-decoded (the tick plan has no Python stage for stored
+    rows; tests/test_media_index.py pins it).  Exact recall by the
+    pigeonhole argument, so the oracle is the batch band join
+    restricted to pairs touching the new batch."""
+    from ..catalog import scratch_index_dir
+    from ..multimodal.index import MediaHashIndex
+    from ..multimodal.media import image_media_from_documents
+
+    media = image_media_from_documents(
+        spark, sf_dir, height=_PH_SRC_H, width=_PH_SRC_W
+    )
+    corpus = media.filter(F.col("media_id") % 2 == 0)
+    new = media.filter(F.col("media_id") % 2 == 1)
+    idx = MediaHashIndex(scratch_index_dir("mediahash-idx", sf_dir))
+    idx.ingest(corpus, batch_id="corpus-day0")
+    return idx.tick(spark, new, _PH_MAX_HAMMING, batch_id="crawl-day1")
+
+
 _AF_S = 61  # audio envelope segments → 60 gradient bits
 
 

@@ -112,6 +112,7 @@ _QUERY_MODULES = (
 DRIVER_WINDOW = (
     # ---- new this round (first certification)
     "multimodal_near_dup_pairs",
+    "multimodal_near_dup_incremental",
     "multimodal_audio_fingerprint",
     "text_bigram_lm_indexed",
     # ---- code paths changed in round 7 (re-certify)
@@ -125,9 +126,9 @@ DRIVER_WINDOW = (
     # ---- certification backlog, oldest-first: last green in ROUND 2
     # (dedup + events lead so the differentiating surface stays ahead
     # of the relational tail for prefix-sampling harnesses)
-    "dedup_canonical_documents",
-    # (dedup_embedding_clusters_bruteforce yields its slot to the new
-    # multimodal_audio_fingerprint; dedup keeps four live rows)
+    # (dedup_canonical_documents and dedup_embedding_clusters_bruteforce
+    # yield their slots to the new multimodal_audio_fingerprint and
+    # multimodal_near_dup_incremental; dedup keeps four live rows)
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",
