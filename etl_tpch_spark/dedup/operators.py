@@ -323,19 +323,33 @@ def banded_hamming_pairs(
     only), then exact Hamming verifies candidates.  Recall is exact
     (pigeonhole guarantees a matching band for every true pair); output
     is identical to the brute-force scan, so a DuckDB oracle replicates
-    it.  At 100 TB each band bucket holds ~n/2^width rows — the same
-    sub-quadratic shape as the MinHash band join above.  Returns
-    (id_a, id_b, hamming).
+    it.  Returns (id_a, id_b, hamming).
 
-    The signature frame feeds BOTH join sides; without materialization
-    Spark computes its lineage twice — for the perceptual-hash caller
-    that is a second full media decode pass.  Lazy localCheckpoint (the
-    kmeans_fit convention): 2 small columns per row, blocks released by
-    the ContextCleaner once the result is consumed."""
-    sig = sig.select(id_col, sig_col).localCheckpoint(eager=False)
-    banded = sig.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
+    The band join runs over DISTINCT signature VALUES, not rows: a
+    crawl corpus is duplication-heavy by construction — every exact
+    copy of an item shares one hash, so banding rows puts g copies of
+    a g-sized group into every bucket and the candidate distinct
+    shuffles O(Σg²) rows (measured 100M+ at the 100× fixture).
+    Deduplicating hashes first makes the band join + Hamming verify
+    O(distinct values) — corpus duplication never enters it — and id
+    pairs expand afterwards from two hash-keyed joins (the tiny
+    verified hash-pair set broadcasts): within-group pairs (identical
+    hash, Hamming 0) and cross-group pairs (one row per id pair, no
+    distinct needed since an unordered hash pair appears exactly
+    once).  Output volume is information — every true pair must be
+    emitted — but nothing LARGER than the output crosses a shuffle.
+
+    The signature frame feeds several branches; without
+    materialization Spark recomputes its lineage per branch — for the
+    perceptual-hash caller that is a full media decode pass each.
+    Lazy localCheckpoint (the kmeans_fit convention): 2 small columns
+    per row, blocks released by the ContextCleaner once consumed."""
+    sig = sig.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    ).localCheckpoint(eager=False)
+    hashes = sig.select(F.col("_sig").alias("h")).distinct()
+    banded = hashes.select(
+        "h",
         F.explode(
             F.array(
                 *[
@@ -344,38 +358,59 @@ def banded_hamming_pairs(
                         c.alias("band_val"),
                     )
                     for i, c in enumerate(
-                        simhash_band_cols(
-                            F.col(sig_col), max_hamming, bits
-                        )
+                        simhash_band_cols(F.col("h"), max_hamming, bits)
                     )
                 ]
             )
         ).alias("band"),
-    ).select("_id", "_sig", "band.band_idx", "band.band_val")
+    ).select("h", "band.band_idx", "band.band_val")
     a = banded.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sig").alias("ha"),
-        "band_idx",
-        "band_val",
+        F.col("h").alias("ha"), "band_idx", "band_val"
     )
     b = banded.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sig").alias("hb"),
-        "band_idx",
-        "band_val",
+        F.col("h").alias("hb"), "band_idx", "band_val"
     )
-    return (
+    hash_pairs = (
         a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .distinct()  # a pair may agree on several bands
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
+        .distinct()  # a hash pair may agree on several bands
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    # cross-group: each unordered hash pair contributes |ga|·|gb| id
+    # pairs, each exactly once (ha < hb fixes the pair's orientation;
+    # least/greatest restores id order).  The verified hash-pair set
+    # is band-bucket-bounded and usually tiny — AQE converts these
+    # joins to broadcasts at runtime from its ACTUAL size (no hint:
+    # at adversarial scales a forced broadcast could OOM the driver).
+    cross = (
+        sig.select(F.col("_id").alias("id_x"), F.col("_sig").alias("ha"))
+        .join(hash_pairs, "ha")
+        .join(
+            sig.select(
+                F.col("_id").alias("id_y"), F.col("_sig").alias("hb")
+            ),
+            "hb",
+        )
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group: identical hashes, Hamming 0
+    x = sig.select("_sig", F.col("_id").alias("id_a"))
+    y = sig.select("_sig", F.col("_id").alias("id_b"))
+    within = (
+        x.join(y, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 def banded_hamming_pairs_touching(
@@ -391,67 +426,112 @@ def banded_hamming_pairs_touching(
     daily-crawl tick: pairs within ``max_hamming`` where at least one
     side is in ``new_ids`` (single column named ``id_col``).
 
-    Only the NEW batch's bands fan out against the full signature set
-    (the candidates_touching shape of the MinHash index): stored rows
-    are never re-banded against each other, so tick cost is
-    O(|new| · bands) joined into the band index, not O(corpus²).
-    Pairs are normalized (id_a < id_b) and exact-recall by the same
-    pigeonhole argument.  Returns (id_a, id_b, hamming)."""
-    banded = sig.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        c.alias("band_val"),
-                    )
-                    for i, c in enumerate(
-                        simhash_band_cols(
-                            F.col(sig_col), max_hamming, bits
+    Only DISTINCT HASHES present in the new batch fan out against the
+    stored distinct-hash set (the hash-level shape of
+    :func:`banded_hamming_pairs`, kept asymmetric so tick banding is
+    O(|new hashes| · bands), not O(corpus)): stored hashes are never
+    re-banded against each other, corpus duplication never enters the
+    band join, and id pairs expand afterwards with a newness filter
+    (a qualifying hash group can hold both new and stored ids, so
+    newness is decided per id pair, not per hash).  Exact recall by
+    pigeonhole: every qualifying pair has a new side whose hash IS in
+    the new-hash set.  Returns (id_a, id_b, hamming)."""
+    flagged = sig.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    ).join(
+        new_ids.select(
+            F.col(id_col).alias("_id"), F.lit(True).alias("_new")
+        ),
+        "_id",
+        "left",
+    ).select(
+        "_id", "_sig", F.coalesce("_new", F.lit(False)).alias("_new")
+    ).localCheckpoint(eager=False)
+
+    def _bands(h_frame):
+        return h_frame.select(
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            c.alias("band_val"),
                         )
-                    )
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "_sig", "band.band_idx", "band.band_val")
-    new_bands = banded.join(
-        new_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+                        for i, c in enumerate(
+                            simhash_band_cols(
+                                F.col("h"), max_hamming, bits
+                            )
+                        )
+                    ]
+                )
+            ).alias("band"),
+        ).select("h", "band.band_idx", "band.band_val")
+
+    new_hashes = (
+        flagged.filter("_new").select(F.col("_sig").alias("h")).distinct()
     )
-    x = new_bands.select(
-        F.col("_id").alias("id_x"),
-        F.col("_sig").alias("hx"),
-        "band_idx",
-        "band_val",
-    )
-    y = banded.select(
-        F.col("_id").alias("id_y"),
-        F.col("_sig").alias("hy"),
-        "band_idx",
-        "band_val",
-    )
-    return (
-        x.join(y, ["band_idx", "band_val"])
-        .filter(F.col("id_x") != F.col("id_y"))
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            F.when(F.col("id_x") < F.col("id_y"), F.col("hx"))
-            .otherwise(F.col("hy"))
-            .alias("ha"),
-            F.when(F.col("id_x") < F.col("id_y"), F.col("hy"))
-            .otherwise(F.col("hx"))
-            .alias("hb"),
+    all_hashes = flagged.select(F.col("_sig").alias("h")).distinct()
+    hash_pairs = (
+        _bands(new_hashes)
+        .withColumnRenamed("h", "hx")
+        .join(
+            _bands(all_hashes).withColumnRenamed("h", "hy"),
+            ["band_idx", "band_val"],
         )
-        .distinct()  # band multi-hits + both-new double counting
+        .filter(F.col("hx") != F.col("hy"))
+        .select(
+            F.least("hx", "hy").alias("ha"),
+            F.greatest("hx", "hy").alias("hb"),
+        )
+        .distinct()  # band multi-hits + both-hashes-new double counting
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    # cross-group expansion; an unordered hash pair appears once, so
+    # no id-level distinct — only the per-pair newness filter
+    cross = (
+        flagged.select(
+            F.col("_id").alias("id_x"),
+            F.col("_sig").alias("ha"),
+            F.col("_new").alias("nx"),
+        )
+        .join(hash_pairs, "ha")
+        .join(
+            flagged.select(
+                F.col("_id").alias("id_y"),
+                F.col("_sig").alias("hb"),
+                F.col("_new").alias("ny"),
+            ),
+            "hb",
+        )
+        .filter(F.col("nx") | F.col("ny"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group: identical hash, at least one new id (Hamming 0)
+    x = flagged.select("_sig", F.col("_id").alias("id_a"), "_new")
+    y = flagged.select("_sig", F.col("_id").alias("id_b"))
+    within = (
+        x.filter("_new")
+        .join(y, "_sig")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()  # (new, new) same-hash pairs arrive twice
+        .select(
+            "id_a", "id_b", F.lit(0).cast("int").alias("hamming")
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:

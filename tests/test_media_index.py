@@ -86,7 +86,15 @@ def test_pairs_plan_never_decodes_stored_media(spark, sf_dir, tmp_path):
     )
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, marker
-    assert str(tmp_path / "mh") in plan  # it reads the stored index
+    # (the signature frame is lazily checkpointed inside the band
+    # kernel, which truncates the rendered lineage — the index scan
+    # itself is asserted on the un-checkpointed read)
+    sig_plan = idx.signatures(spark)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert str(tmp_path / "mh") in sig_plan
     # and the values it returns match recomputing from media
     got = _pairs_set(df)
     want = {
