@@ -272,6 +272,87 @@ def near_dup_media_pairs(
     )
 
 
+VFRAME_SCHEMA = T.StructType(
+    [
+        _f("media_id", T.LongType()),
+        _f("frame_idx", T.IntegerType()),
+        _f("fhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual fingerprints for video: decode → grayscale
+    each frame → horizontal-gradient bits packed into one long per
+    frame (the image dHash applied frame-wise; a (h, w)-frame yields
+    h·(w−1) bits — 6×11 frames give the standard 60).
+
+    One Arrow pass, one output row per frame — the temporal flat-map
+    shape of sample_frames with an 8-byte payload instead of pixels."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, keys = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, meta, arr = _decode_payload(bytes(content))
+                c = max(meta["channels"], 1)
+                for i in range(meta["n_frames"]):
+                    gray = (
+                        arr[i]
+                        .reshape(meta["height"], meta["width"], c)
+                        .astype(np.int64)
+                        .sum(axis=2)
+                        // c
+                    )
+                    bits = (gray[:, 1:] > gray[:, :-1]).ravel()
+                    key = 0
+                    for b in np.flatnonzero(bits):
+                        key |= 1 << int(b)
+                    ids.append(mid)
+                    fidx.append(i)
+                    keys.append(key)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": fidx, "fhash": keys}
+            )
+
+    return media.filter(media.kind == "video").mapInPandas(
+        fn, VFRAME_SCHEMA
+    )
+
+
+def near_dup_video_pairs(media: DataFrame, min_frames: int = 2) -> DataFrame:
+    """Video near-duplicate pairs: two videos match when at least
+    ``min_frames`` temporally-aligned frames carry IDENTICAL
+    perceptual fingerprints — the production shape for video dedup
+    (robust per-frame hashes + exact hash equality): the gradient
+    hash already absorbs the per-frame perturbations (gain shifts,
+    small noise), so the cross-video join is a plain equi-join on
+    (frame_idx, fhash) — fully sub-quadratic, no banding needed, and
+    duplication-proof the same way the hash-level Hamming join is
+    (only matching hashes meet).  Constant frames (hash 0 — blank /
+    letterbox padding) are excluded from matching: every short clip
+    pads identically, and a real system masks blank frames for the
+    same reason.  Returns (media_a, media_b, n_frames_matched)."""
+    fh = (
+        video_frame_hashes(media)
+        .filter(F.col("fhash") != 0)
+        .localCheckpoint(eager=False)
+    )
+    a = fh.select(
+        F.col("media_id").alias("media_a"), "frame_idx", "fhash"
+    )
+    b = fh.select(
+        F.col("media_id").alias("media_b"), "frame_idx", "fhash"
+    )
+    return (
+        a.join(b, ["frame_idx", "fhash"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 AUDIO_SEGMENTS = 61  # 60 envelope-gradient bits — band-compatible
 
 

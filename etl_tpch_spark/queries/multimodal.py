@@ -324,6 +324,73 @@ def multimodal_near_dup_incremental(
     return idx.tick(spark, new, _PH_MAX_HAMMING, batch_id="crawl-day1")
 
 
+# video near-dup: 4 frames of 6×11 (264 bytes = the same text prefix
+# the image dHash uses), 60 gradient bits per frame, match = ≥2
+# temporally-aligned identical non-blank frame fingerprints
+_VH_H, _VH_W, _VH_F = 6, 11, 4
+_VH_FB = _VH_H * _VH_W  # bytes per frame
+_VH_NB = _VH_F * _VH_FB
+_VH_GW = _VH_W - 1
+_VH_BITS = _VH_H * _VH_GW
+_VH_MIN_FRAMES = 2
+
+
+@query(
+    "multimodal_video_near_dup",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(1, {_VH_NB} + 1),
+                       i -> ascii(substr(
+                           rpad(substr(text, 1, {_VH_NB}),
+                                {_VH_NB}, ' '), i, 1))) AS v
+            FROM documents
+        ),
+        fh AS (
+            SELECT doc_id, CAST(s AS INTEGER) AS frame_idx,
+                   CAST(sum(CASE WHEN
+                         v[s * {_VH_FB} + (b // {_VH_GW}) * {_VH_W}
+                           + (b % {_VH_GW}) + 2] >
+                         v[s * {_VH_FB} + (b // {_VH_GW}) * {_VH_W}
+                           + (b % {_VH_GW}) + 1]
+                       THEN (CAST(1 AS BIGINT) << b)
+                       ELSE 0 END) AS BIGINT) AS fhash
+            FROM px, unnest(range(0, {_VH_F})) AS t(s),
+                     unnest(range(0, {_VH_BITS})) AS u(b)
+            GROUP BY doc_id, s
+        )
+        SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+               CAST(count(*) AS BIGINT) AS n_frames_matched
+        FROM fh a
+        JOIN fh b ON a.frame_idx = b.frame_idx
+                 AND a.fhash = b.fhash
+                 AND a.doc_id < b.doc_id
+        WHERE a.fhash <> 0
+        GROUP BY 1, 2
+        HAVING count(*) >= {_VH_MIN_FRAMES}
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate pairs, fully hash-checked — the third
+    modality of the perceptual dedup family (multimodal/ops.py
+    near_dup_video_pairs): documents become 4-frame 6×11 videos
+    JVM-side, the Arrow decode pass emits one 60-bit gradient
+    fingerprint per frame, and two clips match when ≥2
+    temporally-aligned NON-BLANK frames carry identical fingerprints
+    (robust per-frame hash + exact equality — the production video
+    dedup shape; constant padding frames are masked or every short
+    clip would pair with every other).  One equi-join on
+    (frame_idx, fhash): sub-quadratic and duplication-proof.  The
+    oracle rebuilds every frame fingerprint from its byte slice."""
+    from ..multimodal.media import video_media_from_documents
+    from ..multimodal.ops import near_dup_video_pairs
+
+    media = video_media_from_documents(
+        spark, sf_dir, height=_VH_H, width=_VH_W, n_frames=_VH_F
+    )
+    return near_dup_video_pairs(media, min_frames=_VH_MIN_FRAMES)
+
+
 _AF_S = 61  # audio envelope segments → 60 gradient bits
 
 

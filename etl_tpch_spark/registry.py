@@ -114,6 +114,7 @@ DRIVER_WINDOW = (
     "multimodal_near_dup_pairs",
     "multimodal_near_dup_incremental",
     "multimodal_audio_fingerprint",
+    "multimodal_video_near_dup",
     "text_bigram_lm_indexed",
     # ---- code paths changed in round 7 (re-certify)
     "dedup_simhash",  # banded_hamming_pairs extraction
@@ -130,7 +131,8 @@ DRIVER_WINDOW = (
     # yield their slots to the new multimodal_audio_fingerprint and
     # multimodal_near_dup_incremental; dedup keeps four live rows)
     "dedup_exact",
-    "dedup_fingerprint",
+    # (dedup_fingerprint yields its slot to multimodal_video_near_dup;
+    # it is green r2 on an unchanged path)
     "dedup_ngram_jaccard",
     "sim_kmeans_clusters",
     "events_cohort_retention",

@@ -208,3 +208,70 @@ def test_audio_short_clips_excluded(spark):
     )
     got = [r.media_id for r in audio_fingerprint(media).collect()]
     assert got == [2]
+
+
+# ------------------------------- video frame fingerprints ------------
+
+
+def _video_df(spark, items, h=6, w=11):
+    """items: list of (media_id, 3-D uint8 array (frames, h, w))."""
+    rows = [
+        (
+            int(mid),
+            "video",
+            encode_payload(
+                "video",
+                arr.ravel(),
+                height=h,
+                width=w,
+                channels=1,
+                n_frames=arr.shape[0],
+            ),
+            None,
+        )
+        for mid, arr in items
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_video_shared_frames_pair(spark):
+    """Two clips sharing >=2 (gain-shifted) frames pair; the shift
+    proves per-frame fingerprints are perceptual, not byte checksums."""
+    from etl_tpch_spark.multimodal.ops import near_dup_video_pairs
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 200, (4, 6, 11)).astype(np.uint8)
+    other = rng.integers(0, 200, (4, 6, 11)).astype(np.uint8)
+    v2 = frames.copy()
+    v2[:2] = np.clip(frames[:2].astype(np.int64) + 25, 0, 255)  # gain
+    v2[2:] = other[2:]  # rest differs
+    media = _video_df(spark, [(1, frames), (2, v2)])
+    pairs = near_dup_video_pairs(media, min_frames=2).collect()
+    assert [(r.media_a, r.media_b, r.n_frames_matched) for r in pairs] == [
+        (1, 2, 2)
+    ]
+
+
+def test_video_single_shared_frame_below_threshold(spark):
+    from etl_tpch_spark.multimodal.ops import near_dup_video_pairs
+
+    rng = np.random.default_rng(37)
+    a = rng.integers(0, 256, (4, 6, 11)).astype(np.uint8)
+    b = rng.integers(0, 256, (4, 6, 11)).astype(np.uint8)
+    b[0] = a[0]
+    media = _video_df(spark, [(1, a), (2, b)])
+    assert near_dup_video_pairs(media, min_frames=2).count() == 0
+
+
+def test_video_blank_frames_do_not_match(spark):
+    """Constant (padding/letterbox) frames are masked: two clips whose
+    only common content is blank frames never pair."""
+    from etl_tpch_spark.multimodal.ops import near_dup_video_pairs
+
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 256, (4, 6, 11)).astype(np.uint8)
+    b = rng.integers(0, 256, (4, 6, 11)).astype(np.uint8)
+    a[2:] = 0  # blank tails
+    b[2:] = 0
+    media = _video_df(spark, [(1, a), (2, b)])
+    assert near_dup_video_pairs(media, min_frames=2).count() == 0
