@@ -115,6 +115,45 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def artifact_store(kind: str, identity: str, stamp: str) -> tuple[str, bool]:
+    """THE stamped-artifact directory recipe, shared by every
+    build-once/open-many store (kmeans fits, graph edge lists,
+    _reused_index's ANN/LM indexes): one directory per
+    (kind, identity, stamp) GENERATION under the system tempdir, with
+    a ``_BUILD_COMPLETE`` marker written last.
+
+    Returns ``(dir, complete)`` — ``complete`` iff the marker holds
+    exactly ``stamp``.  A new stamp (regenerated fixture, changed
+    build params) maps to a NEW directory, so a rebuild never deletes
+    files that a live lazy DataFrame from the previous generation may
+    still reference — the rmtree-in-place race the round-7 review
+    flagged.  Stale generations persist until the tempdir is cleaned
+    (regeneration is rare and /tmp is ephemeral).  Builders may
+    rmtree their OWN incomplete generation before writing (no marker
+    ⇒ no reader ever validated it).  Cross-PROCESS builds of the same
+    generation are benign for deterministic artifacts (both write
+    identical content; marker content equal) but are not locked —
+    single-box lifecycle, like every /tmp store here."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(identity.encode()).hexdigest()[:12]
+    gen = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"{kind}-{tag}", f"gen-{gen}")
+    try:
+        with open(os.path.join(d, "_BUILD_COMPLETE")) as f:
+            return d, f.read() == stamp
+    except OSError:
+        return d, False
+
+
+def mark_store_complete(d: str, stamp: str) -> None:
+    """Write the completion marker LAST (crash ⇒ retrain, never a
+    half-read)."""
+    with open(os.path.join(d, "_BUILD_COMPLETE"), "w") as f:
+        f.write(stamp)
+
+
 def scratch_index_dir(kind: str, sf_dir: str, *, wipe: bool = False) -> str:
     """Deterministic scratch directory for a query-built index over
     ``sf_dir``'s tables — one dir per (kind, dataset) REUSED across

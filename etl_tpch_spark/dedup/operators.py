@@ -428,14 +428,21 @@ def banded_hamming_pairs_touching(
 
     Only DISTINCT HASHES present in the new batch fan out against the
     stored distinct-hash set (the hash-level shape of
-    :func:`banded_hamming_pairs`, kept asymmetric so tick banding is
-    O(|new hashes| · bands), not O(corpus)): stored hashes are never
-    re-banded against each other, corpus duplication never enters the
-    band join, and id pairs expand afterwards with a newness filter
-    (a qualifying hash group can hold both new and stored ids, so
-    newness is decided per id pair, not per hash).  Exact recall by
-    pigeonhole: every qualifying pair has a new side whose hash IS in
-    the new-hash set.  Returns (id_a, id_b, hamming)."""
+    :func:`banded_hamming_pairs`, kept asymmetric): stored hashes are
+    never banded against EACH OTHER — the stored×stored join fan-out
+    and the duplication blowup both vanish — and id pairs expand
+    afterwards with a newness filter (a qualifying hash group can hold
+    both new and stored ids, so newness is decided per id pair, not
+    per hash).  Per-tick cost, precisely: the new side is
+    O(|new distinct hashes| · bands); the stored side still explodes
+    bands+1 16-byte rows per stored DISTINCT hash into the equi-join —
+    signature-sized index-scan work that grows with corpus vocabulary
+    (exactly like the MinHash index tick scanning its stored band
+    table), while decode/hashing work stays O(new) and nothing
+    quadratic in either corpus size or duplication exists anywhere.
+    Exact recall by pigeonhole: every qualifying pair has a new side
+    whose hash IS in the new-hash set.  Returns (id_a, id_b,
+    hamming)."""
     flagged = sig.select(
         F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
     ).join(

@@ -11,17 +11,18 @@ exactly-once batch ids, snapshot reads, OPTIMIZE), and a tick that
 
 1. decodes + hashes ONLY the new batch (the single Arrow pass),
 2. appends those (media_id, dhash) rows idempotently,
-3. band-joins the new batch's bands against ALL stored signatures
-   (dedup/operators.py banded_hamming_pairs_touching) and verifies
-   exact Hamming from stored values — the corpus contributes a
-   columnar scan of 8-byte keys, ZERO re-decode (the tick plan
-   contains no Python stage for stored rows;
-   tests/test_media_index.py pins it).
+3. band-joins the new batch's DISTINCT hashes against the stored
+   distinct-hash set (dedup/operators.py
+   banded_hamming_pairs_touching) and verifies exact Hamming from
+   stored values — the corpus contributes a columnar scan of 8-byte
+   keys (signature-sized work, growing with stored hash vocabulary
+   like any index scan), ZERO re-decode (the tick plan contains no
+   Python stage; tests/test_media_index.py pins it).
 
 This is the decisive scale asymmetry of perceptual dedup: media bytes
-are huge (the 100 TB), signatures are 8 bytes/item — a tick that
-touches only signatures costs media-free I/O no matter how large the
-stored corpus grows.
+are huge (the 100 TB), signatures are 8 bytes/item — decode/hash work
+is O(new batch) per tick and the stored side is media-free signature
+I/O no matter how large the corpus grows.
 """
 
 from __future__ import annotations
@@ -33,7 +34,17 @@ from .ops import PHASH_BITS, PHASH_DST_H, PHASH_DST_W, perceptual_hash
 
 
 class MediaHashIndex:
-    """A TxTable of (media_id, dhash) perceptual-signature rows."""
+    """A TxTable of (media_id, dhash) perceptual-signature rows.
+
+    IMAGE-only by contract: ingest hashes with the image dHash
+    (ops.perceptual_hash), which filters kind == 'image' — rows of
+    other kinds in an ingest batch contribute no signatures and no
+    pairs.  Audio and video have their own fingerprint operators
+    (ops.audio_fingerprint / ops.video_frame_hashes) with different
+    key semantics (1-D envelope; per-frame keys), so a mixed-modality
+    index would silently compare incomparable keys — callers with
+    mixed batches should filter by kind and maintain one index per
+    modality."""
 
     def __init__(
         self,

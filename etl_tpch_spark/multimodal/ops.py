@@ -281,14 +281,21 @@ VFRAME_SCHEMA = T.StructType(
 )
 
 
-def video_frame_hashes(media: DataFrame) -> DataFrame:
+def video_frame_hashes(
+    media: DataFrame, *, dst_h: int = PHASH_DST_H, dst_w: int = PHASH_DST_W
+) -> DataFrame:
     """Per-frame perceptual fingerprints for video: decode → grayscale
-    each frame → horizontal-gradient bits packed into one long per
-    frame (the image dHash applied frame-wise; a (h, w)-frame yields
-    h·(w−1) bits — 6×11 frames give the standard 60).
+    each frame → nearest-neighbor downscale to (dst_h, dst_w) →
+    horizontal-gradient bits packed into one long per frame (the image
+    dHash applied frame-wise; the default 6×11 grid gives 60 bits —
+    the downscale is the identity when frames already match the grid,
+    and keeps native-resolution frames from overflowing the 63 bits a
+    signed long can hold).
 
     One Arrow pass, one output row per frame — the temporal flat-map
     shape of sample_frames with an 8-byte payload instead of pixels."""
+    if dst_h * (dst_w - 1) > 63:
+        raise ValueError("frame fingerprint exceeds 63 bits")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,15 +303,19 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 _, meta, arr = _decode_payload(bytes(content))
                 c = max(meta["channels"], 1)
+                h, w = meta["height"], meta["width"]
+                yi = np.arange(dst_h) * h // dst_h
+                xi = np.arange(dst_w) * w // dst_w
                 for i in range(meta["n_frames"]):
                     gray = (
                         arr[i]
-                        .reshape(meta["height"], meta["width"], c)
+                        .reshape(h, w, c)
                         .astype(np.int64)
                         .sum(axis=2)
                         // c
                     )
-                    bits = (gray[:, 1:] > gray[:, :-1]).ravel()
+                    small = gray[np.ix_(yi, xi)]
+                    bits = (small[:, 1:] > small[:, :-1]).ravel()
                     key = 0
                     for b in np.flatnonzero(bits):
                         key |= 1 << int(b)
@@ -372,6 +383,8 @@ def audio_fingerprint(
     so truncating and flooring division agree across engines); clips
     shorter than ``segments`` samples have no 1-sample-wide span and
     are excluded — mirrored by the oracle's length filter."""
+    if segments - 1 > 63:
+        raise ValueError("audio fingerprint exceeds 63 bits")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -59,17 +59,15 @@ _EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 _EDGE_LOCK = threading.Lock()
 
 
-def _edge_store_dir(stamp: str, threshold: float) -> str:
-    """Stable on-disk root for the stored edge list (path-keyed; the
-    stamp lives in the marker — the kmeans-fit artifact convention,
-    similarity/kmeans.py _fit_store_dir)."""
-    import hashlib
-    import tempfile
+def _edge_store(stamp: str, threshold: float) -> tuple[str, bool]:
+    """(generation dir, complete) for the stored edge list — the
+    shared stamped-artifact recipe (catalog.artifact_store, same as
+    the kmeans fits): new stamp ⇒ new directory, live readers of the
+    previous generation keep their files."""
+    from ..catalog import artifact_store
 
     real = stamp.split("|", 1)[0]
-    tag = hashlib.md5(real.encode()).hexdigest()[:12]
-    t = str(threshold).replace(".", "p")
-    return os.path.join(tempfile.gettempdir(), f"sim-edges-{tag}-{t}")
+    return artifact_store("sim-edges", f"{real}|{threshold}", stamp)
 
 
 def _edges_at(
@@ -119,16 +117,14 @@ def _edges_miss(
     )
     from ..pipeline.txlog import TxTable
 
-    root = _edge_store_dir(stamp, threshold)
-    marker = os.path.join(root, "_BUILD_COMPLETE")
-    edges_t = TxTable(os.path.join(root, "edges"))
-    try:
-        with open(marker) as f:
-            fresh = f.read() == stamp
-    except OSError:
-        fresh = False
-    if fresh:
-        built = edges_t.read(spark).select("vec_a", "vec_b").persist()
+    root, complete = _edge_store(stamp, threshold)
+    if complete:
+        built = (
+            TxTable(os.path.join(root, "edges"))
+            .read(spark)
+            .select("vec_a", "vec_b")
+            .persist()
+        )
         _EDGE_CACHE[key] = built
         return built
     t = Tables(spark, sf_dir)
@@ -141,15 +137,15 @@ def _edges_miss(
     )
     import shutil
 
+    from ..catalog import mark_store_complete
+
     # storing is an optimization — a failed write must not fail the
     # query (marker-last: a partial store is ignored next session)
     try:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)  # incomplete gen only
         os.makedirs(root, exist_ok=True)
-        edges_t = TxTable(os.path.join(root, "edges"))
-        edges_t.overwrite(built)
-        with open(marker, "w") as f:
-            f.write(stamp)
+        TxTable(os.path.join(root, "edges")).overwrite(built)
+        mark_store_complete(root, stamp)
     except Exception:
         pass
     _EDGE_CACHE[key] = built

@@ -476,31 +476,28 @@ def _reused_index(
     build while reporting the lifecycle's true steady-state cost
     (build on the maintenance cadence, query many times; the same
     warm-cache convention the bench protocol documents for LSH).  The
-    marker folds the embeddings parquet's (mtime, size) and the build
-    parameters, so a regenerated fixture or a parameter change forces
-    a rebuild; a missing/mismatched marker rebuilds from scratch.
-    Build-or-open is serialized per process (threaded planners — the
-    plan audit — must not race one index dir's rmtree/build)."""
+    stamp folds the source parquet's (mtime, size) and the build
+    parameters, so a regenerated fixture or a parameter change maps
+    to a NEW generation directory (catalog.artifact_store — the one
+    shared stamped-store recipe; prior generations stay on disk for
+    any live readers).  Build-or-open is serialized per process
+    (threaded planners — the plan audit — must not race one index
+    dir's build)."""
     import shutil
 
-    from ..catalog import scratch_index_dir, table_path
+    from ..catalog import artifact_store, mark_store_complete, table_path
 
     with _INDEX_BUILD_LOCK:
-        path = scratch_index_dir(kind, sf_dir)
-        marker = os.path.join(path, "_BUILD_COMPLETE")
-        st = os.stat(table_path(os.path.realpath(sf_dir), table))
+        real = os.path.realpath(sf_dir)
+        st = os.stat(table_path(real, table))
         stamp = f"{st.st_mtime_ns}-{st.st_size}-{params}"
-        try:
-            with open(marker) as f:
-                if f.read() == stamp:
-                    return opener(path)
-        except OSError:
-            pass
-        shutil.rmtree(path, ignore_errors=True)
+        path, complete = artifact_store(kind, real, stamp)
+        if complete:
+            return opener(path)
+        shutil.rmtree(path, ignore_errors=True)  # incomplete gen only
         os.makedirs(path, exist_ok=True)
         idx = builder(path)
-        with open(marker, "w") as f:
-            f.write(stamp)
+        mark_store_complete(path, stamp)
         return idx
 
 

@@ -7,6 +7,8 @@ the cross-engine md5 hash recipe.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1349,6 +1351,7 @@ _LM_KEEP_MICRO = 33000  # keep floor on the avg bigram micro-probability
 # signature cache: steady-state cost in a long-lived session is the
 # scoring pass only.
 _LM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LM_LOCK = threading.Lock()
 
 
 def _reference_lm(t: Tables) -> DataFrame:
@@ -1370,38 +1373,45 @@ def _reference_lm(t: Tables) -> DataFrame:
     cached = _LM_CACHE.get(key)
     if cached is not None:
         return cached
-    from ..catalog import evict_superseded
+    # serialize the miss path against concurrent planners (the same
+    # race _FIT_LOCK/_EDGE_LOCK close: two threads would both build
+    # and the loser's persisted frame would leak in the dict)
+    with _LM_LOCK:
+        cached = _LM_CACHE.get(key)
+        if cached is not None:
+            return cached
+        from ..catalog import evict_superseded
 
-    real = key[1].split("|", 1)[0]
-    evict_superseded(
-        _LM_CACHE,
-        lambda k: k[0] == key[0]
-        and k[1].split("|", 1)[0] == real
-        and k[1] != key[1],
-    )
-    from ..pipeline.lm_index import LmIndex
-    from .similarity import _reused_index
-
-    def _build(path: str) -> LmIndex:
-        idx = LmIndex(path)
-        idx.ingest(
-            t.documents.filter(F.col("source") == _LM_REF_SOURCE),
-            batch_id=f"ref-{_LM_REF_SOURCE}",
+        real = key[1].split("|", 1)[0]
+        evict_superseded(
+            _LM_CACHE,
+            lambda k: k[0] == key[0]
+            and k[1].split("|", 1)[0] == real
+            and k[1] != key[1],
         )
-        idx.fold(t._spark)
-        return idx
+        from ..pipeline.lm_index import LmIndex
+        from .similarity import _reused_index
 
-    idx = _reused_index(
-        "ref-lm-idx",
-        t._sf_dir,
-        f"order2-{_LM_REF_SOURCE}",
-        LmIndex,
-        _build,
-        table="documents",
-    )
-    built = lm_from_counts(idx.counts(t._spark)).persist()
-    _LM_CACHE[key] = built
-    return built
+        def _build(path: str) -> LmIndex:
+            idx = LmIndex(path)
+            idx.ingest(
+                t.documents.filter(F.col("source") == _LM_REF_SOURCE),
+                batch_id=f"ref-{_LM_REF_SOURCE}",
+            )
+            idx.fold(t._spark)
+            return idx
+
+        idx = _reused_index(
+            "ref-lm-idx",
+            t._sf_dir,
+            f"order2-{_LM_REF_SOURCE}",
+            LmIndex,
+            _build,
+            table="documents",
+        )
+        built = lm_from_counts(idx.counts(t._spark)).persist()
+        _LM_CACHE[key] = built
+        return built
 
 _LM_PAIRS = (
     "unnest(list_transform(range(1, len(W)), "

@@ -163,36 +163,30 @@ _FIT_CACHE: dict[
 _FIT_LOCK = threading.Lock()
 
 
-def _fit_store_dir(cache_key: str, k: int, iters: int) -> str:
-    """Stable on-disk root for the persisted fit of ``cache_key``'s
-    corpus: keyed by the corpus PATH only (the stamp lives in the
-    marker, so a regenerated fixture overwrites in place instead of
-    leaking one directory per mtime)."""
-    import hashlib
-    import tempfile
+def _fit_store(cache_key: str, k: int, iters: int) -> tuple[str, bool]:
+    """(generation dir, complete) for the persisted fit — the shared
+    stamped-artifact recipe (catalog.artifact_store): identity is the
+    corpus path + training params, the stamp is the full table_stamp,
+    and a regenerated fixture gets a NEW directory (live readers of
+    the old generation keep their files)."""
+    from ..catalog import artifact_store
 
     real = cache_key.split("|", 1)[0]
-    tag = hashlib.md5(real.encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"kmeans-fit-{tag}-{k}-{iters}"
+    return artifact_store(
+        "kmeans-fit", f"{real}|{k}|{iters}", cache_key
     )
 
 
 def _load_persisted_fit(
     spark, cache_key: str, k: int, iters: int
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]] | None:
-    """Open a stored fit if its marker matches ``cache_key`` exactly
-    (same corpus path AND same parquet mtime/size — catalog.table_stamp
-    staleness); None ⇒ train fresh."""
+    """Open a stored fit if its generation is complete for exactly
+    ``cache_key`` (same corpus path AND same parquet mtime/size);
+    None ⇒ train fresh."""
     from ..pipeline.txlog import TxTable
 
-    root = _fit_store_dir(cache_key, k, iters)
-    marker = os.path.join(root, "_BUILD_COMPLETE")
-    try:
-        with open(marker) as f:
-            if f.read() != cache_key:
-                return None
-    except OSError:
+    root, complete = _fit_store(cache_key, k, iters)
+    if not complete:
         return None
     cent_t = TxTable(os.path.join(root, "centroids"))
     assign_t = TxTable(os.path.join(root, "assign"))
@@ -216,12 +210,14 @@ def _store_fit(
     `centroids` is K rows; `assign` is (vec_id, cluster, d2) — three
     longs per corpus row, the IVF inverted-file shape, NOT the
     embedding vectors.  Marker written LAST so a crashed build is
-    simply retrained."""
+    simply retrained; an incomplete generation has no validated
+    readers, so wiping it is safe."""
     import shutil
 
+    from ..catalog import mark_store_complete
     from ..pipeline.txlog import TxTable
 
-    root = _fit_store_dir(cache_key, k, iters)
+    root, _ = _fit_store(cache_key, k, iters)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     TxTable(os.path.join(root, "centroids")).overwrite(
@@ -230,8 +226,7 @@ def _store_fit(
         )
     )
     TxTable(os.path.join(root, "assign")).overwrite(final)
-    with open(os.path.join(root, "_BUILD_COMPLETE"), "w") as f:
-        f.write(cache_key)
+    mark_store_complete(root, cache_key)
 
 
 def kmeans_fit(

@@ -275,3 +275,27 @@ def test_video_blank_frames_do_not_match(spark):
     b[2:] = 0
     media = _video_df(spark, [(1, a), (2, b)])
     assert near_dup_video_pairs(media, min_frames=2).count() == 0
+
+
+def test_video_native_resolution_frames_downscale_not_overflow(spark):
+    """Review r7: frames larger than the fingerprint grid must
+    downscale (identity on 6x11), not pack h*(w-1) native bits into a
+    long — synthetic 16x16 frames previously overflowed int64."""
+    from etl_tpch_spark.multimodal.ops import video_frame_hashes
+
+    rng = np.random.default_rng(43)
+    big = rng.integers(0, 256, (4, 16, 16)).astype(np.uint8)
+    media = _video_df(spark, [(1, big)], h=16, w=16)
+    got = video_frame_hashes(media).collect()
+    assert len(got) == 4
+    assert all(0 <= r.fhash < (1 << 60) for r in got)
+
+
+def test_audio_segments_over_long_width_rejected(spark):
+    from etl_tpch_spark.multimodal.ops import audio_fingerprint
+
+    media = _audio_df(
+        spark, [(1, np.zeros(200, dtype=np.uint8))]
+    )
+    with pytest.raises(ValueError):
+        audio_fingerprint(media, segments=66)

@@ -27,7 +27,7 @@ def _vectors(spark, n=60, seed=3):
 
 
 def _wipe(cache_key: str, k: int, iters: int) -> None:
-    shutil.rmtree(km._fit_store_dir(cache_key, k, iters), ignore_errors=True)
+    shutil.rmtree(km._fit_store(cache_key, k, iters)[0], ignore_errors=True)
 
 
 def test_fit_cold_session_loads_artifact_without_training(
@@ -40,7 +40,7 @@ def test_fit_cold_session_loads_artifact_without_training(
     final, cents = km.kmeans_fit(emb, 4, 1, cache_key=ck)
     warm = sorted(map(tuple, final.collect()))
     assert os.path.exists(
-        os.path.join(km._fit_store_dir(ck, 4, 1), "_BUILD_COMPLETE")
+        os.path.join(km._fit_store(ck, 4, 1)[0], "_BUILD_COMPLETE")
     )
 
     # fresh session: memory cache empty; training must NOT run
@@ -67,7 +67,7 @@ def test_fit_stale_stamp_retrains_and_replaces(spark):
     km._FIT_CACHE.clear()
     # same path, new stamp: marker mismatch → retrain → marker updated
     km.kmeans_fit(emb, 4, 1, cache_key=new)
-    marker = os.path.join(km._fit_store_dir(new, 4, 1), "_BUILD_COMPLETE")
+    marker = os.path.join(km._fit_store(new, 4, 1)[0], "_BUILD_COMPLETE")
     with open(marker) as f:
         assert f.read() == new
 
@@ -80,8 +80,8 @@ def test_fit_artifact_distinct_per_k_and_iters(spark):
     km._FIT_CACHE.clear()
     km.kmeans_fit(emb, 2, 1, cache_key=ck)
     km.kmeans_fit(emb, 4, 2, cache_key=ck)
-    d21 = km._fit_store_dir(ck, 2, 1)
-    d42 = km._fit_store_dir(ck, 4, 2)
+    d21 = km._fit_store(ck, 2, 1)[0]
+    d42 = km._fit_store(ck, 4, 2)[0]
     assert d21 != d42
     assert os.path.exists(os.path.join(d21, "_BUILD_COMPLETE"))
     assert os.path.exists(os.path.join(d42, "_BUILD_COMPLETE"))
@@ -92,7 +92,7 @@ def test_edges_cold_session_reads_stored_table(spark, sf_dir, monkeypatch):
     from etl_tpch_spark.queries.similarity import PAIR_THRESHOLD, _emb_stamp
 
     stamp = _emb_stamp(sf_dir)
-    root = g._edge_store_dir(stamp, PAIR_THRESHOLD)
+    root = g._edge_store(stamp, PAIR_THRESHOLD)[0]
     shutil.rmtree(root, ignore_errors=True)
     g._EDGE_CACHE.clear()
     warm = sorted(map(tuple, g._edges(spark, sf_dir).collect()))
@@ -134,12 +134,32 @@ def test_edges_stale_stamp_rebuilds(spark, sf_dir, monkeypatch):
     g._edges(spark, sf_dir)
     assert called, "stale marker must force a kernel rebuild"
     marker = os.path.join(
-        g._edge_store_dir(fake_stamp, PAIR_THRESHOLD), "_BUILD_COMPLETE"
+        g._edge_store(fake_stamp, PAIR_THRESHOLD)[0], "_BUILD_COMPLETE"
     )
     with open(marker) as f:
         assert f.read() == fake_stamp
     # restore the on-disk artifact for the REAL stamp so later tests /
     # sessions don't open a marker written by the fake one
     shutil.rmtree(
-        g._edge_store_dir(real_stamp, PAIR_THRESHOLD), ignore_errors=True
+        g._edge_store(real_stamp, PAIR_THRESHOLD)[0], ignore_errors=True
     )
+
+
+def test_new_stamp_gets_new_generation_dir(spark):
+    """Review r7: a rebuild must never rmtree a directory a live lazy
+    reader from the previous generation may still reference — new
+    stamp ⇒ NEW directory, old generation left intact."""
+    emb = _vectors(spark, seed=11)
+    old, new = "/persist/gen|stamp-a", "/persist/gen|stamp-b"
+    _wipe(old, 4, 1)
+    _wipe(new, 4, 1)
+    km._FIT_CACHE.clear()
+    final_old, _ = km.kmeans_fit(emb, 4, 1, cache_key=old)
+    d_old = km._fit_store(old, 4, 1)[0]
+    km._FIT_CACHE.clear()
+    km.kmeans_fit(emb, 4, 1, cache_key=new)
+    d_new = km._fit_store(new, 4, 1)[0]
+    assert d_old != d_new
+    assert os.path.exists(os.path.join(d_old, "_BUILD_COMPLETE"))
+    # the old generation's reader still works after the rebuild
+    assert final_old.count() == 60
