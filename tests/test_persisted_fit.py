@@ -116,9 +116,14 @@ def test_edges_stale_stamp_rebuilds(spark, sf_dir, monkeypatch):
     g._EDGE_CACHE.clear()
     g._edges(spark, sf_dir)  # artifact exists at real_stamp
 
-    # simulate a regenerated fixture: same path, different stamp
+    # simulate a regenerated fixture: same path, different stamp.
+    # wipe the fake stamp's GENERATION first — a previous test session
+    # already built it (generational dirs persist by design)
     g._EDGE_CACHE.clear()
     fake_stamp = real_stamp + "-regen"
+    shutil.rmtree(
+        g._edge_store(fake_stamp, PAIR_THRESHOLD)[0], ignore_errors=True
+    )
     monkeypatch.setattr(
         "etl_tpch_spark.queries.similarity._emb_stamp",
         lambda _sf: fake_stamp,
@@ -138,10 +143,14 @@ def test_edges_stale_stamp_rebuilds(spark, sf_dir, monkeypatch):
     )
     with open(marker) as f:
         assert f.read() == fake_stamp
-    # restore the on-disk artifact for the REAL stamp so later tests /
-    # sessions don't open a marker written by the fake one
-    shutil.rmtree(
-        g._edge_store(real_stamp, PAIR_THRESHOLD)[0], ignore_errors=True
+    # generational dirs: the REAL stamp's artifact is untouched by the
+    # fake rebuild — no cleanup needed (the old aliasing store required
+    # one here)
+    assert os.path.exists(
+        os.path.join(
+            g._edge_store(real_stamp, PAIR_THRESHOLD)[0],
+            "_BUILD_COMPLETE",
+        )
     )
 
 
