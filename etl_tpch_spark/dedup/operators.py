@@ -8,10 +8,11 @@ shuffle-budgeted:
 - exact:     1 shuffle (hash groupBy on digest).  O(n).
 - fingerprint dedup: 1 scan + 1 shuffle on a 64-bit int — cheapest
   near-exact variant (whitespace-robust).
-- minhash-LSH: shingle+sign per row (no shuffle) → explode band keys
-  (×N_BANDS rows) → self-join on band bucket (1 shuffle of doc-id+key
-  pairs only) → verify candidates against shingle sets (broadcast or
-  shuffle join on the *small* candidate set).  Never all-pairs.
+- minhash-LSH: shingle+sign per row (no shuffle) → group by shingle
+  array (1 exchange; byte-identical copies collapse) → explode band
+  keys of the distinct sets (×N_BANDS rows) → self-join on band bucket
+  → verify once per set pair → expand to id pairs (output-bound).
+  Never all-pairs, duplication-proof (see minhash_lsh_pairs).
 - simhash:   explode tokens (1 shuffle to per-doc bit votes) → 60-bit
   int per doc → near-dup pairs via pigeonhole banding (4×15-bit bands
   at hamming ≤ 3 — never all-pairs).
@@ -24,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import token_hash, token_hash_wide, tokens
@@ -126,9 +128,12 @@ def _banded_signatures(
     storage_level: "StorageLevel | None" = _DEFAULT_SIG_STORAGE,
 ) -> DataFrame:
     """(doc_id, shingles, bands) — the MinHash-LSH index rows,
-    persisted: the frame feeds 4 plan branches (both sides of the band
-    join, both sides of verification); without persisting, Spark would
-    recompute shingling + 16 minhash perms 4×.
+    persisted: in the incremental operator the frame feeds 4 plan
+    branches (both sides of the band join, both sides of
+    verification); without persisting, Spark would recompute
+    shingling + 16 minhash perms 4×.  (The batch operator passes
+    ``None``: it groups by shingle set first and localCheckpoints the
+    grouped frame instead — one materialization either way.)
 
     ``storage_level`` defaults to MEMORY_AND_DISK — signatures larger
     than executor storage memory SPILL instead of evicting (a plain
@@ -187,20 +192,96 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     band bucket → distinct candidates → exact Jaccard filter.  Output is
     *deterministic* (candidates are a function of content, verification
     is exact) — so the DuckDB oracle replicates it bit-for-bit.
+
+    Like the Hamming kernel (banded_hamming_pairs), the band join runs
+    at the SHINGLE-SET level, not the row level: a crawl corpus is
+    duplication-heavy by construction, and every byte-identical copy of
+    a document has the identical shingle array — banding rows puts a
+    g-sized copy group into every band bucket g times and the candidate
+    distinct shuffles O(Σg²) rows.  Both LSH banding AND Jaccard
+    verification are pure functions of the shingle array, so documents
+    are first grouped by it (one exchange; the group key is the exact
+    array — no hash collisions can merge distinct sets, and re-ordered
+    near-copies merely land in separate groups, which only costs
+    efficiency, never correctness).  Band join + verify then see one
+    representative per distinct array; id pairs expand afterwards:
+    within-group pairs share identical shingle sets (Jaccard exactly
+    1.0), cross-group pairs inherit their set pair's verified Jaccard,
+    each unordered id pair exactly once (docs belong to one group;
+    set_a < set_b fixes orientation).  Output volume is information —
+    every true pair must be emitted — but nothing larger than the
+    output crosses a shuffle.
     """
-    sig = _banded_signatures(docs)
-    banded = sig.select("doc_id", F.explode("bands").alias("band"))
+    sig = _banded_signatures(docs, storage_level=None)
+    # one exchange by the shingle array: per-group min(doc_id) is the
+    # set id; lazy localCheckpoint (the banded_hamming_pairs
+    # convention) because the frame feeds reps + both expansion sides
+    m = sig.select(
+        "doc_id",
+        "shingles",
+        "bands",
+        F.min("doc_id").over(Window.partitionBy("shingles")).alias("set_id"),
+    ).localCheckpoint(eager=False)
+    reps = m.filter(F.col("doc_id") == F.col("set_id")).select(
+        "set_id", "shingles", "bands"
+    )
+    members = m.select("doc_id", "set_id")
+    banded = reps.select("set_id", F.explode("bands").alias("band"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(F.col("x.set_id") < F.col("y.set_id"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.set_id").alias("doc_a"),
+            F.col("y.set_id").alias("doc_b"),
         )
         .distinct()
     )
-    return _verify_jaccard(cand, sig, threshold)
+    vset = _verify_jaccard(
+        cand,
+        reps.select(F.col("set_id").alias("doc_id"), "shingles"),
+        threshold,
+    ).select(
+        F.col("doc_a").alias("set_a"),
+        F.col("doc_b").alias("set_b"),
+        "jaccard",
+    )
+    # cross-group expansion: the verified set-pair frame is band-
+    # bucket-bounded and usually tiny — AQE broadcasts it at runtime
+    # from its actual size (no hint: a forced broadcast could OOM the
+    # driver at adversarial scales)
+    cross = (
+        members.select(
+            F.col("set_id").alias("set_a"), F.col("doc_id").alias("id_x")
+        )
+        .join(vset, "set_a")
+        .join(
+            members.select(
+                F.col("set_id").alias("set_b"),
+                F.col("doc_id").alias("id_y"),
+            ),
+            "set_b",
+        )
+        .select(
+            F.least("id_x", "id_y").alias("doc_a"),
+            F.greatest("id_x", "id_y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:  # identical sets cannot pass; cross is empty too
+        return cross
+    within = (
+        members.select("set_id", F.col("doc_id").alias("doc_a"))
+        .join(
+            members.select("set_id", F.col("doc_id").alias("doc_b")),
+            "set_id",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.round(F.lit(1.0), 6).alias("jaccard")
+        )
+    )
+    return cross.unionByName(within)
 
 
 def minhash_lsh_pairs_incremental(
