@@ -305,6 +305,85 @@ def cosine_topk_lsh_multiprobe(
     )
 
 
+def _vector_groups(embeddings: DataFrame) -> DataFrame:
+    """One row per DISTINCT embedding array: representative id
+    (min vec_id) + member ids — the embedding twin of the shingle-set
+    grouping in dedup/operators.py minhash_lsh_pairs.  Exact text
+    copies carry exact embedding copies, so a crawl corpus duplicates
+    vectors the same way it duplicates documents; pair kernels that
+    score every ROW do O(Σg²) work per g-sized copy group.  Hash
+    aggregate (map-side combine collapses co-located copies before the
+    shuffle); the group key is the raw array — no hash collision can
+    merge distinct vectors.  Lazy localCheckpoint: the frame feeds the
+    kernel input and both expansion sides."""
+    return (
+        embeddings.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.collect_list("vec_id").alias("ids"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    *,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    val_col: str,
+) -> DataFrame:
+    """Expand representative-level pairs to member-level id pairs.
+    Each unordered member pair appears exactly once: a vector belongs
+    to one group, an unordered rep pair appears once, and
+    least/greatest restores id order.  The rep-pair frame is
+    output-bounded; AQE broadcasts it at its actual runtime size."""
+    members = groups.select(
+        F.col("vec_id").alias("_rep"), F.explode("ids").alias("_id")
+    )
+    return (
+        members.select(
+            F.col("_rep").alias(a_col), F.col("_id").alias("_ida")
+        )
+        .join(rep_pairs, a_col)
+        .join(
+            members.select(
+                F.col("_rep").alias(b_col), F.col("_id").alias("_idb")
+            ),
+            b_col,
+        )
+        .select(
+            F.least("_ida", "_idb").alias(a_col),
+            F.greatest("_ida", "_idb").alias(b_col),
+            val_col,
+        )
+    )
+
+
+def _within_group_pairs(
+    groups: DataFrame, self_val: F.Column, threshold: float, val_name: str
+) -> DataFrame:
+    """All id pairs inside each copy group, valued by ``self_val`` —
+    the group vector paired with itself, computed with the SAME
+    expression sequence the pair kernel applies (so a zero-norm vector
+    yields NaN here exactly as it does there, and is dropped by the
+    same ``>= threshold`` comparison)."""
+    m = groups.filter(F.size("ids") > 1).select(
+        self_val.alias(val_name), F.explode("ids").alias("_ida"), "ids"
+    )
+    return (
+        m.select(val_name, "_ida", F.explode("ids").alias("_idb"))
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.col(val_name) >= threshold)
+        .select(
+            F.col("_ida").alias("vec_a"),
+            F.col("_idb").alias("vec_b"),
+            val_name,
+        )
+    )
+
+
 def cosine_pairs_threshold_blocked(
     embeddings: DataFrame, threshold: float, n_blocks: int = 8
 ) -> DataFrame:
@@ -391,6 +470,7 @@ def cosine_pairs_threshold_cells(
     iters: int = 2,
     n_blocks: int = 4,
     cache_key: str | None = None,
+    dedup_vectors: bool = True,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: k-means cells → exact cosine only
     WITHIN each cell (the SemDeDup recipe — cluster first, compare
@@ -457,8 +537,22 @@ def cosine_pairs_threshold_cells(
     cells = kmeans_assignments(
         embeddings, k, iters, cache_key=cache_key
     ).select("vec_id", "cluster")
+    # duplication-proofing (default): the kernel scores one
+    # representative per DISTINCT embedding array; member id pairs
+    # expand afterwards.  Training stays on the FULL corpus (identical
+    # centroids either way is NOT guaranteed under dedup, so dedup
+    # must never touch the fit), and a rep's cell is every member's
+    # cell (identical vector → identical argmin).  Within-group pairs
+    # get the self-cosine computed by the same dim-sequential fold the
+    # kernel runs — nrm/sqrt(nrm·nrm) — so a zero vector yields NaN
+    # and drops exactly as it does in the kernel.
+    groups = _vector_groups(embeddings) if dedup_vectors else None
+    src = (
+        groups.select("vec_id", "embedding") if dedup_vectors
+        else embeddings
+    )
     b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
-    tagged = embeddings.join(cells, "vec_id").select(
+    tagged = src.join(cells, "vec_id").select(
         "cluster", "vec_id", "embedding", b.alias("b")
     )
     pairs_keys = F.array(
@@ -474,9 +568,24 @@ def cosine_pairs_threshold_cells(
         "cluster", "vec_id", "embedding", "b",
         F.explode(F.array_distinct(pairs_keys)).alias("pk"),
     )
-    return exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
+    scored = exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
         score_block, out_schema
     )
+    if not dedup_vectors:
+        return scored
+    cross = _expand_rep_pairs(scored, groups, val_col="cosine")
+    demb = _as_double_array(F.col("embedding"))
+    nrm = F.aggregate(
+        demb, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    # nrm > 0 guard: a zero vector NaN-drops inside the kernel; here
+    # (ANSI mode) the 0/0 would throw instead, so gate the division —
+    # null is filtered by the same >= threshold comparison
+    self_cos = F.when(
+        nrm > 0, F.round(nrm / F.sqrt(nrm * nrm), 6)
+    )
+    within = _within_group_pairs(groups, self_cos, threshold, "cosine")
+    return cross.unionByName(within)
 
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
@@ -553,6 +662,7 @@ def quantized_cosine_pairs_cells(
     iters: int = 2,
     n_blocks: int = 4,
     cache_key: str | None = None,
+    dedup_vectors: bool = True,
 ) -> DataFrame:
     """Sub-quadratic int8-quantized near-dup pairs — the PRODUCT path
     for compressed-embedding dedup at 100 TB, composing
@@ -634,7 +744,20 @@ def quantized_cosine_pairs_cells(
     cells = kmeans_assignments(
         embeddings, k, iters, cache_key=cache_key
     ).select("vec_id", "cluster")
-    raw = embeddings.select(
+    # duplication-proofing, same shape as the float kernel: score one
+    # representative per distinct embedding array, expand afterwards.
+    # Within-group value: identical int8 vectors give dot = qn and
+    # sqrt(qn·qn) = qn EXACTLY (qn < 2²¹ so qn² < 2⁴² is exact in
+    # double and the square root of a representable perfect square is
+    # exact), hence qcosine exactly 1.0 whenever the vector is
+    # nonzero; a zero vector quantizes to all-zero codes and NaN-drops
+    # in the kernel, so it is excluded here too (null ⇒ filtered).
+    groups = _vector_groups(embeddings) if dedup_vectors else None
+    src = (
+        groups.select("vec_id", "embedding") if dedup_vectors
+        else embeddings
+    )
+    raw = src.select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
     b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
@@ -654,9 +777,18 @@ def quantized_cosine_pairs_cells(
         "cluster", "vec_id", "v", "b",
         F.explode(F.array_distinct(pairs_keys)).alias("pk"),
     )
-    return exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
+    scored = exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
         score_block, out_schema
     )
+    if not dedup_vectors:
+        return scored
+    cross = _expand_rep_pairs(scored, groups, val_col="qcosine")
+    demb = _as_double_array(F.col("embedding"))
+    self_q = F.when(
+        F.array_max(F.transform(demb, F.abs)) > 0, F.lit(1.0)
+    )
+    within = _within_group_pairs(groups, self_q, threshold, "qcosine")
+    return cross.unionByName(within)
 
 
 def cosine_topk_matryoshka(
