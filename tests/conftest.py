@@ -33,6 +33,15 @@ def spark():
             # no-op tasks).  8 matches shuffle_partitions; real files
             # still split by maxPartitionBytes, unaffected.
             "spark.default.parallelism": "8",
+            # literal frames (createDataFrame/range) plan as ONE
+            # partition: lifecycle suites append dozens of tiny
+            # literal frames to TxTables — at the default (one slice
+            # per core) every such append lands 8+ near-empty parquet
+            # files that every later snapshot read reopens.  Real
+            # file sources are unaffected.  Operators must be
+            # partitioning-agnostic anyway (pinned by the
+            # invariant-to-batching property tests).
+            "spark.sql.leafNodeDefaultParallelism": "1",
         },
     )
     # Several tests assert that an index path appears in the rendered

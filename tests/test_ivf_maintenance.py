@@ -34,9 +34,12 @@ def _make_vectors(spark, ids, centers, seed):
         c = np.array(centers[i % len(centers)], dtype="float64")
         v = c + rng.normal(0.0, 0.05, DIM)
         rows.append((int(i), [float(x) for x in v]))
+    # 1 partition: every append lands ONE parquet file instead of
+    # default.parallelism tiny ones — the lifecycle suites commit
+    # dozens of these frames and snapshot-read them back repeatedly
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
-    )
+    ).coalesce(1)
 
 
 SEED_CENTERS = [
@@ -327,25 +330,45 @@ def test_ivfpq_reservoir_rebuild_is_index_local(spark, drifted):
     root, _, union, queries, _cos_truth = drifted
     truth_set = _pq_l2_truth(spark, union, queries)
     seed = _make_vectors(spark, range(N_SEED), SEED_CENTERS, 1)
-    a = _pq_build(os.path.join(root, "pq_local"), seed)
-    b = _pq_build(os.path.join(root, "pq_corpus"), seed)
+    batches = []
     nxt = N_SEED
     for t in range(N_TICKS):
-        batch = _make_vectors(
-            spark, range(nxt, nxt + N_BATCH), DRIFT_CENTERS, 100 + t
+        batches.append(
+            _make_vectors(
+                spark, range(nxt, nxt + N_BATCH), DRIFT_CENTERS, 100 + t
+            )
         )
-        a.tick(spark, batch, batch_id=f"tick-{t}")
-        b.tick(spark, batch, batch_id=f"tick-{t}")
         nxt += N_BATCH
-    r_ticked = _pq_recall(a, spark, queries, truth_set)
 
-    # corpus-sourced baseline rebuild (reads the embeddings source)
-    b.rebuild(spark, union, m_sub=4, sub_dim=2, k_codes=16)
-    r_corpus = _pq_recall(b, spark, queries, truth_set)
+    # The two index chains are fully independent (separate paths,
+    # separate TxTables, single writer each) — run them on two
+    # threads; each chain's build → ticks → rebuild order is
+    # preserved per thread, so every commit sequence is identical to
+    # the sequential form and all recalls are deterministic.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # index-local rebuild: no embeddings argument at all
-    a.rebuild(spark)
-    r_local = _pq_recall(a, spark, queries, truth_set)
+    def chain_local():
+        a = _pq_build(os.path.join(root, "pq_local"), seed)
+        for t, batch in enumerate(batches):
+            a.tick(spark, batch, batch_id=f"tick-{t}")
+        r_ticked = _pq_recall(a, spark, queries, truth_set)
+        # index-local rebuild: no embeddings argument at all
+        a.rebuild(spark)
+        return a, r_ticked, _pq_recall(a, spark, queries, truth_set)
+
+    def chain_corpus():
+        b = _pq_build(os.path.join(root, "pq_corpus"), seed)
+        for t, batch in enumerate(batches):
+            b.tick(spark, batch, batch_id=f"tick-{t}")
+        # corpus-sourced baseline rebuild (reads the embeddings source)
+        b.rebuild(spark, union, m_sub=4, sub_dim=2, k_codes=16)
+        return _pq_recall(b, spark, queries, truth_set)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_local = pool.submit(chain_local)
+        f_corpus = pool.submit(chain_corpus)
+        a, r_ticked, r_local = f_local.result()
+        r_corpus = f_corpus.result()
 
     # drift recovery: the local rebuild must beat the drifted index
     assert r_local > r_ticked, (r_local, r_ticked)

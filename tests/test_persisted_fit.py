@@ -23,7 +23,9 @@ def _vectors(spark, n=60, seed=3):
     rows = [
         (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(n)
     ]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
 
 
 def _wipe(cache_key: str, k: int, iters: int) -> None:

@@ -29,6 +29,11 @@ def test_window_covers_differentiating_operators():
         "sim_ann_topk_ivf",
         "sim_cosine_pairs_cells",
         "text_bigram_lm",
+        # round-7 second-session changed paths (set-level band join,
+        # distinct-vector cell kernels)
+        "dedup_minhash_lsh",
+        "sim_quantized_cosine_pairs_cells",
+        "dedup_embedding_clusters",
         # family sentinels from the backlog slice
         "dedup_exact",
         "sim_kmeans_clusters",
