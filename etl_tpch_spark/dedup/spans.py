@@ -61,8 +61,17 @@ def window_hashes(docs: DataFrame) -> DataFrame:
     key and is 16 bytes on the wire, same as the md5 it replaces."""
     from pyspark.sql import Window as W
 
-    d = docs.select("doc_id", tokens(F.col("text")).alias("W")).filter(
-        F.size("W") >= SPAN_W
+    # repartition the COMPACT docs by doc_id before exploding: the
+    # per-doc window below requires hashpartitioning(doc_id), and
+    # Generate preserves its child's partitioning, so exchanging here
+    # ships one text-sized row per document instead of SPAN_W-hashed
+    # token rows (~5× the bytes) — the exploded frame never crosses
+    # the wire (VERDICT r6 #5's fusion lever; plan pinned in
+    # tests/test_plan_shapes.py).
+    d = (
+        docs.select("doc_id", tokens(F.col("text")).alias("W"))
+        .filter(F.size("W") >= SPAN_W)
+        .repartition("doc_id")
     )
     toks = d.select("doc_id", F.posexplode("W").alias("pos", "tok"))
     # per-token lane hashes, pre-rotated so a window's hash is a pure
