@@ -78,6 +78,25 @@ def test_minhash_no_cartesian(plans):
     assert "CartesianProduct" not in p  # band equi-join, never all-pairs
 
 
+def test_span_window_exchanges_compact_docs_not_tokens(spark, sf_dir):
+    """The span rolling-hash window must receive its doc_id
+    distribution from an exchange of the COMPACT documents frame, not
+    of the exploded token rows: Generate preserves its child's
+    partitioning, so the plan must read Exchange → Generate (not
+    Generate → Exchange), keeping SPAN_W-hashed token rows off the
+    wire (round-7 rewrite, dedup/spans.py window_hashes)."""
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.dedup.spans import window_hashes
+
+    df = window_hashes(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen = plan.index("Generate")
+    # every Exchange in this linear plan sits below (after, in the
+    # printed tree) the Generate — i.e. between scan and explode
+    assert "Exchange" in plan
+    assert plan.index("Exchange") > gen, plan[:800]
+
+
 # Queries where a nested-loop/cartesian join is *by design*: one-row
 # scalar broadcasts (q11/q22), the derived-partsupp non-equi build (q2),
 # and the documented all-pairs baselines (brute cosine, and the tiny
