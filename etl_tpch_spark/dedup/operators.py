@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import token_hash, token_hash_wide, tokens
@@ -213,19 +212,27 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     output crosses a shuffle.
     """
     sig = _banded_signatures(docs, storage_level=None)
-    # one exchange by the shingle array: per-group min(doc_id) is the
-    # set id; lazy localCheckpoint (the banded_hamming_pairs
-    # convention) because the frame feeds reps + both expansion sides
-    m = sig.select(
-        "doc_id",
-        "shingles",
-        "bands",
-        F.min("doc_id").over(Window.partitionBy("shingles")).alias("set_id"),
-    ).localCheckpoint(eager=False)
-    reps = m.filter(F.col("doc_id") == F.col("set_id")).select(
-        "set_id", "shingles", "bands"
+    # one exchange by the shingle array, as a HASH aggregate (a window
+    # would sort-compare the arrays — measured ~2× the cost); map-side
+    # partial aggregation collapses co-located copies before the
+    # shuffle, and collect_list carries the members so no second
+    # array-keyed join is needed.  bands are a pure function of
+    # shingles, so first() is exact.  Lazy localCheckpoint (the
+    # banded_hamming_pairs convention): the frame feeds the band join,
+    # verification and both expansion sides.
+    groups = (
+        sig.groupBy("shingles")
+        .agg(
+            F.min("doc_id").alias("set_id"),
+            F.first("bands").alias("bands"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+        .localCheckpoint(eager=False)
     )
-    members = m.select("doc_id", "set_id")
+    reps = groups.select("set_id", "shingles", "bands")
+    members = groups.select(
+        "set_id", F.explode("ids").alias("doc_id")
+    )
     banded = reps.select("set_id", F.explode("bands").alias("band"))
     cand = (
         banded.alias("x")
