@@ -95,92 +95,76 @@ _QUERY_MODULES = (
 # green round 4, EVERY registered query has at least one external
 # CORRECTNESS row (full window in git history of this file).
 #
-# ROUND 7 (VERDICT r6 #6) rotates the window to the CERTIFICATION
-# BACKLOG: after round 6, 112 of 162 registered queries were last
-# driver-certified in r4 or earlier (86 in r3 or earlier) while the
-# window kept re-certifying recently-changed paths.  Round 7's fill
-# policy is oldest-certification-first: the two new queries, a minimal
-# re-cert set for the code paths round 7 actually changed (the shared
-# pigeonhole band kernel behind simhash, the kmeans-fit and edge-list
-# disk artifacts behind the sim_/graph_ families, the bigram-LM oracle
-# extraction), then every r1-certified query (34) and the oldest r2
-# slice.  Every entry below that is neither new nor changed-path was
-# last externally certified in ROUND 1 or 2 and has been covered only
-# by the local oracle-diff suite since; window median prior
-# certification = r1 (target was ≤ r3).  Queries certified r4-r6 on
-# unchanged code paths rotate out — all remain locally gated.
+# ROUND 7 (VERDICT r6 #6) rotated the window to the CERTIFICATION
+# BACKLOG, oldest-certification-first; median prior certification of
+# the r7 window was r1 (full window in git history of this file).
+#
+# ROUND 8 (VERDICT r7 #1) RETIRES the staleness tail: the judge-computed
+# last-certified histogram after r7 was {r1: 3, r2: 24, r3: 22, r4: 25,
+# r6: 43, r7: 50}.  The r1+r2+r3 set is exactly 49 queries; they fill
+# 49 slots below (oldest round first, alphabetical within a round), and
+# the 50th slot goes to this round's new query (first certification).
+# After a green round 8, no registered query's last external
+# CORRECTNESS row predates r4.  Code paths changed this round
+# (incremental minhash set-level banding, BPE merge batching) are
+# covered by the local sf0.01 oracle-diff suite; their registry rows
+# stay r6/r7-certified and rotate back in next round.
 DRIVER_WINDOW = (
-    # ---- new this round (first certification)
-    "multimodal_near_dup_pairs",
-    "multimodal_near_dup_incremental",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_near_dup",
-    "text_bigram_lm_indexed",
-    # ---- code paths changed in round 7 (re-certify)
-    "dedup_simhash",  # banded_hamming_pairs extraction
-    "graph_pagerank",  # stored edge-list artifact path
-    "sim_ann_topk_ivf",  # stored kmeans-fit artifact path
-    "sim_cosine_pairs_cells",  # stored kmeans-fit artifact path
-    # ---- code paths changed in round 7's second session (re-certify)
-    "dedup_minhash_lsh",  # set-level (shingle-array) band join
-    "sim_quantized_cosine_pairs_cells",  # distinct-vector kernel
-    "dedup_embedding_clusters",  # rides the distinct-vector kernel
-    "text_bigram_lm",  # oracle moved to shared constant
-    "text_lm_quality_filter",  # reference LM now served from the
-    # stored LmIndex artifact (same counts, new lineage)
-    # ---- certification backlog, oldest-first: last green in ROUND 2
-    # (dedup + events lead so the differentiating surface stays ahead
-    # of the relational tail for prefix-sampling harnesses)
-    # (dedup_canonical_documents and dedup_embedding_clusters_bruteforce
-    # yield their slots to the new multimodal_audio_fingerprint and
-    # multimodal_near_dup_incremental; dedup keeps four live rows)
-    "dedup_exact",
-    # (dedup_fingerprint yields its slot to multimodal_video_near_dup;
-    # it is green r2 on an unchanged path)
-    "dedup_ngram_jaccard",
-    "sim_kmeans_clusters",
-    "events_cohort_retention",
-    "events_funnel",
-    # (events_json_extract yields its slot to the changed-path
-    # text_lm_quality_filter re-cert; events keeps two live rows and
-    # json_extract is green r2 on an unchanged path)
-    # ---- certification backlog: last green in ROUND 1 (31 of the 34;
-    # three yielded slots to second-session changed-path re-certs)
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_pivot",
-    "catalog_list_tables",
-    "join_full_outer_nation_activity",
-    "join_range_clicks_before_error",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_type_counts",
-    "q17_small_quantity_orders",
-    "q19_disjunctive_filter",
-    "q22_sales_opportunity",
-    "scalar_conditional_functions",
-    # (scalar_datetime_functions, sql_api_revenue_by_status and
-    # window_lag_lead yield their slots to the second-session
-    # changed-path re-certs above; all three are green r1 on unchanged
-    # paths and their families keep live rows)
-    "scalar_string_functions",
-    "setop_intersect",
-    "setop_union_distinct",
-    "sql_api_exists_subquery",
-    "sql_api_priority_window",
-    "sql_api_quartiles",
-    "sql_api_top_customers",
-    "window_running_total",
+    # ---- 50th slot: the oldest ROUND-4 entry (r4 window order) until
+    # this round's new query lands, then it yields that slot
+    "agg_argmax",
+    # ---- backlog: last green in ROUND 1
+    "scalar_datetime_functions",
+    "sql_api_revenue_by_status",
+    "window_lag_lead",
+    # ---- backlog: last green in ROUND 2
+    "dedup_canonical_documents",
+    "dedup_embedding_clusters_bruteforce",
+    "dedup_fingerprint",
+    "events_json_extract",
+    "events_json_typed",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "events_type_share_by_day",
+    "graph_degree_distribution",
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_uniform_topk",
+    "serving_top_orders_display",
+    "sim_ann_topk_bruteforce",
+    "sim_cosine_pairs",
+    "sim_cosine_pairs_blocked",
+    "text_chunking",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats",
+    "text_token_counts",
+    "text_top_terms_per_lang",
+    "udtf_tokenize_positions",
+    # ---- backlog: last green in ROUND 3
+    "agg_count_distinct",
+    "corpus_report_card",
+    "dedup_clusters",
+    "dedup_cross_source_matrix",
+    "events_anomaly_zscore",
+    "events_hll_daily_users",
+    "events_hll_overlap",
+    "events_rolling_active_users",
+    "graph_triangle_count",
+    "join_bloom_semi_orders",
+    "q18_large_orders",
+    "sample_quality_weighted",
+    "setop_except",
+    "sim_ann_topk_lsh",
+    "sim_contrastive_negatives",
+    "text_bm25_topk",
+    "text_span_dedup_clean",
+    "text_span_dedup_stats",
+    "text_term_sketch_topk",
+    "topk_per_segment_window",
+    "ts_locf_hourly",
+    "ts_moving_window_range",
 )
 
 _loaded = False

@@ -1,7 +1,9 @@
 """Registry iteration-order contract: external correctness harnesses
-that sample a prefix of ``queries()`` must see the LLM-pipeline surface
-(dedup / similarity / curation / graph / text / events / inference)
-before the relational tail."""
+that sample a prefix of ``queries()`` certify the first 50 entries.
+Round 8 policy (VERDICT r7 #1): retire the certification-staleness
+tail — the window is exactly the 49 queries last externally certified
+in rounds 1-3 plus one more slot, so after a green round 8 no
+registered query's last CORRECTNESS row predates round 4."""
 
 from etl_tpch_spark.registry import DRIVER_WINDOW, load_all
 
@@ -13,33 +15,68 @@ def test_window_names_exist_and_lead():
     assert qs[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
 
 
-def test_window_covers_differentiating_operators():
-    # round 7 policy (VERDICT r6 #6): oldest-certification-first.  The
-    # window must still lead with the round's NEW surface and the
-    # changed code paths, and keep at least one live row per
-    # differentiating family (dedup / similarity / graph / text /
-    # events / multimodal) ahead of the relational backlog tail.
-    must_have = {
-        # new this round
-        "multimodal_near_dup_pairs",
-        "text_bigram_lm_indexed",
-        # round-7-changed code paths
-        "dedup_simhash",
-        "graph_pagerank",
-        "sim_ann_topk_ivf",
-        "sim_cosine_pairs_cells",
-        "text_bigram_lm",
-        # round-7 second-session changed paths (set-level band join,
-        # distinct-vector cell kernels)
-        "dedup_minhash_lsh",
-        "sim_quantized_cosine_pairs_cells",
-        "dedup_embedding_clusters",
-        # family sentinels from the backlog slice
-        "dedup_exact",
-        "sim_kmeans_clusters",
-        "events_funnel",
-    }
-    assert must_have <= set(DRIVER_WINDOW)
+# The judge-computed last-certified histogram after round 7
+# (CORRECTNESS_r01..r07 union, latest round per query): these 49 names
+# were last green in r1-r3 and MUST all be in the round-8 window.
+_STALE_R1_R3 = {
+    # r1
+    "scalar_datetime_functions",
+    "sql_api_revenue_by_status",
+    "window_lag_lead",
+    # r2
+    "dedup_canonical_documents",
+    "dedup_embedding_clusters_bruteforce",
+    "dedup_fingerprint",
+    "events_json_extract",
+    "events_json_typed",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "events_type_share_by_day",
+    "graph_degree_distribution",
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_uniform_topk",
+    "serving_top_orders_display",
+    "sim_ann_topk_bruteforce",
+    "sim_cosine_pairs",
+    "sim_cosine_pairs_blocked",
+    "text_chunking",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats",
+    "text_token_counts",
+    "text_top_terms_per_lang",
+    "udtf_tokenize_positions",
+    # r3
+    "agg_count_distinct",
+    "corpus_report_card",
+    "dedup_clusters",
+    "dedup_cross_source_matrix",
+    "events_anomaly_zscore",
+    "events_hll_daily_users",
+    "events_hll_overlap",
+    "events_rolling_active_users",
+    "graph_triangle_count",
+    "join_bloom_semi_orders",
+    "q18_large_orders",
+    "sample_quality_weighted",
+    "setop_except",
+    "sim_ann_topk_lsh",
+    "sim_contrastive_negatives",
+    "text_bm25_topk",
+    "text_span_dedup_clean",
+    "text_span_dedup_stats",
+    "text_term_sketch_topk",
+    "topk_per_segment_window",
+    "ts_locf_hourly",
+    "ts_moving_window_range",
+}
+
+
+def test_window_retires_the_staleness_tail():
+    assert len(_STALE_R1_R3) == 49
+    assert _STALE_R1_R3 <= set(DRIVER_WINDOW)
 
 
 def test_window_entries_all_have_oracles():
