@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "etl_tpch_spark.queries.timeseries",
     "etl_tpch_spark.queries.text",
     "etl_tpch_spark.queries.bpe",
+    "etl_tpch_spark.queries.quality_clf",
     "etl_tpch_spark.queries.dedup",
     "etl_tpch_spark.queries.similarity",
     "etl_tpch_spark.queries.curation",  # after similarity: reuses its oracle
@@ -110,9 +111,10 @@ _QUERY_MODULES = (
 # covered by the local sf0.01 oracle-diff suite; their registry rows
 # stay r6/r7-certified and rotate back in next round.
 DRIVER_WINDOW = (
-    # ---- 50th slot: the oldest ROUND-4 entry (r4 window order) until
-    # this round's new query lands, then it yields that slot
-    "agg_argmax",
+    # ---- new this round (first certification): the in-engine quality
+    # classifier (VERDICT r7 #3).  Its indexed twin shares the oracle
+    # and is locally gated; it rotates in next round.
+    "text_quality_classifier",
     # ---- backlog: last green in ROUND 1
     "scalar_datetime_functions",
     "sql_api_revenue_by_status",

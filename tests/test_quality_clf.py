@@ -1,0 +1,171 @@
+"""In-engine quality-classifier training (pipeline/quality_clf.py,
+queries/quality_clf.py — VERDICT r7 #3).
+
+Pins: (1) the relational trainer equals the pure-Python reference
+trainer bit-for-bit at demo K; (2) in-domain docs out-score out-domain
+(the filter's reason to exist — the same property test_curation_mining
+pins for the reference LM); (3) the persisted-weights artifact
+lifecycle: indexed twin == batch query, O(new) score_batch ticks from
+stored weights, cold open, staleness rebuild on parameter change.
+Oracle hash-equality runs in tests/test_oracle_diff.py like every
+registered query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_tpch_spark.catalog import Tables
+from etl_tpch_spark.pipeline.quality_clf import (
+    CLF_BUCKETS,
+    CLF_REF_SOURCE,
+    CLF_ROUNDS,
+    QualityClfIndex,
+    doc_features,
+    labels_frame,
+    score_with_weights,
+    train_logreg,
+    train_logreg_driver,
+    weights_frame,
+)
+from etl_tpch_spark.queries.quality_clf import (
+    text_quality_classifier,
+    text_quality_classifier_indexed,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    """(feat_rows, labels, n_pos, n_neg, relational weights) — one
+    training run shared across the equality tests."""
+    t = Tables(spark, sf_dir)
+    feat = doc_features(t.documents).localCheckpoint(eager=True)
+    n_pos = t.documents.filter(
+        F.col("source") == CLF_REF_SOURCE
+    ).count()
+    n_neg = t.documents.count() - n_pos
+    labels = labels_frame(t.documents, n_pos, n_neg)
+    w = train_logreg(spark, feat, labels, n_pos, n_neg, CLF_ROUNDS)
+    return feat, labels, n_pos, n_neg, w
+
+
+def test_relational_trainer_equals_python_reference(trained):
+    feat, labels, n_pos, n_neg, w = trained
+    feat_rows = [(r["doc_id"], r["b"]) for r in feat.collect()]
+    label_rows = {
+        r["doc_id"]: (r["yF"], r["m"]) for r in labels.collect()
+    }
+    w_ref = train_logreg_driver(
+        feat_rows, label_rows, n_pos, n_neg, CLF_ROUNDS
+    )
+    assert w == w_ref
+
+
+def test_training_learned_nonzero_discriminative_weights(trained):
+    *_, w = trained
+    assert len(w) == CLF_BUCKETS + 1
+    assert any(x > 0 for x in w) and any(x < 0 for x in w)
+
+
+def test_in_domain_outscores_out_domain(spark, sf_dir):
+    out = text_quality_classifier(spark, sf_dir).collect()
+    ref = [r.score_q for r in out if r.source == CLF_REF_SOURCE]
+    rest = [r.score_q for r in out if r.source != CLF_REF_SOURCE]
+    assert ref and rest
+    assert sum(ref) / len(ref) > sum(rest) / len(rest)
+    # the keep gate itself must be discriminative, not just the means
+    keep_ref = sum(r.keep for r in out if r.source == CLF_REF_SOURCE)
+    keep_rest = sum(r.keep for r in out if r.source != CLF_REF_SOURCE)
+    assert keep_ref / len(ref) > keep_rest / len(rest)
+
+
+def test_labels_match_sources(spark, sf_dir):
+    out = text_quality_classifier(spark, sf_dir).collect()
+    for r in out:
+        assert r.label == (1 if r.source == CLF_REF_SOURCE else 0)
+        assert r.keep == (r.score_q >= 0)
+        assert 0 <= r.prob_micro <= 1_000_000
+
+
+# ------------------------------------------------------- artifact store
+
+
+def test_indexed_twin_equals_batch_query(spark, sf_dir):
+    batch = {
+        r.doc_id: (r.score_q, r.prob_micro, r.keep)
+        for r in text_quality_classifier(spark, sf_dir).collect()
+    }
+    idx = {
+        r.doc_id: (r.score_q, r.prob_micro, r.keep)
+        for r in text_quality_classifier_indexed(spark, sf_dir).collect()
+    }
+    assert batch == idx
+
+
+def test_cold_open_reads_stored_weights(spark, sf_dir, tmp_path):
+    t = Tables(spark, sf_dir)
+    path = str(tmp_path / "clf")
+    idx = QualityClfIndex(path)
+    w = idx.retrain(spark, t.documents)
+    # a FRESH handle on the same path (new session stand-in) must read
+    # the identical weight table without retraining
+    reopened = QualityClfIndex(path)
+    stored = {
+        r["b"]: r["w"] for r in reopened.weights(spark).collect()
+    }
+    assert stored == dict(enumerate(w))
+
+
+def test_score_batch_scores_only_new_docs(spark, sf_dir, tmp_path):
+    """The O(new) tick: scoring a new batch touches stored weights +
+    the batch only, and equals the full-scoring restricted to it."""
+    t = Tables(spark, sf_dir)
+    idx = QualityClfIndex(str(tmp_path / "clf"))
+    w = idx.retrain(spark, t.documents)
+    new_batch = t.documents.filter(F.col("doc_id") % 7 == 3)
+    got = {
+        r["doc_id"]: (r["score_q"], r["prob_micro"])
+        for r in idx.score_batch(spark, new_batch).collect()
+    }
+    full = {
+        r["doc_id"]: (r["score_q"], r["prob_micro"])
+        for r in score_with_weights(
+            doc_features(t.documents), weights_frame(spark, w)
+        ).collect()
+        if r["doc_id"] % 7 == 3
+    }
+    assert got == full
+    assert len(got) > 0
+
+
+def test_score_batch_plan_reads_index_not_corpus(spark, sf_dir, tmp_path):
+    """The tick plan's only file scans are the new-batch input and the
+    index parquet — the training corpus parquet is never rescanned."""
+    t = Tables(spark, sf_dir)
+    path = str(tmp_path / "clf")
+    idx = QualityClfIndex(path)
+    idx.retrain(spark, t.documents)
+    new_docs = t.documents.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=True)  # sever the corpus lineage
+    plan = idx.score_batch(spark, new_docs)._jdf.queryExecution().executedPlan().toString()
+    assert path in plan
+    assert "documents.parquet" not in plan
+
+
+def test_retrain_overwrites_previous_weights(spark, sf_dir, tmp_path):
+    t = Tables(spark, sf_dir)
+    idx = QualityClfIndex(str(tmp_path / "clf"))
+    w1 = idx.retrain(spark, t.documents, rounds=1)
+    w2 = idx.retrain(spark, t.documents, rounds=CLF_ROUNDS)
+    assert w1 != w2
+    stored = {r["b"]: r["w"] for r in idx.weights(spark).collect()}
+    assert stored == dict(enumerate(w2))
+    # snapshot isolation: the pre-retrain version is still readable
+    versions = idx.table.versions()
+    prev = {
+        r["b"]: r["w"]
+        for r in idx.weights(spark, versions[-2]).collect()
+    }
+    assert prev == dict(enumerate(w1))
