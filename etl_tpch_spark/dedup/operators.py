@@ -12,7 +12,11 @@ shuffle-budgeted:
   array (1 exchange; byte-identical copies collapse) → explode band
   keys of the distinct sets (×N_BANDS rows) → self-join on band bucket
   → verify once per set pair → expand to id pairs (output-bound).
-  Never all-pairs, duplication-proof (see minhash_lsh_pairs).
+  Never all-pairs.  Duplication-proof applies to the BATCH operator
+  (minhash_lsh_pairs), where set-level banding removes a candidate
+  term quadratic in copy-group size that is NOT part of the output;
+  the incremental operator (minhash_lsh_pairs_incremental) bands rows,
+  which is already output-bound for ticks — see its docstring.
 - simhash:   explode tokens (1 shuffle to per-doc bit votes) → 60-bit
   int per doc → near-dup pairs via pigeonhole banding (4×15-bit bands
   at hamming ≤ 3 — never all-pairs).
@@ -308,7 +312,20 @@ def minhash_lsh_pairs_incremental(
     minus the corpus-internal ones (tested), deterministic ⇒
     oracle-checkable.  Signature build and Jaccard verification are the
     SHARED helpers of the batch operator — the tested equivalence
-    cannot drift because there is one implementation."""
+    cannot drift because there is one implementation.
+
+    Duplication scope (ADVICE r7): this path bands ROWS, not distinct
+    shingle sets, and that is deliberate.  The batch self-join's Σg²
+    blowup comes from candidate volume quadratic in copy-group size
+    *before* the output filter; here every candidate already touches
+    the new batch, so candidates = (new × twin) pairs = exactly the
+    pairs the operator must emit, within the constant N_BANDS factor
+    the pre-distinct carries.  Measured r7 (SCALING.md "Tick-side
+    check"): a 500-doc 10×-duplicated tick against a 50×-duplicated
+    250k-doc stored corpus runs 7.7 s steady, output-exact.  What
+    set-level banding would still buy here is one Jaccard verify per
+    SET pair instead of per id pair — worthwhile if tick outputs grow
+    pathological, not at measured shapes."""
     sig = _banded_signatures(
         corpus.select("doc_id", "text").unionByName(
             new_docs.select("doc_id", "text")

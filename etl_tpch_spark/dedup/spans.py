@@ -67,7 +67,11 @@ def window_hashes(docs: DataFrame) -> DataFrame:
     # ships one text-sized row per document instead of SPAN_W-hashed
     # token rows (~5× the bytes) — the exploded frame never crosses
     # the wire (VERDICT r6 #5's fusion lever; plan pinned in
-    # tests/test_plan_shapes.py).
+    # tests/test_plan_shapes.py).  Known limitation (ADVICE r7): a
+    # user repartition is NOT elided by EnsureRequirements, so an
+    # input already hash-partitioned by doc_id pays one redundant
+    # compact-row exchange.  Acceptable: every caller scans parquet
+    # (never pre-partitioned), and the exchange it saves is 5× larger.
     d = (
         docs.select("doc_id", tokens(F.col("text")).alias("W"))
         .filter(F.size("W") >= SPAN_W)

@@ -109,11 +109,24 @@ def test_within_group_pairs_are_exact_jaccard_one(spark, duplicated_docs):
 
 def test_band_join_sees_distinct_sets_not_rows(spark, duplicated_docs):
     """The scale property itself: the candidate set-pair join runs over
-    one representative per distinct shingle array.  With 40 groups of 5
-    plus 40 singletons (240 rows, 80 distinct sets), the executed plan
-    must not shuffle candidate rows quadratic in group size — pinned by
-    checking the verified pair count is output-bound and the plan has
-    no CartesianProduct."""
+    one representative per distinct shingle array, so the band explode
+    must read the GROUPED frame.  The row-level plan this replaced also
+    had no CartesianProduct (ADVICE r7), so that alone cannot catch a
+    regression — instead pin the band-explode Generate nodes' shape:
+    set-level carries set_id from the checkpointed group frame
+    (schema [shingles, set_id, bands, ids]); a row-level regression
+    would band per-document rows, carrying doc_id with no group
+    columns.  The within-group expansion (explode(ids)) existing at
+    all is equally set-level-only."""
+    import re
+
     plan = minhash_lsh_pairs(duplicated_docs, 0.5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+    band_gens = re.findall(r"Generate explode\(bands#\d+\), \[(\w+)#", plan)
+    assert band_gens, "band explode missing from the executed plan"
+    assert set(band_gens) == {"set_id"}, band_gens
+    # grouped source: every scan feeding the query carries the group
+    # members column; the row-level signature frame had none
+    assert re.search(r"Generate explode\(ids#\d+\)", plan)
+    assert not re.search(r"Generate explode\(bands#\d+\), \[doc_id#", plan)
