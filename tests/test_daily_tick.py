@@ -7,7 +7,13 @@ The four index suites are e2e-tested separately; what THIS file pins
 is the composition: exactly-once is shared across stages, every store
 accumulates exactly its per-suite result, and the per-day cost stays
 bounded as the corpus grows (the 10× flatness measurement lives in
-tools/bench_daily_tick.py → SCALING.md)."""
+tools/bench_daily_tick.py → SCALING.md).
+
+Slow tier (VERDICT r7 #5): the multi-day fixture is inherently
+expensive (three full cadence days before any assertion); the module
+runs under --run-slow, while single-tick composition coverage stays
+in the default gate via test_pipeline_e2e.py::test_run_cycle_full_tick
+and the per-index tick suites."""
 
 from __future__ import annotations
 
@@ -24,6 +30,8 @@ from etl_tpch_spark.pipeline.daily import (
     ensure_reference_lm,
 )
 from etl_tpch_spark.pipeline.txlog import TxTable
+
+pytestmark = pytest.mark.slow
 
 
 def _stage_docs(docs, path: str, day: int) -> None:

@@ -3,7 +3,13 @@ the centroids, so a drifting corpus decays recall vs a fresh build —
 this suite MEASURES that decay over ≥10 drifted batches, pins a floor,
 and proves the retrain policy (ticks_since_build / cell_skew /
 needs_retrain → rebuild) restores a fresh-build-identical index, with
-the trigger wired into pipeline/daily.py's maintenance stage."""
+the trigger wired into pipeline/daily.py's maintenance stage.
+
+Slow tier (VERDICT r7 #5): the ≥10-batch drift simulation is the
+suite's whole point and cannot shrink without weakening the decay
+measurement — the module runs under --run-slow; the IVF/IVFPQ index
+correctness e2e (test_ivf_index.py, test_ivfpq_index.py) stays in the
+default gate."""
 
 from __future__ import annotations
 
@@ -16,6 +22,8 @@ from pyspark.sql import functions as F
 
 from etl_tpch_spark.similarity.ann import _pair_cosine, _with_norm
 from etl_tpch_spark.similarity.index import IVFIndex
+
+pytestmark = pytest.mark.slow
 
 DIM = 8
 N_SEED = 400
