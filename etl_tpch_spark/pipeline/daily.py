@@ -16,6 +16,9 @@ One ``crawl_day_tick`` call per day does:
    - a SpanIndex tick (duplicated-span detection vs all prior days),
    - an LmIndex scoring tick (CCNet-style quality scores vs the
      reference LM ingested at setup),
+   - a QualityClfIndex scoring tick (the trained model gate from
+     stored weights — one feature pass over the batch + one broadcast
+     join; enabled when ensure_quality_classifier trained at setup),
    - a SearchIndex ingest (the day's postings + doclens land in the
      inverted index, so lexical/BM25 retrieval sees same-day docs
      without ever re-tokenizing old ones).
@@ -83,6 +86,24 @@ def ensure_reference_lm(
         idx.fold(spark)
 
 
+def ensure_quality_classifier(
+    spark: SparkSession, labeled_docs: DataFrame, root_dir: str
+) -> None:
+    """Train the quality classifier once (idempotent): the in-engine
+    hashed-n-gram logistic regression (pipeline/quality_clf.py) over a
+    labeled corpus (labels = the in-domain source split), weights
+    stored in a TxTable for the daily scoring ticks.  Training is
+    deterministic integer arithmetic, so a re-call with the table
+    already populated skips; retraining on new labels is an explicit
+    ``QualityClfIndex.retrain`` (an overwrite commit — time travel
+    keeps the prior model readable)."""
+    from .quality_clf import QualityClfIndex
+
+    idx = QualityClfIndex(os.path.join(root_dir, "quality_clf"))
+    if idx.table.latest_version() is None:
+        idx.retrain(spark, labeled_docs)
+
+
 def ensure_ann_index(
     spark: SparkSession,
     seed_embeddings: DataFrame,
@@ -118,11 +139,18 @@ def crawl_day_tick(
 ) -> dict[str, Any]:
     """Run one integrated daily tick; returns a stage → outcome summary
     including per-stage wall seconds (the flatness evidence)."""
+    from .quality_clf import QualityClfIndex
+
     spans_t = TxTable(os.path.join(root_dir, "spans"))
     scores_t = TxTable(os.path.join(root_dir, "scores"))
     span_idx = SpanIndex(os.path.join(root_dir, "span_index"))
     lm_idx = LmIndex(os.path.join(root_dir, "lm"))
     search_idx = SearchIndex(os.path.join(root_dir, "search_index"))
+    clf_idx = QualityClfIndex(os.path.join(root_dir, "quality_clf"))
+    clf_scores_t = TxTable(os.path.join(root_dir, "clf_scores"))
+    # the model gate runs only if setup trained a model — same
+    # optionality as the event/vector drains
+    clf_enabled = clf_idx.table.latest_version() is not None
     out: dict[str, Any] = {"cycles": []}
 
     def doc_tick(batch: DataFrame, bid: str) -> None:
@@ -148,11 +176,17 @@ def crawl_day_tick(
         s3 = time.monotonic()
         search_idx.ingest(batch, batch_id=bid)
         s4 = time.monotonic()
+        if clf_enabled:
+            clf_scores_t.append(
+                clf_idx.score_batch(spark, batch), batch_id=bid
+            )
+        s5 = time.monotonic()
         summary["stage_s"] = {
             "corpus": round(s1 - s0, 3),
             "spans": round(s2 - s1, 3),
             "lm": round(s3 - s2, 3),
             "search": round(s4 - s3, 3),
+            "clf": round(s5 - s4, 3),
         }
         out["cycles"].append(summary)
 
@@ -250,6 +284,8 @@ def crawl_day_tick(
             search_idx.doclens,
             ivf.cells_t,
             ivf.cent_t,
+            clf_idx.table,
+            clf_scores_t,
             # folded per-day registers accrete generations like any
             # other store; versions() is [] when no event stream ever
             # ran, so the skip-guard below makes this a no-op then

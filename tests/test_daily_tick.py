@@ -27,6 +27,7 @@ from etl_tpch_spark.catalog import load_table
 from etl_tpch_spark.pipeline.daily import (
     crawl_day_tick,
     crawl_serve_loop,
+    ensure_quality_classifier,
     ensure_reference_lm,
 )
 from etl_tpch_spark.pipeline.txlog import TxTable
@@ -59,6 +60,9 @@ def three_days(spark, sf_dir, tmp_path_factory):
     ensure_reference_lm(
         spark, docs.filter(F.col("doc_id") % 3 == 0), root
     )
+    # train the model gate at setup: daily ticks then score each
+    # batch against the STORED weights (no retraining in the cadence)
+    ensure_quality_classifier(spark, docs, root)
 
     def stage_day(day: int):
         cd = os.path.join(crawl, f"d{day}")
@@ -116,6 +120,35 @@ def test_spans_scores_and_hll_accumulated(spark, three_days):
     assert hll.select("day").distinct().count() == n_days
 
 
+def test_clf_scores_accumulated_from_stored_weights(spark, three_days):
+    """The model gate scored every staged doc across the three days
+    from the weights trained at setup — one score row per doc, and the
+    scores equal a direct scoring pass with the stored weights (the
+    tick never retrains, so stored-weight scoring IS the definition)."""
+    from etl_tpch_spark.pipeline.quality_clf import (
+        QualityClfIndex,
+        doc_features,
+        score_with_weights,
+    )
+
+    root, docs, _, outs = three_days
+    got = TxTable(os.path.join(root, "clf_scores")).read(spark)
+    assert got.select("doc_id").distinct().count() == docs.count()
+    assert got.count() == docs.count()
+    idx = QualityClfIndex(os.path.join(root, "quality_clf"))
+    want = {
+        r["doc_id"]: r["score_q"]
+        for r in score_with_weights(
+            doc_features(docs), idx.weights(spark)
+        ).collect()
+    }
+    assert {
+        r["doc_id"]: r["score_q"] for r in got.collect()
+    } == want
+    # every day's summary carried the stage timing
+    assert all("clf" in c["stage_s"] for o in outs for c in o["cycles"])
+
+
 def test_search_index_covers_staged_docs(spark, three_days):
     """The inverted index ingested every staged doc pre-dedup (one
     doclen row per doc), and a term probe is served from the index —
@@ -140,7 +173,7 @@ def test_replay_day_is_noop(spark, three_days):
             n: TxTable(os.path.join(root, n)).latest_version()
             for n in (
                 "corpus", "spans", "scores", "dedup_index",
-                "span_index", "hll_index",
+                "span_index", "hll_index", "clf_scores",
             )
         }
 

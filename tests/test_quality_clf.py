@@ -13,6 +13,8 @@ registered query.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -152,6 +154,22 @@ def test_score_batch_plan_reads_index_not_corpus(spark, sf_dir, tmp_path):
     plan = idx.score_batch(spark, new_docs)._jdf.queryExecution().executedPlan().toString()
     assert path in plan
     assert "documents.parquet" not in plan
+
+
+def test_ensure_quality_classifier_trains_once(spark, sf_dir, tmp_path):
+    """The daily-cadence setup hook is idempotent: the first call
+    trains and stores; a re-call with a populated weight table skips
+    (no new version) — scheduler restarts never retrain."""
+    from etl_tpch_spark.pipeline.daily import ensure_quality_classifier
+
+    t = Tables(spark, sf_dir)
+    root = str(tmp_path)
+    ensure_quality_classifier(spark, t.documents, root)
+    idx = QualityClfIndex(os.path.join(root, "quality_clf"))
+    v1 = idx.table.latest_version()
+    assert v1 is not None
+    ensure_quality_classifier(spark, t.documents, root)
+    assert idx.table.latest_version() == v1
 
 
 def test_retrain_overwrites_previous_weights(spark, sf_dir, tmp_path):
