@@ -64,6 +64,13 @@ CLF_ROUNDS = 4  # demo K (real runs: more rounds, same per-round plan)
 F_SCALE = 1_000_000  # fixed-point scale for weights / probabilities
 LR_DEN = 2  # learning rate 1/LR_DEN
 CLF_REF_SOURCE = "src0"  # in-domain label source (== text._LM_REF_SOURCE)
+# Semantic version of the TRAINING RULE, folded into the persisted-fit
+# stamp: numeric hyper-params alone cannot distinguish two trainers
+# with the same (B, K, lr) but different update semantics, and a stale
+# generation built by an older rule would silently serve wrong weights
+# (caught live in round 8: the pre-class-balancing store answered for
+# the balanced trainer until this tag split the generations).
+CLF_TRAINER_VERSION = "balanced-v2"
 
 
 # ---------------------------------------------------------------- features

@@ -27,6 +27,7 @@ from ..pipeline.quality_clf import (
     CLF_BUCKETS,
     CLF_REF_SOURCE,
     CLF_ROUNDS,
+    CLF_TRAINER_VERSION,
     F_SCALE,
     LR_DEN,
     QualityClfIndex,
@@ -178,7 +179,8 @@ def _clf_index_for(spark: SparkSession, sf_dir: str) -> QualityClfIndex:
     return _reused_index(
         "quality-clf",
         sf_dir,
-        f"{CLF_BUCKETS}-{CLF_ROUNDS}-{LR_DEN}-{CLF_REF_SOURCE}",
+        f"{CLF_BUCKETS}-{CLF_ROUNDS}-{LR_DEN}-{CLF_REF_SOURCE}-"
+        f"{CLF_TRAINER_VERSION}",
         QualityClfIndex,
         lambda p: _build_clf(spark, t, p),
         table="documents",
