@@ -80,6 +80,9 @@ HEADLINE = [
     "inference_gbtree_scores",
     "multimodal_near_dup_pairs",
     "text_bigram_lm_indexed",
+    # round 8: the in-engine quality classifier's production shape
+    # (stored-weights scoring; the trainer demo is oracle-gated)
+    "text_quality_classifier_indexed",
 ]
 
 

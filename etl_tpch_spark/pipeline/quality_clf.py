@@ -37,12 +37,20 @@ oracle-checkable in DuckDB:
   int64 headroom: |g_b| <= n·max(n_pos, n_neg)·F ~ 2.4e17 at the
   100x fixture — two decades under 2^63.
 
-Scale shape per round (the Lloyd/BPE driver pattern): one broadcast of
-the (B+1)-row weight table, one shuffle to doc_id for z, one shuffle to
-bucket for the gradient, one (B+1)-row collect.  K bounded rounds; the
-corpus never moves except those two keyed aggregations, and the
-persisted-index path (:class:`QualityClfIndex`) scores new batches
-against STORED weights — one broadcast join per tick, zero retraining.
+Scale shape per round (the Lloyd recipe, literally): documents carry
+their presence buckets as a COMPACT ARRAY (one corpus row per doc —
+features never explode across a shuffle), z is a whole-stage-codegen
+array fold against the (B+1)-element weight vector shipped as a
+literal (the kmeans centroid-broadcast move), and the gradient is one
+explode whose rows die in map-side partial aggregation (≤ B+1 rows
+per partition reach the exchange).  K bounded rounds × ONE corpus
+pass each, zero corpus-sized shuffles, one (B+1)-row collect per
+round.  A first-cut exploded-row form (per-round corpus joins on
+doc_id) measured >9 min at the 100x fixture and invited a corpus-side
+broadcast OOM off post-aggregate size estimates; the array form is
+the plan that survives scale.  The persisted-index path
+(:class:`QualityClfIndex`) scores new batches against STORED weights
+— one feature projection per tick, zero retraining.
 
 Reference scope: coiled/etl-tpch has no classifier counterpart (its
 pipeline is relational only — reference pipeline/preprocess.py keeps
@@ -53,10 +61,10 @@ artifact mirrors); this module is north-star LLM-data surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import sql_token_hash, token_hash, tokens
+from ..functions.text import sql_token_hash, tokens
 from .txlog import TxTable
 
 CLF_BUCKETS = 1024  # hashed feature buckets; bucket id CLF_BUCKETS = bias
@@ -76,30 +84,41 @@ CLF_TRAINER_VERSION = "balanced-v2"
 # ---------------------------------------------------------------- features
 
 
+_GRAMS_EXPR = (
+    "concat(W, CASE WHEN size(W) >= 2 THEN "
+    "transform(sequence(1, size(W) - 1), "
+    "i -> concat(element_at(W, i), ' ', element_at(W, i + 1))) "
+    "ELSE array() END)"
+)
+_BUCKETS_EXPR = (
+    f"array_union(transform({_GRAMS_EXPR}, t -> "
+    f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), "
+    f"{CLF_BUCKETS})), array(CAST({CLF_BUCKETS} AS BIGINT)))"
+)
+
+
 def doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, b) — DISTINCT hashed unigram+bigram presence buckets
-    per document, plus the bias bucket (b = CLF_BUCKETS, every doc).
-    Presence (not counts) keeps the gradient bounded by n·F per bucket
-    and the z magnitudes within the hard-sigmoid clamp's useful range.
-    Unigrams contain no spaces and bigrams are 'w1 w2', so the two
-    n-gram orders can never collide pre-hash."""
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("W"))
-    uni = toks.select("doc_id", F.explode("W").alias("tok"))
-    bi = toks.filter(F.size("W") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(W) - 1), "
-                "i -> concat(element_at(W, i), ' ', element_at(W, i + 1)))"
-            )
-        ).alias("tok"),
+    """(doc_id, buckets: array<long>) — the DISTINCT hashed
+    unigram+bigram presence buckets per document plus the bias bucket
+    (b = CLF_BUCKETS, every doc), as ONE compact array row per doc.
+    Pure column expressions — no explode, no shuffle: features ride
+    the corpus scan.  Presence (not counts) keeps the gradient bounded
+    by n·F per bucket and the z magnitudes within the hard-sigmoid
+    clamp's useful range.  Unigrams contain no spaces and bigrams are
+    'w1 w2', so the two n-gram orders can never collide pre-hash.
+    Bucket order inside the array is deterministic (first occurrence)
+    and irrelevant to every consumer — integer sums commute exactly."""
+    return docs.select(
+        "doc_id", tokens(F.col("text")).alias("W")
+    ).select("doc_id", F.expr(_BUCKETS_EXPR).alias("buckets"))
+
+
+def exploded_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, b) row form of :func:`doc_features` — for tests and
+    any consumer that wants the relational view."""
+    return doc_features(docs).select(
+        "doc_id", F.explode("buckets").alias("b")
     )
-    grams = uni.unionAll(bi).select(
-        "doc_id",
-        F.pmod(token_hash(F.col("tok")), F.lit(CLF_BUCKETS)).alias("b"),
-    )
-    bias = docs.select("doc_id", F.lit(CLF_BUCKETS).cast("long").alias("b"))
-    return grams.distinct().unionAll(bias)
 
 
 def sql_doc_features(docs_rel: str = "documents") -> str:
@@ -141,63 +160,83 @@ def _floordiv(g: int, d: int) -> int:
     return g // d
 
 
-def labels_frame(
-    docs: DataFrame,
-    n_pos: int,
-    n_neg: int,
-    ref_source: str = CLF_REF_SOURCE,
+def training_frame(
+    docs: DataFrame, ref_source: str = CLF_REF_SOURCE
 ) -> DataFrame:
-    """(doc_id, yF, m): fixed-point label and the balanced-risk
-    multiplier — each doc's residual is weighted by the OPPOSITE
-    class's count so both classes contribute equal total gradient
-    mass regardless of the in-domain slice's share."""
+    """(doc_id, buckets, yF) — features and labels in ONE corpus row
+    per doc, built in a single projection off ONE scan (no
+    features⋈labels self-join, no separate label-count passes: class
+    counts aggregate off these compact rows afterwards), checkpointed
+    once and re-read by every training round (K passes over compact
+    rows, not K recomputes of the tokenize+hash lineage)."""
     is_pos = F.col("source") == ref_source
-    return docs.select(
-        "doc_id",
-        F.when(is_pos, F.lit(F_SCALE)).otherwise(F.lit(0))
-        .cast("long")
-        .alias("yF"),
-        F.when(is_pos, F.lit(n_neg)).otherwise(F.lit(n_pos))
-        .cast("long")
-        .alias("m"),
+    return (
+        docs.select(
+            "doc_id", tokens(F.col("text")).alias("W"), "source"
+        )
+        .select(
+            "doc_id",
+            F.expr(_BUCKETS_EXPR).alias("buckets"),
+            F.when(is_pos, F.lit(F_SCALE)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("yF"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def class_counts(feat_lab: DataFrame) -> tuple[int, int]:
+    """(n_pos, n_neg) off the compact checkpointed frame — one tiny
+    aggregate, no corpus re-scan."""
+    row = feat_lab.agg(
+        F.sum((F.col("yF") > 0).cast("long")).alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return int(row["p"]), int(row["n"] - row["p"])
+
+
+def _z_fold(w: list[int]) -> F.Column:
+    """z = Σ_b∈buckets w[b] as a codegen array fold against the weight
+    vector shipped as a LITERAL array (the kmeans centroid-broadcast
+    move: model-sized state rides the plan, the corpus never joins)."""
+    arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    return F.expr(
+        f"aggregate(buckets, 0L, (acc, b) -> "
+        f"acc + element_at({arr}, CAST(b AS INT) + 1))"
     )
 
 
 def train_logreg(
     spark: SparkSession,
-    feat: DataFrame,
-    labels: DataFrame,
+    feat_lab: DataFrame,
     n_pos: int,
     n_neg: int,
     rounds: int = CLF_ROUNDS,
 ) -> list[int]:
-    """K fixed-point batch-gradient rounds over (doc_id, b) presence
-    rows and (doc_id, yF, m) labels (:func:`labels_frame`).  Per
-    round: broadcast the (B+1)-row weight table, aggregate z per doc,
-    residuals through the hard sigmoid weighted by the balance
-    multiplier, aggregate the gradient per bucket, collect (B+1
-    rows), update weights driver-side in exact integer arithmetic.
-    Returns the weight list indexed by bucket (bias last)."""
+    """K fixed-point batch-gradient rounds over a combined
+    (doc_id, buckets, yF) frame (:func:`training_frame`, one row per
+    doc).  Per round — ONE corpus
+    pass, zero corpus shuffles: project z (array fold against the
+    literal weight vector), residual through the hard sigmoid weighted
+    by the balance multiplier, explode buckets and partially aggregate
+    map-side (≤ B+1 rows per partition cross the exchange), collect
+    the (B+1)-row gradient, update weights driver-side in exact
+    integer arithmetic.  Returns the weight list indexed by bucket
+    (bias last)."""
     w = [0] * (CLF_BUCKETS + 1)
     d = 2 * LR_DEN * n_pos * n_neg
+    # the balance multiplier (opposite class's count) rides the plan
+    # as literals — the frame carries only yF
+    m = F.when(F.col("yF") > 0, F.lit(n_neg)).otherwise(
+        F.lit(n_pos)
+    ).cast("long")
     for _ in range(rounds):
-        wdf = spark.createDataFrame(
-            list(enumerate(w)), "b long, w long"
-        )
-        z = (
-            feat.join(F.broadcast(wdf), "b")
-            .groupBy("doc_id")
-            .agg(F.sum("w").alias("z"))
-        )
-        r = z.join(labels, "doc_id").select(
-            "doc_id",
-            (
-                (F.expr(_hard_sigmoid_expr("z")) - F.col("yF"))
-                * F.col("m")
-            ).alias("r"),
-        )
+        r = (
+            (F.expr(_hard_sigmoid_expr("z")) - F.col("yF")) * m
+        ).alias("r")
         g_rows = (
-            feat.join(r, "doc_id")
+            feat_lab.withColumn("z", _z_fold(w))
+            .select(r, F.explode("buckets").alias("b"))
             .groupBy("b")
             .agg(F.sum("r").alias("g"))
             .collect()
@@ -242,21 +281,14 @@ def weights_frame(spark: SparkSession, w: list[int]) -> DataFrame:
     return spark.createDataFrame(list(enumerate(w)), "b long, w long")
 
 
-def score_with_weights(feat: DataFrame, wdf: DataFrame) -> DataFrame:
-    """(doc_id, score_q, prob_micro) from presence rows and a weight
-    table — ONE broadcast join + one per-doc aggregate; the weights
-    frame is model-sized (B+1 rows) by construction, so the broadcast
-    is explicit (the createDataFrame-local-relation size-estimate trap,
-    queries/bpe.py text_bpe_token_counts)."""
-    z = (
-        feat.join(F.broadcast(wdf), "b")
-        .groupBy("doc_id")
-        .agg(F.sum("w").alias("score_q"))
-    )
-    return z.select(
-        "doc_id",
-        "score_q",
-        F.expr(_hard_sigmoid_expr("score_q")).alias("prob_micro"),
+def score_with_weights(feat: DataFrame, w: list[int]) -> DataFrame:
+    """(doc_id, score_q, prob_micro) from per-doc bucket arrays and
+    the weight list — one PROJECTION (codegen array fold against the
+    literal weight vector); no join, no shuffle, no aggregate."""
+    return feat.select(
+        "doc_id", _z_fold(w).alias("score_q")
+    ).withColumn(
+        "prob_micro", F.expr(_hard_sigmoid_expr("score_q"))
     )
 
 
@@ -293,11 +325,9 @@ class QualityClfIndex:
         """Train on ``docs`` (labels = source match) and store the
         weights.  Deterministic: same corpus → bit-identical weight
         table, so a concurrent duplicate retrain is benign."""
-        feat = doc_features(docs).localCheckpoint(eager=True)
-        n_pos = docs.filter(F.col("source") == ref_source).count()
-        n_neg = docs.count() - n_pos
-        labels = labels_frame(docs, n_pos, n_neg, ref_source)
-        w = train_logreg(spark, feat, labels, n_pos, n_neg, rounds)
+        feat_lab = training_frame(docs, ref_source)
+        n_pos, n_neg = class_counts(feat_lab)
+        w = train_logreg(spark, feat_lab, n_pos, n_neg, rounds)
         self.table.overwrite(weights_frame(spark, w))
         return w
 
@@ -306,11 +336,22 @@ class QualityClfIndex:
     ) -> DataFrame:
         return self.table.read(spark, version)
 
+    def weights_list(
+        self, spark: SparkSession, version: int | None = None
+    ) -> list[int]:
+        """The stored weight vector as a list — a bounded (B+1)-row
+        read, the model-sized collect every scoring plan embeds as a
+        literal (the kmeans stored-centroid convention)."""
+        w = [0] * (CLF_BUCKETS + 1)
+        for r in self.weights(spark, version).collect():
+            w[r["b"]] = int(r["w"])
+        return w
+
     def score_batch(
         self, spark: SparkSession, new_docs: DataFrame
     ) -> DataFrame:
         """(doc_id, score_q, prob_micro) for the NEW batch only, from
-        stored weights."""
+        stored weights — one projection over the batch."""
         return score_with_weights(
-            doc_features(new_docs), self.weights(spark)
+            doc_features(new_docs), self.weights_list(spark)
         )

@@ -31,13 +31,12 @@ from ..pipeline.quality_clf import (
     F_SCALE,
     LR_DEN,
     QualityClfIndex,
-    _hard_sigmoid_expr,
     doc_features,
-    labels_frame,
+    class_counts,
     score_with_weights,
     sql_doc_features,
     train_logreg,
-    weights_frame,
+    training_frame,
 )
 from ..registry import query
 
@@ -123,8 +122,17 @@ _SQL_CLF = f"""
 # ---------------------------------------------------------------- engine
 
 
-def _scored(t: Tables, wdf: DataFrame) -> DataFrame:
-    scores = score_with_weights(doc_features(t.documents), wdf)
+def _scored(t: Tables, w: list[int]) -> DataFrame:
+    """Score every document with the weight vector — one projection
+    chain off one corpus scan (features, label, fold, gate all ride
+    the same select; no self-join, no shuffle anywhere in the plan)."""
+    from ..functions.text import tokens
+    from ..pipeline.quality_clf import (
+        _BUCKETS_EXPR,
+        _hard_sigmoid_expr,
+        _z_fold,
+    )
+
     return (
         t.documents.select(
             "doc_id",
@@ -133,14 +141,16 @@ def _scored(t: Tables, wdf: DataFrame) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long")
             .alias("label"),
+            tokens(F.col("text")).alias("W"),
         )
-        .join(scores, "doc_id")
+        .withColumn("buckets", F.expr(_BUCKETS_EXPR))
+        .withColumn("score_q", _z_fold(w))
         .select(
             "doc_id",
             "source",
             "label",
             "score_q",
-            "prob_micro",
+            F.expr(_hard_sigmoid_expr("score_q")).alias("prob_micro"),
             (F.col("score_q") >= 0).alias("keep"),
         )
     )
@@ -157,19 +167,18 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern).  Output per doc: the raw fixed-point margin ``score_q``,
     the hard-sigmoid ``prob_micro`` and the ``keep`` gate.
 
-    Scale shape: one feature pass over the corpus (cached for the K
-    rounds), per round one broadcast of the weight table + two keyed
-    aggregations + a (B+1)-row collect; scoring is one broadcast join.
-    The corpus is never collected and never crossed with itself."""
+    Scale shape: ONE checkpointed feature+label frame (one corpus row
+    per doc, arrays of presence buckets — built in one projection off
+    one scan), then per round one corpus pass: codegen array fold for
+    z against the literal weight vector, explode dying in map-side
+    partial aggregation, a (B+1)-row gradient collect.  Zero
+    corpus-sized shuffles and zero joins in the whole lifecycle;
+    scoring is a projection."""
     t = Tables(spark, sf_dir)
-    feat = doc_features(t.documents).localCheckpoint(eager=True)
-    n_pos = t.documents.filter(
-        F.col("source") == CLF_REF_SOURCE
-    ).count()
-    n_neg = t.documents.count() - n_pos
-    labels = labels_frame(t.documents, n_pos, n_neg)
-    w = train_logreg(spark, feat, labels, n_pos, n_neg, CLF_ROUNDS)
-    return _scored(t, weights_frame(spark, w))
+    feat_lab = training_frame(t.documents)
+    n_pos, n_neg = class_counts(feat_lab)
+    w = train_logreg(spark, feat_lab, n_pos, n_neg, CLF_ROUNDS)
+    return _scored(t, w)
 
 
 def _clf_index_for(spark: SparkSession, sf_dir: str) -> QualityClfIndex:
@@ -202,11 +211,13 @@ def text_quality_classifier_indexed(
     """The classifier gate from STORED weights (TxTable artifact, one
     generation per documents stamp — catalog.artifact_store): a fresh
     session opens the trained fit instead of re-running the K gradient
-    rounds, and scoring is one feature pass + one broadcast join.
-    Same oracle as text_quality_classifier — training is deterministic
-    integer arithmetic, so the stored weights ARE the in-query
-    trainer's output (tests/test_quality_clf.py pins weight-table and
-    output equality, plus the O(new) score_batch tick)."""
+    rounds, and scoring is one projection over the corpus (the stored
+    (B+1)-row weight vector embeds as a plan literal after a bounded
+    read — the kmeans stored-centroid convention).  Same oracle as
+    text_quality_classifier — training is deterministic integer
+    arithmetic, so the stored weights ARE the in-query trainer's
+    output (tests/test_quality_clf.py pins weight-table and output
+    equality, plus the O(new) score_batch tick)."""
     idx = _clf_index_for(spark, sf_dir)
     t = Tables(spark, sf_dir)
-    return _scored(t, idx.weights(spark))
+    return _scored(t, idx.weights_list(spark))

@@ -139,7 +139,7 @@ def test_clf_scores_accumulated_from_stored_weights(spark, three_days):
     want = {
         r["doc_id"]: r["score_q"]
         for r in score_with_weights(
-            doc_features(docs), idx.weights(spark)
+            doc_features(docs), idx.weights_list(spark)
         ).collect()
     }
     assert {

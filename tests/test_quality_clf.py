@@ -24,12 +24,12 @@ from etl_tpch_spark.pipeline.quality_clf import (
     CLF_REF_SOURCE,
     CLF_ROUNDS,
     QualityClfIndex,
+    class_counts,
     doc_features,
-    labels_frame,
     score_with_weights,
     train_logreg,
     train_logreg_driver,
-    weights_frame,
+    training_frame,
 )
 from etl_tpch_spark.queries.quality_clf import (
     text_quality_classifier,
@@ -39,24 +39,24 @@ from etl_tpch_spark.queries.quality_clf import (
 
 @pytest.fixture(scope="module")
 def trained(spark, sf_dir):
-    """(feat_rows, labels, n_pos, n_neg, relational weights) — one
+    """(training frame, n_pos, n_neg, relational weights) — one
     training run shared across the equality tests."""
     t = Tables(spark, sf_dir)
-    feat = doc_features(t.documents).localCheckpoint(eager=True)
-    n_pos = t.documents.filter(
-        F.col("source") == CLF_REF_SOURCE
-    ).count()
-    n_neg = t.documents.count() - n_pos
-    labels = labels_frame(t.documents, n_pos, n_neg)
-    w = train_logreg(spark, feat, labels, n_pos, n_neg, CLF_ROUNDS)
-    return feat, labels, n_pos, n_neg, w
+    feat_lab = training_frame(t.documents)
+    n_pos, n_neg = class_counts(feat_lab)
+    w = train_logreg(spark, feat_lab, n_pos, n_neg, CLF_ROUNDS)
+    return feat_lab, n_pos, n_neg, w
 
 
 def test_relational_trainer_equals_python_reference(trained):
-    feat, labels, n_pos, n_neg, w = trained
-    feat_rows = [(r["doc_id"], r["b"]) for r in feat.collect()]
+    feat_lab, n_pos, n_neg, w = trained
+    rows = feat_lab.collect()
+    feat_rows = [
+        (r["doc_id"], b) for r in rows for b in r["buckets"]
+    ]
     label_rows = {
-        r["doc_id"]: (r["yF"], r["m"]) for r in labels.collect()
+        r["doc_id"]: (r["yF"], n_neg if r["yF"] > 0 else n_pos)
+        for r in rows
     }
     w_ref = train_logreg_driver(
         feat_rows, label_rows, n_pos, n_neg, CLF_ROUNDS
@@ -133,7 +133,7 @@ def test_score_batch_scores_only_new_docs(spark, sf_dir, tmp_path):
     full = {
         r["doc_id"]: (r["score_q"], r["prob_micro"])
         for r in score_with_weights(
-            doc_features(t.documents), weights_frame(spark, w)
+            doc_features(t.documents), w
         ).collect()
         if r["doc_id"] % 7 == 3
     }
@@ -141,9 +141,12 @@ def test_score_batch_scores_only_new_docs(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
-def test_score_batch_plan_reads_index_not_corpus(spark, sf_dir, tmp_path):
-    """The tick plan's only file scans are the new-batch input and the
-    index parquet — the training corpus parquet is never rescanned."""
+def test_score_batch_plan_is_a_pure_projection(spark, sf_dir, tmp_path):
+    """The tick plan touches ONLY the new batch: the stored weights
+    enter as a plan literal after a bounded (B+1)-row index read, so
+    the scoring plan has no join, no exchange, no corpus scan — one
+    projection over the batch (the shape that stays O(new) at any
+    stored-corpus size)."""
     t = Tables(spark, sf_dir)
     path = str(tmp_path / "clf")
     idx = QualityClfIndex(path)
@@ -151,9 +154,11 @@ def test_score_batch_plan_reads_index_not_corpus(spark, sf_dir, tmp_path):
     new_docs = t.documents.filter(F.col("doc_id") % 7 == 3).select(
         "doc_id", "text"
     ).localCheckpoint(eager=True)  # sever the corpus lineage
-    plan = idx.score_batch(spark, new_docs)._jdf.queryExecution().executedPlan().toString()
-    assert path in plan
+    plan = idx.score_batch(spark, new_docs)._jdf.queryExecution(
+    ).executedPlan().toString()
     assert "documents.parquet" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_ensure_quality_classifier_trains_once(spark, sf_dir, tmp_path):
