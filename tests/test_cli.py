@@ -3,6 +3,8 @@ run/explain must reject unknown names without starting a session."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_tpch_spark.__main__ import main
 
 
@@ -36,6 +38,7 @@ def test_dashboard_reports_not_ready(capsys, tmp_path):
     assert "results not ready" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_serve_then_dashboard(capsys, tmp_path):
     """serve ticks the pipeline to a served state; dashboard then
     renders every segment's formatted gold table (reference

@@ -199,6 +199,7 @@ def test_run_cycle_full_tick(spark, tmp_path_factory):
     assert "unique:o_orderkey" in r2["quality"]
 
 
+@pytest.mark.slow
 def test_serve_loop_cadences(spark, tmp_path_factory):
     """workflow.serve_loop (reference workflow.py:12-39 deployment
     cadences): ≥3 ticks advance the clock 15 min apart; compact fires on

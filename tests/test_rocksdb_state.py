@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from etl_tpch_spark.session import ROCKSDB_STATE_CONF
 
+# slow tier: the RocksDB-provider variants of stateful shapes whose
+# default-provider twins stay in the default gate (test_streaming)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def rocksdb(spark):

@@ -5,6 +5,8 @@ nothing."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -33,6 +35,7 @@ def _days(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_streamed_corpus_equals_manual_ticks(spark, sf_dir, tmp_path):
     d1, d2 = _days(spark, sf_dir)
     crawl = str(tmp_path / "crawl")
