@@ -113,14 +113,6 @@ def doc_features(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.expr(_BUCKETS_EXPR).alias("buckets"))
 
 
-def exploded_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, b) row form of :func:`doc_features` — for tests and
-    any consumer that wants the relational view."""
-    return doc_features(docs).select(
-        "doc_id", F.explode("buckets").alias("b")
-    )
-
-
 def sql_doc_features(docs_rel: str = "documents") -> str:
     """DuckDB CTE body computing the same (doc_id, b) presence rows."""
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"

@@ -6,9 +6,12 @@ trainer bit-for-bit at demo K; (2) in-domain docs out-score out-domain
 (the filter's reason to exist — the same property test_curation_mining
 pins for the reference LM); (3) the persisted-weights artifact
 lifecycle: indexed twin == batch query, O(new) score_batch ticks from
-stored weights, cold open, staleness rebuild on parameter change.
-Oracle hash-equality runs in tests/test_oracle_diff.py like every
-registered query.
+stored weights as a pure projection, cold open, snapshot-isolated
+retrain overwrite, idempotent setup hook.  (Generation staleness on
+fixture/parameter change rides the shared artifact_store stamp recipe
+— generically pinned in test_persisted_fit.py — plus the
+CLF_TRAINER_VERSION tag in the stamp.)  Oracle hash-equality runs in
+tests/test_oracle_diff.py like every registered query.
 """
 
 from __future__ import annotations
