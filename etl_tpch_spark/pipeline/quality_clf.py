@@ -152,6 +152,36 @@ def _floordiv(g: int, d: int) -> int:
     return g // d
 
 
+def _check_trainable(n_pos: int, n_neg: int) -> None:
+    """Fail loudly on the two corpus shapes the integer trainer cannot
+    handle, BEFORE the round loop (ADVICE r8):
+
+    - single-class corpus: the balanced denominator d = 2·LR_DEN·n_pos·
+      n_neg is zero, which would otherwise surface as an opaque
+      ZeroDivisionError here and a divide-by-zero in the DuckDB oracle;
+    - int64 headroom: the per-bucket gradient is bounded by
+      |g_b| <= 2·F_SCALE·n_pos·n_neg (residual ≤ F_SCALE, balance
+      multiplier = opposite-class count, ≤ 2·n_minority·n_majority
+      presence rows per bucket).  Past ~4M docs Spark's non-ANSI long
+      sum would wrap SILENTLY while DuckDB promotes to HUGEINT and
+      throws on the cast — engine and oracle diverging without an
+      error.  Corpora that size need a sharded/float trainer, not
+      silently corrupted weights.
+    """
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            "quality classifier needs both classes; "
+            f"got n_pos={n_pos} n_neg={n_neg} "
+            f"(in-domain source = {CLF_REF_SOURCE!r})"
+        )
+    if 2 * F_SCALE * n_pos * n_neg >= 2**62:
+        raise ValueError(
+            "quality classifier int64 gradient headroom exceeded: "
+            f"2*F_SCALE*n_pos*n_neg = {2 * F_SCALE * n_pos * n_neg} "
+            ">= 2**62; shard the corpus or rescale F_SCALE"
+        )
+
+
 def training_frame(
     docs: DataFrame, ref_source: str = CLF_REF_SOURCE
 ) -> DataFrame:
@@ -215,6 +245,7 @@ def train_logreg(
     the (B+1)-row gradient, update weights driver-side in exact
     integer arithmetic.  Returns the weight list indexed by bucket
     (bias last)."""
+    _check_trainable(n_pos, n_neg)
     w = [0] * (CLF_BUCKETS + 1)
     d = 2 * LR_DEN * n_pos * n_neg
     # the balance multiplier (opposite class's count) rides the plan
@@ -250,6 +281,7 @@ def train_logreg_driver(
     presence rows, same hard sigmoid, same balanced multiplier, same
     floor-division update.  ``label_rows`` maps doc_id -> (yF, m).
     No Spark session touched."""
+    _check_trainable(n_pos, n_neg)
     by_doc: dict[int, list[int]] = {}
     for doc_id, b in feat_rows:
         by_doc.setdefault(doc_id, []).append(b)

@@ -337,8 +337,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
-def _trained_vocab(spark: SparkSession, t: Tables) -> DataFrame:
-    """(word, freq, T=final segmentation) via the PRODUCTION trainer:
+def _trained_vocab(
+    spark: SparkSession, t: Tables
+) -> tuple[DataFrame, int]:
+    """((word, freq, T=final segmentation), vocab row count) via the
+    PRODUCTION trainer:
     one word-count job, then the whole merge loop driver-side
     (:func:`train_bpe_driver`, byte-identical to the relational
     trainer — pinned in tests/test_bpe.py), shipped back as a
@@ -354,13 +357,28 @@ def _trained_vocab(spark: SparkSession, t: Tables) -> DataFrame:
     )
     wordfreq = [(r["word"], r["freq"]) for r in wf]
     _, vocab = train_bpe_driver(wordfreq, _BPE_K, with_vocab=True)
-    return spark.createDataFrame(
+    frame = spark.createDataFrame(
         [
             (w, f, syms)
             for (w, f), (syms, _) in zip(wordfreq, vocab)
         ],
         "word STRING, freq LONG, T ARRAY<STRING>",
     )
+    return frame, len(wordfreq)
+
+
+# Above this, the trained vocabulary rides a broadcast join (the
+# local-relation size-estimate trap makes the hint mandatory — left
+# alone the planner hashes the EXPLODED CORPUS side; measured 25 s vs
+# 3 s at the 100x fixture).  A web-corpus vocabulary is ~100 MB at a
+# few million rows — broadcastable, but only given driver/executor
+# headroom (DEPLOY.md "BPE vocabulary broadcast"); past this many rows
+# fall back to a shuffle join rather than assume it (ADVICE r8).
+_VOCAB_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _vocab_join_side(seg: DataFrame, n_vocab: int) -> DataFrame:
+    return F.broadcast(seg) if n_vocab <= _VOCAB_BROADCAST_MAX_ROWS else seg
 
 
 @query("text_bpe_segment", oracle=_SQL_BPE_SEGMENT)
@@ -369,7 +387,7 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     subword segmentation after all K merges, with the subword count the
     corpus token budget is computed from.  (Tokenizing NEW text is the
     same transform chain replayed from the stored merge table.)"""
-    v = _trained_vocab(spark, Tables(spark, sf_dir))
+    v, _ = _trained_vocab(spark, Tables(spark, sf_dir))
     out = v.select(
         "word",
         "freq",
@@ -418,12 +436,12 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcastable by construction (vocab-sized, ~100 MB for a web
     corpus), which is exactly how production tokenizer-apply works."""
     t = Tables(spark, sf_dir)
-    v = _trained_vocab(spark, t)
+    v, n_vocab = _trained_vocab(spark, t)
     seg = v.select("word", F.size("T").cast("long").alias("n_sub"))
     tok = t.documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     )
-    return tok.join(F.broadcast(seg), "word").groupBy("doc_id").agg(
+    return tok.join(_vocab_join_side(seg, n_vocab), "word").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("ws_tokens"),
         F.sum("n_sub").alias("bpe_tokens"),
     )

@@ -100,73 +100,76 @@ _QUERY_MODULES = (
 # BACKLOG, oldest-certification-first; median prior certification of
 # the r7 window was r1 (full window in git history of this file).
 #
-# ROUND 8 (VERDICT r7 #1) RETIRES the staleness tail: the judge-computed
-# last-certified histogram after r7 was {r1: 3, r2: 24, r3: 22, r4: 25,
-# r6: 43, r7: 50}.  The r1+r2+r3 set is exactly 49 queries; they fill
-# 49 slots below (oldest round first, alphabetical within a round), and
-# the 50th slot goes to this round's new query (first certification).
-# After a green round 8, no registered query's last external
-# CORRECTNESS row predates r4.  Code paths changed this round
-# (incremental minhash set-level banding, BPE merge batching) are
-# covered by the local sf0.01 oracle-diff suite; their registry rows
-# stay r6/r7-certified and rotate back in next round.
+# ROUND 8 (VERDICT r7 #1) retired the staleness tail: after a green r8
+# no registered query's last external CORRECTNESS row predates r4
+# (judge-verified histogram r4:25, r6:43, r7:50, r8:50; full r8 window
+# in git history of this file).
+#
+# ROUND 9 (VERDICT r8 #1): certify `text_quality_classifier_indexed` —
+# the single registered query with ZERO external CORRECTNESS rows ever
+# (judge-green at sf0.01 in the r8 session, but the driver record is
+# the contract) — and rotate the window to the oldest-certification
+# tail: all 25 queries last green in r4, plus 24 of the 43 last green
+# in r6.  Within the r6 set, the three queries whose code paths changed
+# in r8 (the BPE family: vocabulary-broadcast fix + production-trainer
+# reads + headline re-scope) go first; the rest fill alphabetically.
+# The remaining 19 r6 entries (search_hybrid_rrf_indexed …
+# window_rank) are the queued r10 window.
 DRIVER_WINDOW = (
-    # ---- new this round (first certification): the in-engine quality
-    # classifier (VERDICT r7 #3).  Its indexed twin shares the oracle
-    # and is locally gated; it rotates in next round.
-    "text_quality_classifier",
-    # ---- backlog: last green in ROUND 1
-    "scalar_datetime_functions",
-    "sql_api_revenue_by_status",
-    "window_lag_lead",
-    # ---- backlog: last green in ROUND 2
-    "dedup_canonical_documents",
-    "dedup_embedding_clusters_bruteforce",
-    "dedup_fingerprint",
-    "events_json_extract",
-    "events_json_typed",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "events_type_share_by_day",
-    "graph_degree_distribution",
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_uniform_topk",
-    "serving_top_orders_display",
-    "sim_ann_topk_bruteforce",
-    "sim_cosine_pairs",
-    "sim_cosine_pairs_blocked",
-    "text_chunking",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_stats",
-    "text_token_counts",
-    "text_top_terms_per_lang",
-    "udtf_tokenize_positions",
-    # ---- backlog: last green in ROUND 3
-    "agg_count_distinct",
-    "corpus_report_card",
-    "dedup_clusters",
-    "dedup_cross_source_matrix",
-    "events_anomaly_zscore",
-    "events_hll_daily_users",
-    "events_hll_overlap",
-    "events_rolling_active_users",
-    "graph_triangle_count",
-    "join_bloom_semi_orders",
-    "q18_large_orders",
-    "sample_quality_weighted",
-    "setop_except",
-    "sim_ann_topk_lsh",
-    "sim_contrastive_negatives",
-    "text_bm25_topk",
-    "text_span_dedup_clean",
-    "text_span_dedup_stats",
-    "text_term_sketch_topk",
-    "topk_per_segment_window",
-    "ts_locf_hourly",
-    "ts_moving_window_range",
+    # ---- first-ever external certification (VERDICT r8 #1 / missing #2)
+    "text_quality_classifier_indexed",
+    # ---- backlog: last green in ROUND 4 (all 25)
+    "agg_argmax",
+    "agg_mode_per_group",
+    "agg_salted_flag_totals",
+    "agg_unpivot_metrics",
+    "curation_model_filter",
+    "dedup_cluster_stats",
+    "events_map_type",
+    "multimodal_byte_histogram",
+    "multimodal_decode_lengths",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "profile_orders_columns",
+    "quality_expectations",
+    "sample_temperature_mixture",
+    "sim_ann_topk_ivfpq",
+    "sim_ann_topk_pq",
+    "text_boilerplate_ngrams",
+    "text_decontaminate_ngrams",
+    "text_lm_perplexity_buckets",
+    "text_repetition_filter",
+    "text_token_counts_arrow",
+    "ts_gapfill_hourly",
+    "udaf_grouped_price_stats",
+    "window_distribution",
+    "window_ntile_quartiles",
+    # ---- backlog: last green in ROUND 6 — r8-changed code paths first
+    "text_bpe_token_counts",
+    "text_bpe_segment",
+    "text_bpe_merges",
+    # ---- backlog: last green in ROUND 6 — alphabetical fill
+    "agg_hll_distinct_customers",
+    "agg_rollup",
+    "corpus_curation",
+    "dedup_incremental",
+    "events_markov_transitions",
+    "events_session_window",
+    "flagship_all_segments_union",
+    "flagship_unshipped_orders",
+    "graph_kcore",
+    "inference_batch_scores",
+    "inference_gbtree_scores",
+    "join_asof_purchases",
+    "join_bloom_semi_orders_unbounded",
+    "multimodal_feature_extract",
+    "q11_important_stock",
+    "q1_pricing_summary",
+    "q20_promo_part_suppliers",
+    "q21_waiting_orders",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "search_hybrid_rrf",
 )
 
 _loaded = False

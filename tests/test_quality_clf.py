@@ -195,3 +195,30 @@ def test_retrain_overwrites_previous_weights(spark, sf_dir, tmp_path):
         for r in idx.weights(spark, versions[-2]).collect()
     }
     assert prev == dict(enumerate(w1))
+
+
+def test_single_class_corpus_fails_loudly():
+    # ADVICE r8: a corpus without both classes must raise an explicit
+    # ValueError before the round loop (not an opaque ZeroDivisionError
+    # from the balanced denominator) — in both trainer twins.
+    with pytest.raises(ValueError, match="both classes"):
+        train_logreg_driver([], {}, n_pos=0, n_neg=7)
+    with pytest.raises(ValueError, match="both classes"):
+        train_logreg_driver([], {}, n_pos=7, n_neg=0)
+    with pytest.raises(ValueError, match="both classes"):
+        train_logreg(None, None, n_pos=0, n_neg=0)
+
+
+def test_int64_gradient_headroom_fails_loudly():
+    # ADVICE r8: past ~4M docs Spark's non-ANSI long sum wraps silently
+    # while DuckDB promotes to HUGEINT and throws — the bound must be
+    # asserted up front so oversized corpora fail instead of silently
+    # corrupting weights.  2*F_SCALE*n_pos*n_neg >= 2**62 trips it.
+    big = 2_000_000
+    with pytest.raises(ValueError, match="headroom"):
+        train_logreg(None, None, n_pos=big, n_neg=big)
+    with pytest.raises(ValueError, match="headroom"):
+        train_logreg_driver([], {}, n_pos=big, n_neg=big)
+    # just under the bound constructs fine (empty corpus, zero rounds)
+    ok = train_logreg_driver([], {}, n_pos=3, n_neg=5, rounds=0)
+    assert ok == [0] * (CLF_BUCKETS + 1)

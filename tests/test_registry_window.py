@@ -1,9 +1,11 @@
 """Registry iteration-order contract: external correctness harnesses
 that sample a prefix of ``queries()`` certify the first 50 entries.
-Round 8 policy (VERDICT r7 #1): retire the certification-staleness
-tail — the window is exactly the 49 queries last externally certified
-in rounds 1-3 plus one more slot, so after a green round 8 no
-registered query's last CORRECTNESS row predates round 4."""
+Round 9 policy (VERDICT r8 #1): give `text_quality_classifier_indexed`
+its first-ever external CORRECTNESS row, then rotate the window to the
+oldest-certification tail — all 25 queries last green in r4 plus 24 of
+the 43 last green in r6 (r8-changed BPE paths first).  After a green
+round 9, no registered query's last row predates r6 except the
+explicitly-queued 19-entry r6 remainder (the r10 window)."""
 
 from etl_tpch_spark.registry import DRIVER_WINDOW, load_all
 
@@ -15,68 +17,56 @@ def test_window_names_exist_and_lead():
     assert qs[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
 
 
-# The judge-computed last-certified histogram after round 7
-# (CORRECTNESS_r01..r07 union, latest round per query): these 49 names
-# were last green in r1-r3 and MUST all be in the round-8 window.
-_STALE_R1_R3 = {
-    # r1
-    "scalar_datetime_functions",
-    "sql_api_revenue_by_status",
-    "window_lag_lead",
-    # r2
-    "dedup_canonical_documents",
-    "dedup_embedding_clusters_bruteforce",
-    "dedup_fingerprint",
-    "events_json_extract",
-    "events_json_typed",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "events_type_share_by_day",
-    "graph_degree_distribution",
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_uniform_topk",
-    "serving_top_orders_display",
-    "sim_ann_topk_bruteforce",
-    "sim_cosine_pairs",
-    "sim_cosine_pairs_blocked",
-    "text_chunking",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_stats",
-    "text_token_counts",
-    "text_top_terms_per_lang",
-    "udtf_tokenize_positions",
-    # r3
-    "agg_count_distinct",
-    "corpus_report_card",
-    "dedup_clusters",
-    "dedup_cross_source_matrix",
-    "events_anomaly_zscore",
-    "events_hll_daily_users",
-    "events_hll_overlap",
-    "events_rolling_active_users",
-    "graph_triangle_count",
-    "join_bloom_semi_orders",
-    "q18_large_orders",
-    "sample_quality_weighted",
-    "setop_except",
-    "sim_ann_topk_lsh",
-    "sim_contrastive_negatives",
-    "text_bm25_topk",
-    "text_span_dedup_clean",
-    "text_span_dedup_stats",
-    "text_term_sketch_topk",
-    "topk_per_segment_window",
-    "ts_locf_hourly",
-    "ts_moving_window_range",
+# The judge-computed last-certified histogram after round 8
+# (CORRECTNESS_r01..r08 union, latest green round per query) was
+# {r4: 25, r6: 43, r7: 50, r8: 50} plus one never-certified query.
+# The round-9 window MUST contain the never-certified query and the
+# whole r4 set; the r6 set contributes the remaining 24 slots.
+_NEVER_CERTIFIED = {"text_quality_classifier_indexed"}
+
+_LAST_GREEN_R4 = {
+    "agg_argmax",
+    "agg_mode_per_group",
+    "agg_salted_flag_totals",
+    "agg_unpivot_metrics",
+    "curation_model_filter",
+    "dedup_cluster_stats",
+    "events_map_type",
+    "multimodal_byte_histogram",
+    "multimodal_decode_lengths",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "profile_orders_columns",
+    "quality_expectations",
+    "sample_temperature_mixture",
+    "sim_ann_topk_ivfpq",
+    "sim_ann_topk_pq",
+    "text_boilerplate_ngrams",
+    "text_decontaminate_ngrams",
+    "text_lm_perplexity_buckets",
+    "text_repetition_filter",
+    "text_token_counts_arrow",
+    "ts_gapfill_hourly",
+    "udaf_grouped_price_stats",
+    "window_distribution",
+    "window_ntile_quartiles",
 }
 
+# Code paths the round-8 diff touched (queries/bpe.py vocabulary
+# broadcast + production-trainer reads): re-certify ahead of the
+# alphabetical r6 fill.
+_R8_CHANGED = {"text_bpe_token_counts", "text_bpe_segment", "text_bpe_merges"}
 
-def test_window_retires_the_staleness_tail():
-    assert len(_STALE_R1_R3) == 49
-    assert _STALE_R1_R3 <= set(DRIVER_WINDOW)
+
+def test_window_certifies_the_r4_tail_and_the_new_query():
+    assert len(_LAST_GREEN_R4) == 25
+    w = set(DRIVER_WINDOW)
+    assert _NEVER_CERTIFIED <= w
+    assert _LAST_GREEN_R4 <= w
+    assert _R8_CHANGED <= w
+    # never-certified query leads the window — it must be in any
+    # harness prefix, however short
+    assert DRIVER_WINDOW[0] == "text_quality_classifier_indexed"
 
 
 def test_window_entries_all_have_oracles():

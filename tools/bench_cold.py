@@ -37,7 +37,15 @@ def main() -> None:
     spark = get_spark("etl_tpch_spark-bench-cold")
 
     all_queries = registry.load_all()
-    names = [n for n in HEADLINE if n in all_queries]
+    missing = sorted(set(HEADLINE) - set(all_queries))
+    if missing:
+        # no-silent-truncation convention (ADVICE r8): a renamed or
+        # unregistered headline query must not quietly vanish from the
+        # cold-bench total.
+        raise SystemExit(
+            f"bench_cold: headline queries missing from registry: {missing}"
+        )
+    names = list(HEADLINE)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
