@@ -90,14 +90,26 @@ _GRAMS_EXPR = (
     "i -> concat(element_at(W, i), ' ', element_at(W, i + 1))) "
     "ELSE array() END)"
 )
-_BUCKETS_EXPR = (
-    f"array_union(transform({_GRAMS_EXPR}, t -> "
-    f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), "
-    f"{CLF_BUCKETS})), array(CAST({CLF_BUCKETS} AS BIGINT)))"
-)
 
 
-def doc_features(docs: DataFrame) -> DataFrame:
+def buckets_expr(n_buckets: int = CLF_BUCKETS) -> str:
+    """Presence-bucket array expression at an arbitrary bucket count —
+    the B axis is a deployment knob (1k demo, 10⁵–10⁶ for a production
+    fastText-style gate), so every feature/scoring/training entry point
+    accepts it."""
+    return (
+        f"array_union(transform({_GRAMS_EXPR}, t -> "
+        f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), "
+        f"{n_buckets})), array(CAST({n_buckets} AS BIGINT)))"
+    )
+
+
+_BUCKETS_EXPR = buckets_expr(CLF_BUCKETS)
+
+
+def doc_features(
+    docs: DataFrame, n_buckets: int = CLF_BUCKETS
+) -> DataFrame:
     """(doc_id, buckets: array<long>) — the DISTINCT hashed
     unigram+bigram presence buckets per document plus the bias bucket
     (b = CLF_BUCKETS, every doc), as ONE compact array row per doc.
@@ -110,7 +122,7 @@ def doc_features(docs: DataFrame) -> DataFrame:
     and irrelevant to every consumer — integer sums commute exactly."""
     return docs.select(
         "doc_id", tokens(F.col("text")).alias("W")
-    ).select("doc_id", F.expr(_BUCKETS_EXPR).alias("buckets"))
+    ).select("doc_id", F.expr(buckets_expr(n_buckets)).alias("buckets"))
 
 
 def sql_doc_features(docs_rel: str = "documents") -> str:
@@ -183,7 +195,9 @@ def _check_trainable(n_pos: int, n_neg: int) -> None:
 
 
 def training_frame(
-    docs: DataFrame, ref_source: str = CLF_REF_SOURCE
+    docs: DataFrame,
+    ref_source: str = CLF_REF_SOURCE,
+    n_buckets: int = CLF_BUCKETS,
 ) -> DataFrame:
     """(doc_id, buckets, yF) — features and labels in ONE corpus row
     per doc, built in a single projection off ONE scan (no
@@ -198,7 +212,7 @@ def training_frame(
         )
         .select(
             "doc_id",
-            F.expr(_BUCKETS_EXPR).alias("buckets"),
+            F.expr(buckets_expr(n_buckets)).alias("buckets"),
             F.when(is_pos, F.lit(F_SCALE)).otherwise(F.lit(0))
             .cast("long")
             .alias("yF"),
@@ -234,6 +248,7 @@ def train_logreg(
     n_pos: int,
     n_neg: int,
     rounds: int = CLF_ROUNDS,
+    n_buckets: int = CLF_BUCKETS,
 ) -> list[int]:
     """K fixed-point batch-gradient rounds over a combined
     (doc_id, buckets, yF) frame (:func:`training_frame`, one row per
@@ -246,7 +261,7 @@ def train_logreg(
     integer arithmetic.  Returns the weight list indexed by bucket
     (bias last)."""
     _check_trainable(n_pos, n_neg)
-    w = [0] * (CLF_BUCKETS + 1)
+    w = [0] * (n_buckets + 1)
     d = 2 * LR_DEN * n_pos * n_neg
     # the balance multiplier (opposite class's count) rides the plan
     # as literals — the frame carries only yF
@@ -275,6 +290,7 @@ def train_logreg_driver(
     n_pos: int,
     n_neg: int,
     rounds: int = CLF_ROUNDS,
+    n_buckets: int = CLF_BUCKETS,
 ) -> list[int]:
     """Pure-Python reference trainer — byte-identical semantics to
     :func:`train_logreg` (pinned in tests/test_quality_clf.py): same
@@ -285,10 +301,10 @@ def train_logreg_driver(
     by_doc: dict[int, list[int]] = {}
     for doc_id, b in feat_rows:
         by_doc.setdefault(doc_id, []).append(b)
-    w = [0] * (CLF_BUCKETS + 1)
+    w = [0] * (n_buckets + 1)
     d = 2 * LR_DEN * n_pos * n_neg
     for _ in range(rounds):
-        g = [0] * (CLF_BUCKETS + 1)
+        g = [0] * (n_buckets + 1)
         for doc_id, bs in by_doc.items():
             z = sum(w[b] for b in bs)
             p = max(0, min(8 * F_SCALE, z + 4 * F_SCALE)) // 8
@@ -296,7 +312,7 @@ def train_logreg_driver(
             r = (p - yF) * m
             for b in bs:
                 g[b] += r
-        for b in range(CLF_BUCKETS + 1):
+        for b in range(n_buckets + 1):
             w[b] -= g[b] // d
     return w
 
@@ -314,6 +330,73 @@ def score_with_weights(feat: DataFrame, w: list[int]) -> DataFrame:
     ).withColumn(
         "prob_micro", F.expr(_hard_sigmoid_expr("score_q"))
     )
+
+
+# Fold-vs-join crossover on the bucket-count axis (VERDICT r8 #2,
+# measured — tools/bench_clf_buckets.py, SCALING.md "Classifier
+# bucket-count scale axis").  Two costs trade:
+#
+# - fold: the (B+1)-element literal's construction + analysis +
+#   codegen is a FIXED per-plan toll, linear in B (measured ~6 s at
+#   256k, ~27 s at 1M), with near-zero per-row cost;
+# - join: a corpus-side explode (×avg buckets/doc) + broadcast join +
+#   per-doc re-aggregation — flat in B, linear in BATCH SIZE
+#   (measured ~0.9 ms/doc at 256k: 442 s over the 500k-doc 100×
+#   corpus where the fold took 63 s).
+#
+# So the crossover is two-dimensional: the fold wins at every measured
+# B for corpus-scale scoring (its toll amortizes), and the join wins
+# only where a HUGE model scores a SMALL batch — the O(new) daily tick
+# with a production 10⁶-bucket gate (measured at B=1M over 5k docs:
+# join 10.7 s vs fold 27.2 s).  The thresholds below encode the
+# measured cross: fold whenever B ≤ 256k (won at both batch scales),
+# and above that, join only for tick-sized batches.
+CLF_FOLD_MAX_BUCKETS = 262_144
+CLF_JOIN_MAX_BATCH_ROWS = 20_000
+
+
+def score_with_weights_join(
+    feat: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """(doc_id, score_q, prob_micro) via the LARGE-B scoring plan:
+    explode each doc's presence buckets, broadcast-join the (B+1)-row
+    weight table on bucket id, sum per doc (the LmIndex scoring
+    pattern).  Output-identical to :func:`score_with_weights` (integer
+    sums commute; pinned in tests/test_quality_clf.py) — the trade is
+    plan-literal compile cost (fold, grows with B) against one
+    corpus-sized explode + per-doc re-aggregation (join, flat in B).
+    The broadcast hint is EXPLICIT for the usual local-relation /
+    post-aggregate size-estimate reason: the build side must be the
+    model, never the corpus."""
+    z = (
+        feat.select("doc_id", F.explode("buckets").alias("b"))
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score_q"))
+    )
+    return z.withColumn(
+        "prob_micro", F.expr(_hard_sigmoid_expr("score_q"))
+    )
+
+
+def score_with_weights_auto(
+    feat: DataFrame,
+    w: list[int],
+    spark: SparkSession,
+    batch_rows: int | None = None,
+) -> DataFrame:
+    """Dispatch scoring by the measured two-axis crossover: the
+    codegen fold unless the model is past CLF_FOLD_MAX_BUCKETS *and*
+    the batch is known tick-sized (``batch_rows`` — pass the ingest
+    manifest's row count; None = assume corpus-scale, where the fold
+    won at every measured B)."""
+    if (
+        len(w) - 1 <= CLF_FOLD_MAX_BUCKETS
+        or batch_rows is None
+        or batch_rows > CLF_JOIN_MAX_BATCH_ROWS
+    ):
+        return score_with_weights(feat, w)
+    return score_with_weights_join(feat, weights_frame(spark, w))
 
 
 # ------------------------------------------------------- persisted index

@@ -221,3 +221,47 @@ def text_quality_classifier_indexed(
     idx = _clf_index_for(spark, sf_dir)
     t = Tables(spark, sf_dir)
     return _scored(t, idx.weights_list(spark))
+
+
+@query("text_quality_classifier_join", oracle=_SQL_CLF)
+def text_quality_classifier_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LARGE-B scoring twin (VERDICT r8 #2): same stored weights,
+    same output, but z computed by the broadcast-JOIN plan
+    (pipeline/quality_clf.py score_with_weights_join — explode each
+    doc's presence buckets, broadcast the (B+1)-row weight table, sum
+    per doc; the LmIndex pattern) instead of the literal-array fold.
+    This is the plan that scores a tick-sized batch against a
+    production 10⁶-bucket gate, where the fold's per-plan literal toll
+    (linear in B, measured 27 s at B=1M) stops amortizing — measured
+    crossover and both regimes in SCALING.md "Classifier bucket-count
+    scale axis".  Same oracle as the fold form: integer sums commute,
+    so the two plans are output-identical (also pinned at every
+    measured B by tools/bench_clf_buckets.py's fingerprint assert)."""
+    from ..pipeline.quality_clf import (
+        doc_features,
+        score_with_weights_join,
+    )
+
+    idx = _clf_index_for(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    scored = score_with_weights_join(
+        doc_features(t.documents), idx.weights(spark)
+    )
+    lab = t.documents.select(
+        "doc_id",
+        "source",
+        F.when(F.col("source") == CLF_REF_SOURCE, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("label"),
+    )
+    return scored.join(lab, "doc_id").select(
+        "doc_id",
+        "source",
+        "label",
+        "score_q",
+        "prob_micro",
+        (F.col("score_q") >= 0).alias("keep"),
+    )

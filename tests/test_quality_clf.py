@@ -222,3 +222,76 @@ def test_int64_gradient_headroom_fails_loudly():
     # just under the bound constructs fine (empty corpus, zero rounds)
     ok = train_logreg_driver([], {}, n_pos=3, n_neg=5, rounds=0)
     assert ok == [0] * (CLF_BUCKETS + 1)
+
+
+def test_join_scoring_twin_equals_fold(trained, spark, sf_dir):
+    # the large-B scoring plan (explode + broadcast-join + per-doc sum)
+    # must be output-identical to the literal-array fold — integer sums
+    # commute, so equality is exact, not approximate
+    from etl_tpch_spark.pipeline.quality_clf import (
+        score_with_weights_join,
+        weights_frame,
+    )
+
+    _, _, _, w = trained
+    t = Tables(spark, sf_dir)
+    feat = doc_features(t.documents)
+    fold = {
+        r["doc_id"]: (r["score_q"], r["prob_micro"])
+        for r in score_with_weights(feat, w).collect()
+    }
+    join = {
+        r["doc_id"]: (r["score_q"], r["prob_micro"])
+        for r in score_with_weights_join(
+            feat, weights_frame(spark, w)
+        ).collect()
+    }
+    assert fold == join
+
+
+def test_auto_dispatch_picks_fold_then_join(
+    trained, spark, sf_dir, monkeypatch
+):
+    # below the measured crossover (or corpus-scale batches): the fold
+    # projection, zero joins; above it with a tick-sized batch: the
+    # broadcast-join plan
+    from etl_tpch_spark.pipeline import quality_clf as qc
+
+    _, _, _, w = trained
+    t = Tables(spark, sf_dir)
+    feat = doc_features(t.documents)
+
+    plan = qc.score_with_weights_auto(feat, w, spark)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan
+
+    # corpus-scale batch keeps the fold even past the B threshold
+    monkeypatch.setattr(qc, "CLF_FOLD_MAX_BUCKETS", 8)
+    plan = qc.score_with_weights_auto(
+        feat, w, spark, batch_rows=10**6
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # huge model × tick-sized batch: the join plan, built from the model
+    plan = qc.score_with_weights_auto(
+        feat, w, spark, batch_rows=100
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_twin_query_matches_indexed(spark, sf_dir):
+    from etl_tpch_spark.queries.quality_clf import (
+        text_quality_classifier_join,
+    )
+
+    base = {
+        r["doc_id"]: (r["source"], r["label"], r["score_q"],
+                      r["prob_micro"], r["keep"])
+        for r in text_quality_classifier_indexed(spark, sf_dir).collect()
+    }
+    twin = {
+        r["doc_id"]: (r["source"], r["label"], r["score_q"],
+                      r["prob_micro"], r["keep"])
+        for r in text_quality_classifier_join(spark, sf_dir).collect()
+    }
+    assert base == twin
