@@ -268,13 +268,23 @@ def train_logreg(
     m = F.when(F.col("yF") > 0, F.lit(n_neg)).otherwise(
         F.lit(n_pos)
     ).cast("long")
+    # per-round z: the codegen fold at demo B, the Arrow kernel past
+    # the crossover — the fold's plan-literal toll multiplies by K in
+    # training (measured at B=1M: 104 s fold-z vs 3.9 s arrow-z for
+    # the same 4 rounds; identical weights, integer arithmetic)
+    use_arrow = n_buckets > CLF_FOLD_MAX_BUCKETS
     for _ in range(rounds):
+        if use_arrow:
+            zf = with_z_arrow(
+                feat_lab, w, passthrough=("doc_id", "buckets", "yF")
+            )
+        else:
+            zf = feat_lab.withColumn("z", _z_fold(w))
         r = (
             (F.expr(_hard_sigmoid_expr("z")) - F.col("yF")) * m
         ).alias("r")
         g_rows = (
-            feat_lab.withColumn("z", _z_fold(w))
-            .select(r, F.explode("buckets").alias("b"))
+            zf.select(r, F.explode("buckets").alias("b"))
             .groupBy("b")
             .agg(F.sum("r").alias("g"))
             .collect()
@@ -332,27 +342,31 @@ def score_with_weights(feat: DataFrame, w: list[int]) -> DataFrame:
     )
 
 
-# Fold-vs-join crossover on the bucket-count axis (VERDICT r8 #2,
-# measured — tools/bench_clf_buckets.py, SCALING.md "Classifier
-# bucket-count scale axis").  Two costs trade:
+# Bucket-count scale axis (VERDICT r8 #2, measured —
+# tools/bench_clf_buckets.py, SCALING.md "Classifier bucket-count
+# scale axis").  Three z plans trade:
 #
-# - fold: the (B+1)-element literal's construction + analysis +
-#   codegen is a FIXED per-plan toll, linear in B (measured ~6 s at
-#   256k, ~27 s at 1M), with near-zero per-row cost;
-# - join: a corpus-side explode (×avg buckets/doc) + broadcast join +
-#   per-doc re-aggregation — flat in B, linear in BATCH SIZE
-#   (measured ~0.9 ms/doc at 256k: 442 s over the 500k-doc 100×
-#   corpus where the fold took 63 s).
+# - fold (plan literal): the (B+1)-element literal's construction +
+#   analysis + codegen is a FIXED per-plan toll, linear in B
+#   (measured ~6 s at 256k, ~27 s at 1M), near-zero per-row cost,
+#   zero Python — the plan-pure choice at demo B;
+# - join (broadcast weight table): flat in B but pays a corpus-side
+#   explode (×avg buckets/doc) + per-doc re-aggregation — measured
+#   ~0.9 ms/doc at 256k (442 s over the 500k-doc 100× corpus where
+#   the fold took 63 s); kept as the SQL-expressible oracle twin;
+# - arrow (mapInArrow kernel): weights ship as a task closure, z is
+#   one NumPy gather + reduceat per batch — flat in B AND the
+#   measured winner on both axes at large B (1.3 s vs fold's 25 s at
+#   B=1M tick-scale; 61 s vs 81 s at 256k corpus-scale).
 #
-# So the crossover is two-dimensional: the fold wins at every measured
-# B for corpus-scale scoring (its toll amortizes), and the join wins
-# only where a HUGE model scores a SMALL batch — the O(new) daily tick
-# with a production 10⁶-bucket gate (measured at B=1M over 5k docs:
-# join 10.7 s vs fold 27.2 s).  The thresholds below encode the
-# measured cross: fold whenever B ≤ 256k (won at both batch scales),
-# and above that, join only for tick-sized batches.
-CLF_FOLD_MAX_BUCKETS = 262_144
-CLF_JOIN_MAX_BATCH_ROWS = 20_000
+# Dispatch: fold while the literal toll is negligible (measured
+# winner at 16k: 1.4 s vs arrow 2.8 s tick-scale, and par at corpus
+# scale where the toll amortizes), arrow above (measured winner from
+# 64k up: 0.9 s vs fold 2.9 s at 64k, 1.4 s vs 26 s at 1M) — for
+# scoring AND for the per-round z inside training, where the fold
+# toll multiplies by K (training at B=1M measured 104 s fold-z vs
+# 3.9 s arrow-z, bit-identical weights).
+CLF_FOLD_MAX_BUCKETS = 16_384
 
 
 def score_with_weights_join(
@@ -379,24 +393,87 @@ def score_with_weights_join(
     )
 
 
+def _arrow_z_kernel(w, passthrough: tuple[str, ...]):
+    """mapInArrow kernel computing z = Σ w[b] over each row's bucket
+    array with NO per-row Python: the ListArray's flattened values
+    index the weight vector in one NumPy gather and
+    ``np.add.reduceat`` folds per-row segments (safe because every
+    bucket array is non-empty — the bias bucket is always present).
+    ``passthrough`` columns ride the batch untouched, so training can
+    keep (yF, buckets) beside z without any join."""
+    import numpy as np
+
+    wv = w  # closure; shipped once per task via the pandas-UDF pickle
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            la = batch.column("buckets")
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            lens = pa.compute.list_value_length(la).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            z = (
+                np.add.reduceat(wv[flat], starts)
+                if len(flat)
+                else np.zeros(0, dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in passthrough]
+                + [pa.array(z, pa.int64())],
+                list(passthrough) + ["z"],
+            )
+
+    return kernel
+
+
+def with_z_arrow(
+    feat: DataFrame,
+    w: list[int],
+    passthrough: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """``feat`` plus a ``z`` column computed by the Arrow kernel — the
+    LARGE-B plan for both scoring and training rounds: flat in B (the
+    weight vector ships as a task closure, not a plan literal), no
+    explode, no join, vectorized end-to-end.  Measured (SCALING.md
+    "Classifier bucket-count scale axis"): at B = 1M it scores in
+    ~1.4 s where the fold pays a ~26 s plan-literal toll, and at the
+    100× corpus it beats the fold from 256k buckets (61 s vs 81 s)."""
+    import numpy as np
+
+    types = dict(feat.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in passthrough] + ["z bigint"]
+    )
+    sel = list(dict.fromkeys([*passthrough, "buckets"]))
+    return feat.select(*sel).mapInArrow(
+        _arrow_z_kernel(np.asarray(w, dtype=np.int64), passthrough),
+        out_schema,
+    )
+
+
+def score_with_weights_arrow(feat: DataFrame, w: list[int]) -> DataFrame:
+    """(doc_id, score_q, prob_micro) via the Arrow z kernel."""
+    return with_z_arrow(feat, w).select(
+        "doc_id", F.col("z").alias("score_q")
+    ).withColumn("prob_micro", F.expr(_hard_sigmoid_expr("score_q")))
+
+
 def score_with_weights_auto(
     feat: DataFrame,
     w: list[int],
-    spark: SparkSession,
-    batch_rows: int | None = None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
-    """Dispatch scoring by the measured two-axis crossover: the
-    codegen fold unless the model is past CLF_FOLD_MAX_BUCKETS *and*
-    the batch is known tick-sized (``batch_rows`` — pass the ingest
-    manifest's row count; None = assume corpus-scale, where the fold
-    won at every measured B)."""
-    if (
-        len(w) - 1 <= CLF_FOLD_MAX_BUCKETS
-        or batch_rows is None
-        or batch_rows > CLF_JOIN_MAX_BATCH_ROWS
-    ):
+    """Dispatch scoring by the measured crossover: the codegen fold
+    (plan-pure, zero Python) up to CLF_FOLD_MAX_BUCKETS, the Arrow
+    kernel above it — the kernel won every large-B measurement at
+    both batch scales, so no batch-size axis is needed."""
+    if len(w) - 1 <= CLF_FOLD_MAX_BUCKETS:
         return score_with_weights(feat, w)
-    return score_with_weights_join(feat, weights_frame(spark, w))
+    return score_with_weights_arrow(feat, w)
 
 
 # ------------------------------------------------------- persisted index

@@ -37,6 +37,7 @@ def _run_bench(monkeypatch, capsys, spark, **env) -> tuple[dict, int]:
     return json.loads(out), rc
 
 
+@pytest.mark.slow  # r9 tier rebalance: runs real bench queries (~13 s each)
 def test_bench_json_carries_calibration_and_empty_anomalies(
     monkeypatch, capsys, spark
 ):
@@ -68,6 +69,7 @@ def test_bench_json_carries_calibration_and_empty_anomalies(
     )
 
 
+@pytest.mark.slow  # r9 tier rebalance: runs real bench queries (~13 s each)
 def test_forced_query_exception_sets_anomaly_and_rc(
     monkeypatch, capsys, spark
 ):

@@ -31,6 +31,7 @@ def _rows(df):
     return {tuple(r) for r in df.collect()}
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): convergence loop
 def test_pagerank_converges_and_matches_bounded_form(edges):
     from etl_tpch_spark.operators.graph import (
         pagerank,
@@ -47,6 +48,7 @@ def test_pagerank_converges_and_matches_bounded_form(edges):
     assert _rows(ranks) != _rows(pagerank(edges, iterations=1))
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): convergence loop
 def test_pagerank_converged_delta_is_below_tolerance(edges):
     """The stopping condition means what it says: one more round past
     the stopping point moves less than tol_scaled total rank mass."""

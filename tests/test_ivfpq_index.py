@@ -4,6 +4,7 @@ probed cells' code files, and queries never touch embeddings."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_tpch_spark.catalog import load_table
@@ -18,6 +19,7 @@ def _build(spark, sf_dir, tmp_path):
     return emb, idx, queries
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): IVFPQ lifecycle remainder
 def test_stored_index_equals_per_run_operator(spark, sf_dir, tmp_path):
     emb, idx, queries = _build(spark, sf_dir, tmp_path)
     got = sorted(
@@ -46,6 +48,7 @@ def test_probe_scans_subset_of_code_files(spark, sf_dir, tmp_path):
     assert all("embeddings.parquet" not in f for f in opened)
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): IVFPQ lifecycle remainder
 def test_rebuild_overwrites_and_time_travels(spark, sf_dir, tmp_path):
     emb, idx, queries = _build(spark, sf_dir, tmp_path)
     before = sorted(
@@ -60,6 +63,7 @@ def test_rebuild_overwrites_and_time_travels(spark, sf_dir, tmp_path):
     assert idx2.codes_t.latest_version() > 1
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): IVFPQ lifecycle remainder
 def test_tick_encodes_with_stored_artifacts(spark, sf_dir, tmp_path):
     """IVFPQIndex.tick (faiss add()): build(A) + tick(B) leaves the
     code table holding A∪B exactly once, with B's rows bit-identical

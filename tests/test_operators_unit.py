@@ -168,6 +168,7 @@ def test_minhash_lsh_recalls_exact_dup(docs):
     assert not any(4 in p for p in pairs)
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): >10 s equality sweep
 def test_simhash_banding_equals_bruteforce(spark, sf_dir):
     """The pigeonhole guarantee, tested directly: for several Hamming
     budgets (uneven band widths included) the banded pair operator must
@@ -227,6 +228,7 @@ def test_revenue_expression_edges(spark):
 # -------------------------------------------------------- components
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): >10 s equality sweep
 def test_connected_components_chain_and_islands(spark):
     """Chain 1-2-3 + pair (10,11) + isolated via edge (20,20)? → chain
     collapses to min 1, pair to 10; transitivity across hops."""
@@ -326,6 +328,7 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         assert abs(approx - exact) / exact < 0.15, (col, exact, approx)
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): >10 s equality sweep
 def test_kmeans_numpy_equals_expression_form(spark, sf_dir):
     """The vectorized Lloyd kernel and the pure-Catalyst fold form must
     be bit-identical (integer arithmetic both ways — the property that

@@ -155,6 +155,7 @@ def _co_membership_pairs(rows):
     }
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): >9 s recall sweep
 def test_embedding_clusters_co_membership_recall_floor(spark):
     """SemDeDup clusters vs the all-pairs twin, compared on
     co-membership pairs (label-invariant): measured 0.35; floor 0.22.

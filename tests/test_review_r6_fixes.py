@@ -121,6 +121,7 @@ def test_span_index_refuses_v1_format(spark, tmp_path):
     SpanIndex(str(tmp_path / "span-new"))
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): IVFPQ lifecycle remainder
 def test_ivfpq_tick_replay_completes_half_landed_batch(spark, tmp_path):
     """Crash contract: if the codes append landed but the side-table
     appends did not, replaying the same batch_id must land the raws

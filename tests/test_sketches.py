@@ -7,6 +7,7 @@ entry."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_tpch_spark.catalog import Tables
@@ -156,6 +157,7 @@ def test_unbounded_bloom_equals_plain_semi_join(spark, sf_dir):
     assert got.exceptAll(want).count() == 0
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): 100k-key sweep
 def test_unbounded_bloom_prune_rate_at_100k_keys(spark):
     """The VERDICT r3 #2 gate: at a 100k-key build side — ~15× past
     the literal form's 65,536-bit ceiling — the word-table bloom must

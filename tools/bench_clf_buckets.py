@@ -36,6 +36,7 @@ from etl_tpch_spark.pipeline.quality_clf import (  # noqa: E402
     class_counts,
     doc_features,
     score_with_weights,
+    score_with_weights_arrow,
     score_with_weights_join,
     train_logreg,
     training_frame,
@@ -92,8 +93,13 @@ def main() -> None:
         )
         join_s = time.perf_counter() - t0
 
-        assert fp_fold == fp_join, (
-            f"fold/join mismatch at B={n_buckets}: {fp_fold} vs {fp_join}"
+        t0 = time.perf_counter()
+        fp_arrow = _fingerprint(score_with_weights_arrow(feat, w))
+        arrow_s = time.perf_counter() - t0
+
+        assert fp_fold == fp_join == fp_arrow, (
+            f"plan mismatch at B={n_buckets}: "
+            f"{fp_fold} / {fp_join} / {fp_arrow}"
         )
         print(
             json.dumps(
@@ -102,6 +108,7 @@ def main() -> None:
                     "train_sec": round(train_s, 3),
                     "score_fold_sec": round(fold_s, 3),
                     "score_join_sec": round(join_s, 3),
+                    "score_arrow_sec": round(arrow_s, 3),
                     "nonzero_weights": sum(1 for x in w if x),
                     "rows": fp_fold[0],
                     "equal": True,
