@@ -106,13 +106,27 @@ class Tables:
         ]
 
 
+# register_views memo: (session id → (sf_dir, names)) — temp views
+# survive for the session's lifetime, so re-registering the SAME
+# tables from the SAME sf_dir is 10 parquet-footer reads of pure
+# overhead per call (measured 1.5 s — 141× a DuckDB
+# information_schema probe).  A different sf_dir (the bench's
+# sf0.001 warmup → sf0.1 timed run) re-registers and re-keys.
+_REGISTERED_VIEWS: dict[int, tuple[str, tuple[str, ...]]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view so `spark.sql` queries see the
     same names the DuckDB oracle pre-registers (SURVEY.md §5).  Goes
-    through load_table for the events nanos-timestamp handling."""
+    through load_table for the events nanos-timestamp handling.
+    Idempotent per (session, sf_dir): repeat calls are a dict probe."""
+    key = (sf_dir, tuple(names))
+    if _REGISTERED_VIEWS.get(id(spark)) == key:
+        return
     for name in names:
         if os.path.exists(table_path(sf_dir, name)):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED_VIEWS[id(spark)] = key
 
 
 def artifact_store(kind: str, identity: str, stamp: str) -> tuple[str, bool]:

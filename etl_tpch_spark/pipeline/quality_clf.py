@@ -370,7 +370,9 @@ CLF_FOLD_MAX_BUCKETS = 16_384
 
 
 def score_with_weights_join(
-    feat: DataFrame, weights: DataFrame
+    feat: DataFrame,
+    weights: DataFrame,
+    passthrough: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """(doc_id, score_q, prob_micro) via the LARGE-B scoring plan:
     explode each doc's presence buckets, broadcast-join the (B+1)-row
@@ -381,11 +383,13 @@ def score_with_weights_join(
     corpus-sized explode + per-doc re-aggregation (join, flat in B).
     The broadcast hint is EXPLICIT for the usual local-relation /
     post-aggregate size-estimate reason: the build side must be the
-    model, never the corpus."""
+    model, never the corpus.  ``passthrough`` columns ride the explode
+    into the grouping key, so per-doc metadata (labels, source) needs
+    no corpus self-join afterwards."""
     z = (
-        feat.select("doc_id", F.explode("buckets").alias("b"))
+        feat.select(*passthrough, F.explode("buckets").alias("b"))
         .join(F.broadcast(weights), "b")
-        .groupBy("doc_id")
+        .groupBy(*passthrough)
         .agg(F.sum("w").alias("score_q"))
     )
     return z.withColumn(

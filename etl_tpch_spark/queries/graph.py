@@ -337,15 +337,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving-node set on each endpoint, recount degrees — two
     node-keyed shuffles per round, nothing touches embeddings after
     the initial cell-scoped pair kernel.  Peel-round frames shrink
-    monotonically; the fixed round budget keeps both engines on the
-    identical computation whether or not the peel has converged (at
-    the test fixture it has — asserted in tests/test_graph_kcore.py)."""
+    MONOTONICALLY, which licenses an exact fixpoint exit: an unchanged
+    keep COUNT implies an unchanged keep SET (shrink-only), so every
+    remaining round is an identity — the engine stops peeling while
+    the 10-round unrolled oracle computes the same final (keep, deg)
+    bit-for-bit (at the test fixture the peel converges well inside
+    the budget — asserted in tests/test_graph_kcore.py).  The count
+    rides the per-round checkpoint (eager materialization makes it a
+    cached-size read, not a recompute)."""
     e = _edges_at(spark, sf_dir, _KCORE_THRESHOLD)
     both = e.select(F.col("vec_a").alias("vec_id")).unionAll(
         e.select(F.col("vec_b").alias("vec_id"))
     )
     keep = both.distinct()
     deg = None
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         ka = keep.select(F.col("vec_id").alias("a_id"))
         kb = keep.select(F.col("vec_id").alias("b_id"))
@@ -359,7 +365,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("vec_id")
         # node frames shrink monotonically; checkpoint keeps the plan
         # linear in rounds instead of exponential in self-references
-        keep = keep.localCheckpoint(eager=False)
+        keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_n:  # fixpoint: every further round is an identity
+            break
+        prev_n = n
     return keep.join(deg, "vec_id").select(
         "vec_id", F.col("deg").cast("long").alias("core_degree")
     )

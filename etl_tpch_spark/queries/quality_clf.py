@@ -239,25 +239,33 @@ def text_quality_classifier_join(
     scale axis".  Same oracle as the fold form: integer sums commute,
     so the two plans are output-identical (also pinned at every
     measured B by tools/bench_clf_buckets.py's fingerprint assert)."""
+    from ..functions.text import tokens
     from ..pipeline.quality_clf import (
-        doc_features,
+        _BUCKETS_EXPR,
         score_with_weights_join,
     )
 
     idx = _clf_index_for(spark, sf_dir)
     t = Tables(spark, sf_dir)
+    # labels ride the feature projection into the explode's grouping
+    # key — one corpus scan, zero corpus self-joins
+    feat = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.when(F.col("source") == CLF_REF_SOURCE, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("label"),
+            tokens(F.col("text")).alias("W"),
+        )
+        .withColumn("buckets", F.expr(_BUCKETS_EXPR))
+    )
     scored = score_with_weights_join(
-        doc_features(t.documents), idx.weights(spark)
+        feat, idx.weights(spark),
+        passthrough=("doc_id", "source", "label"),
     )
-    lab = t.documents.select(
-        "doc_id",
-        "source",
-        F.when(F.col("source") == CLF_REF_SOURCE, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("label"),
-    )
-    return scored.join(lab, "doc_id").select(
+    return scored.select(
         "doc_id",
         "source",
         "label",

@@ -198,9 +198,7 @@ _SQL_QV = (
 )
 
 
-@query(
-    "sim_quantized_cosine_pairs",
-    oracle=f"""
+_SQL_QPAIRS = f"""
         WITH q AS (
             SELECT vec_id, {_SQL_QV} AS qv FROM embeddings
         ), n AS (
@@ -223,8 +221,10 @@ _SQL_QV = (
                         (x, y) -> x + y)
                     / sqrt(CAST(a.qn * b.qn AS DOUBLE)), 6)
               >= {PAIR_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("sim_quantized_cosine_pairs", oracle=_SQL_QPAIRS)
 def quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine pairs, ALL-PAIRS form (similarity/ann.py):
     integer dot products are exact, so the quantized scores are
@@ -236,6 +236,23 @@ def quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs _cells)."""
     t = Tables(spark, sf_dir)
     return quantized_cosine_pairs(t.embeddings, PAIR_THRESHOLD)
+
+
+@query("sim_quantized_cosine_pairs_blocked", oracle=_SQL_QPAIRS)
+def quantized_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matrix twin of sim_quantized_cosine_pairs
+    (similarity/ann.py quantized_cosine_pairs_blocked): identical
+    output — int64 dots are exact, quantization inside the kernel is
+    the same IEEE op sequence — via one int64 GEMM per block pair
+    instead of per-pair interpreted folds.  The same expression-vs-
+    numpy split the float family ships (sim_cosine_pairs at 18 s vs
+    _blocked at 1.2 s on the sf0.1 sweep); measured for the quantized
+    family in SCALING.md "Quantized pairs" (expression form 18.4 s /
+    3.9x oracle, blocked ~1.2 s)."""
+    from ..similarity.ann import quantized_cosine_pairs_blocked
+
+    t = Tables(spark, sf_dir)
+    return quantized_cosine_pairs_blocked(t.embeddings, PAIR_THRESHOLD)
 
 
 def _km_d2(qv: str, cv: str) -> str:

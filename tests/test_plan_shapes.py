@@ -179,3 +179,22 @@ def test_no_unexpected_nested_loop_joins(spark, sf_dir):
         if marks and name not in NLJ_ALLOWED
     }
     assert not offenders, offenders
+
+
+def test_no_inferred_filter_above_computed_explode(spark, sf_dir):
+    """InferFiltersFromGenerate is excluded (session.py): for a
+    COMPUTED array the inferred `size(e) > 0 AND isnotnull(e)` filter
+    re-evaluates the whole expression twice more per row in an
+    interpreted Filter — measured 6× on the classifier's md5-bucket
+    explode (4.96 s → 0.81 s at sf0.1).  Generate skips null/empty
+    inputs on its own, so nothing is lost.  Pin: the feature
+    expression never appears in a Filter above the scan."""
+    from pyspark.sql import functions as F
+
+    from etl_tpch_spark.catalog import Tables
+    from etl_tpch_spark.pipeline.quality_clf import doc_features
+
+    feat = doc_features(Tables(spark, sf_dir).documents)
+    ex = feat.select("doc_id", F.explode("buckets").alias("b"))
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    assert "size(array_union" not in plan
