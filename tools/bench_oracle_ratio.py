@@ -60,6 +60,19 @@ def main() -> None:
         "(VERDICT r3 #7); any non-headline family regression trips "
         "a number here",
     )
+    ap.add_argument(
+        "--sink",
+        choices=("count", "noop"),
+        default="count",
+        help="Spark-side execution sink.  `count` is the series "
+        "protocol (every BENCH_r/sweep number), but the optimizer "
+        "prunes pure-Catalyst projections under count(*), so "
+        "projection-only rows measure scan+count — while the DuckDB "
+        "side always fetchall()s.  `noop` writes to the noop "
+        "datasource (full evaluation, no driver transfer) to "
+        "quantify that asymmetry (SCALING.md 'count-sink "
+        "asymmetry'); do NOT mix sinks within one comparison series.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -97,11 +110,20 @@ def main() -> None:
     else:
         names = [n for n in HEADLINE if n in qs and qs[n].oracle]
 
+    if args.sink == "noop":
+        def run_spark(fn):
+            fn(spark, args.sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    else:
+        def run_spark(fn):
+            fn(spark, args.sf_dir).count()
+
     rows = []
     for name in names:
         q = qs[name]
-        q.fn(spark, args.sf_dir).count()  # warm spark
-        s = _best_of(lambda: q.fn(spark, args.sf_dir).count(), args.repeat)
+        run_spark(q.fn)  # warm spark
+        s = _best_of(lambda: run_spark(q.fn), args.repeat)
         if name in SPARK_ONLY_AT_SCALE:
             rows.append((name, s, None, None))
             print(
