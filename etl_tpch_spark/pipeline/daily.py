@@ -263,6 +263,23 @@ def crawl_day_tick(
         ivf.rebuild(spark)
         out["ivf_retrained"] = True
 
+    # classifier hygiene (the same frozen-model decay story as IVF):
+    # scoring ticks never touch the weights, so a drifting crawl
+    # hashes new vocabulary into untrained buckets.  The gate is
+    # cheap — driver-side short-circuit on <2 score ticks, else one
+    # O(new) aggregate over the latest tick's files + one keep-column
+    # aggregate — and a triggered retrain runs on the STORED corpus
+    # snapshot (labels = source split), an overwrite commit like any
+    # rebuild.  A single-class corpus raises loudly (the retrain
+    # guard) rather than silently serving a degenerate gate.
+    if (
+        clf_idx.table.latest_version() is not None
+        and corpus.latest_version() is not None
+        and clf_idx.needs_retrain(spark, clf_scores_t)
+    ):
+        clf_idx.retrain(spark, corpus.read(spark))
+        out["clf_retrained"] = True
+
     # retention: without a vacuum cadence every superseded compaction/
     # rebuild keeps its data files forever — at a daily tick rate the
     # stores grow O(days × corpus), not O(corpus).  Keep a fixed

@@ -480,6 +480,19 @@ def score_with_weights_auto(
     return score_with_weights_arrow(feat, w)
 
 
+def _keep_rate(scores: DataFrame) -> tuple[float | None, int]:
+    """(share of score_q >= 0, row count) — one columnar aggregate
+    over a scored frame; (None, 0) on empty."""
+    r = scores.agg(
+        F.avg((F.col("score_q") >= 0).cast("double")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return (
+        float(r["k"]) if r["k"] is not None else None,
+        int(r["n"]),
+    )
+
+
 # ------------------------------------------------------- persisted index
 
 
@@ -543,3 +556,57 @@ class QualityClfIndex:
         return score_with_weights(
             doc_features(new_docs), self.weights_list(spark)
         )
+
+    def needs_retrain(
+        self,
+        spark: SparkSession,
+        scores_t: TxTable,
+        *,
+        max_keep_shift: float = 0.15,
+        min_rows: int = 50,
+    ) -> bool:
+        """Drift gate for the daily maintenance cadence — the
+        classifier's analogue of IVFIndex.needs_retrain (ticks score
+        against FROZEN weights, so a drifting crawl hashes new
+        vocabulary into untrained buckets and the gate's behavior
+        decays): retrain when the NEWEST score tick's keep-rate moved
+        more than ``max_keep_shift`` from the keep-rate of all scored
+        history before it.
+
+        Costs (the IVF policy-gate discipline): fewer than two score
+        appends short-circuits to False driver-side — no Spark job on
+        quiet days; otherwise one columnar aggregate over the latest
+        tick's own files (read directly from its commit entry —
+        O(new), never a history rescan for the new side) plus one
+        single-column aggregate over the prior snapshot.  A tick under
+        ``min_rows`` is skipped as statistical noise rather than
+        allowed to trigger a corpus-scale retrain.  Thresholds are
+        policy, not semantics: scoring against stored weights stays
+        deterministic either way; a triggered retrain is the standard
+        overwrite commit (time travel keeps the prior model)."""
+        import os
+
+        appends = [
+            v
+            for v in scores_t.versions()
+            if scores_t._read_entry(v)["op"] == "append"
+        ]
+        if len(appends) < 2:
+            return False
+        # a commit entry lists the full SNAPSHOT's files; the tick's
+        # own files are the delta against the previous append's list
+        prev_files = set(scores_t._read_entry(appends[-2])["files"])
+        files = [
+            os.path.join(scores_t.path, f)
+            for f in scores_t._read_entry(appends[-1])["files"]
+            if f not in prev_files
+        ]
+        if not files:
+            return False
+        new_rate, new_n = _keep_rate(spark.read.parquet(*files))
+        if new_rate is None or new_n < min_rows:
+            return False
+        prev_rate, _ = _keep_rate(scores_t.read(spark, appends[-2]))
+        if prev_rate is None:
+            return False
+        return abs(new_rate - prev_rate) > max_keep_shift

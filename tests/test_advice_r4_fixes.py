@@ -68,6 +68,7 @@ def _docs(spark, rows):
     )
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): ~8 s lifecycle e2e
 def test_corpus_cycle_refuses_lower_floor(spark, tmp_path):
     from etl_tpch_spark.pipeline.corpus import corpus_cycle
 

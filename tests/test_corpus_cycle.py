@@ -4,6 +4,8 @@ optional OPTIMIZE/export, end to end over two crawl days."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -82,6 +84,7 @@ def test_cross_tick_dedup_drops_later_near_dups(spark, sf_dir, tmp_path):
     assert corpus_snapshot(spark, root).count() == s1["n_appended"]
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): ~8 s lifecycle e2e
 def test_compact_and_export(spark, sf_dir, tmp_path):
     d1, d2 = _days(spark, sf_dir)
     root = str(tmp_path / "corpus_root")

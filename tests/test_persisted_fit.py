@@ -74,6 +74,7 @@ def test_fit_stale_stamp_retrains_and_replaces(spark):
         assert f.read() == new
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): ~8 s lifecycle e2e
 def test_fit_artifact_distinct_per_k_and_iters(spark):
     emb = _vectors(spark, seed=7)
     ck = "/persist/fit3|stamp-1"

@@ -224,6 +224,7 @@ def test_serve_loop_cadences(spark, tmp_path_factory):
     assert all("generate" in o and "ingest" in o for o in outs)
 
 
+@pytest.mark.slow  # r9 tier rebalance (VERDICT r8 #5): ~8 s lifecycle e2e
 def test_dashboard_html_export(spark, tmp_path_factory):
     """render_dashboard_html (the reference's web dashboard as a
     static gold-zone artifact): one self-contained page with every

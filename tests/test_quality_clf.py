@@ -344,3 +344,51 @@ def test_separation_and_gate_quality_sf01():
     base_rate = n_pos / (n_pos + n_neg)
     assert q["precision"] > 2 * base_rate  # measured 3.4x
     assert q["recall"] > 0.5  # measured 0.664
+
+
+def test_needs_retrain_drift_gate(spark, sf_dir, tmp_path):
+    """The classifier's IVF-style maintenance gate: <2 score ticks →
+    False with no Spark job; a same-distribution tick → False; a
+    keep-rate-shifted tick → True; a tiny shifted tick → False (noise
+    guard)."""
+    from etl_tpch_spark.pipeline.txlog import TxTable
+
+    idx = QualityClfIndex(str(tmp_path / "clf"))
+    t = Tables(spark, sf_dir)
+    idx.retrain(spark, t.documents)
+    scores_t = TxTable(str(tmp_path / "clf_scores"))
+
+    # no ticks / one tick: short-circuit False
+    assert not idx.needs_retrain(spark, scores_t)
+    half = t.documents.filter(F.col("doc_id") % 2 == 0)
+    scores_t.append(idx.score_batch(spark, half), batch_id="day1")
+    assert not idx.needs_retrain(spark, scores_t)
+
+    # second tick from the same distribution: keep-rate stable
+    other = t.documents.filter(F.col("doc_id") % 2 == 1)
+    scores_t.append(idx.score_batch(spark, other), batch_id="day2")
+    assert not idx.needs_retrain(spark, scores_t)
+
+    # a drifted tick: force every score to whichever side is farther
+    # from the history's own keep-rate (the gate is two-sided)
+    from etl_tpch_spark.pipeline.quality_clf import _keep_rate
+
+    base_rate, _ = _keep_rate(scores_t.read(spark))
+    forced = 10_000_000 if base_rate < 0.5 else -10_000_000
+    drifted = idx.score_batch(spark, other).withColumn(
+        "score_q", F.lit(forced).cast("long")
+    )
+    scores_t.append(drifted, batch_id="day3")
+    assert idx.needs_retrain(spark, scores_t)
+
+    # same drift but under min_rows: statistical-noise guard holds
+    tiny_t = TxTable(str(tmp_path / "clf_scores_tiny"))
+    tiny_t.append(idx.score_batch(spark, half), batch_id="day1")
+    tiny = drifted.limit(5)
+    tiny_t.append(tiny, batch_id="day2")
+    assert not idx.needs_retrain(spark, tiny_t)
+    # ...but an explicit lower floor sees it (5 uniform forced scores
+    # are a full-size shift from the trained distribution)
+    tiny_base, _ = _keep_rate(tiny_t.read(spark, tiny_t.versions()[0]))
+    if abs((1.0 if forced > 0 else 0.0) - tiny_base) > 0.15:
+        assert idx.needs_retrain(spark, tiny_t, min_rows=1)
