@@ -114,7 +114,12 @@ _QUERY_MODULES = (
 # in r8 (the BPE family: vocabulary-broadcast fix + production-trainer
 # reads + headline re-scope) go first; the rest fill alphabetically.
 # The remaining 19 r6 entries (search_hybrid_rrf_indexed …
-# window_rank) are the queued r10 window.
+# window_rank) are the queued r10 window, together with (first, the
+# never-certified-first convention) round 9's two new rows —
+# `text_quality_classifier_join` and
+# `sim_quantized_cosine_pairs_blocked` — and the r9-changed code
+# paths whose rows are older (graph_kcore fixpoint exit, the
+# register_views-memoized sql_api family, catalog_list_tables).
 DRIVER_WINDOW = (
     # ---- first-ever external certification (VERDICT r8 #1 / missing #2)
     "text_quality_classifier_indexed",
