@@ -105,76 +105,77 @@ _QUERY_MODULES = (
 # (judge-verified histogram r4:25, r6:43, r7:50, r8:50; full r8 window
 # in git history of this file).
 #
-# ROUND 9 (VERDICT r8 #1): certify `text_quality_classifier_indexed` —
-# the single registered query with ZERO external CORRECTNESS rows ever
-# (judge-green at sf0.01 in the r8 session, but the driver record is
-# the contract) — and rotate the window to the oldest-certification
-# tail: all 25 queries last green in r4, plus 24 of the 43 last green
-# in r6.  Within the r6 set, the three queries whose code paths changed
-# in r8 (the BPE family: vocabulary-broadcast fix + production-trainer
-# reads + headline re-scope) go first; the rest fill alphabetically.
-# The remaining 19 r6 entries (search_hybrid_rrf_indexed …
-# window_rank) are the queued r10 window, together with (first, the
-# never-certified-first convention) round 9's two new rows —
-# `text_quality_classifier_join` and
-# `sim_quantized_cosine_pairs_blocked` — and the r9-changed code
-# paths whose rows are older (graph_kcore fixpoint exit, the
-# register_views-memoized sql_api family, catalog_list_tables).
+# ROUND 9 (VERDICT r8 #1) certified `text_quality_classifier_indexed`
+# first-ever, the whole r4 tail, and 24 of the r6 set (full r9 window
+# in git history of this file).
+#
+# ROUND 10 (VERDICT r9 #1): finish the rotation cycle.  Never-certified
+# first (round 9's two new rows), then the 19-query r6 remainder, then
+# the code paths changed in r9/r10 whose rows are older — the kcore
+# fixpoint exit, the register_views-memoized catalog/sql_api family,
+# and the classifier rows re-parameterized by bucket count this round
+# (VERDICT r9 #2) — then the oldest-certification (r7) tail,
+# alphabetical fill.  After a green round 10 every registered query has
+# an external CORRECTNESS row and none is older than r7 (3 rounds);
+# tests/test_registry_window.py now pins that staleness invariant
+# against the CORRECTNESS_r* history itself, so future rotations are
+# forced by a red test instead of judge bookkeeping (VERDICT r9 #6).
 DRIVER_WINDOW = (
-    # ---- first-ever external certification (VERDICT r8 #1 / missing #2)
-    "text_quality_classifier_indexed",
-    # ---- backlog: last green in ROUND 4 (all 25)
-    "agg_argmax",
-    "agg_mode_per_group",
-    "agg_salted_flag_totals",
-    "agg_unpivot_metrics",
-    "curation_model_filter",
-    "dedup_cluster_stats",
-    "events_map_type",
-    "multimodal_byte_histogram",
-    "multimodal_decode_lengths",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "profile_orders_columns",
-    "quality_expectations",
-    "sample_temperature_mixture",
-    "sim_ann_topk_ivfpq",
-    "sim_ann_topk_pq",
-    "text_boilerplate_ngrams",
-    "text_decontaminate_ngrams",
-    "text_lm_perplexity_buckets",
-    "text_repetition_filter",
-    "text_token_counts_arrow",
-    "ts_gapfill_hourly",
-    "udaf_grouped_price_stats",
-    "window_distribution",
-    "window_ntile_quartiles",
-    # ---- backlog: last green in ROUND 6 — r8-changed code paths first
-    "text_bpe_token_counts",
-    "text_bpe_segment",
-    "text_bpe_merges",
-    # ---- backlog: last green in ROUND 6 — alphabetical fill
-    "agg_hll_distinct_customers",
-    "agg_rollup",
-    "corpus_curation",
-    "dedup_incremental",
-    "events_markov_transitions",
-    "events_session_window",
-    "flagship_all_segments_union",
-    "flagship_unshipped_orders",
+    # ---- never-certified first (VERDICT r9 #1 / missing #2)
+    "text_quality_classifier_join",
+    "sim_quantized_cosine_pairs_blocked",
+    # ---- backlog: last green in ROUND 6 (the queued 19-query remainder)
+    "search_hybrid_rrf_indexed",
+    "sim_ann_topk_ivf_indexed",
+    "sim_ann_topk_ivfpq_indexed",
+    "sim_ann_topk_lsh_multiprobe",
+    "sim_ann_topk_matryoshka",
+    "sim_ann_topk_prefiltered",
+    "sim_contrastive_negatives_indexed",
+    "sim_mmr_diverse_topk",
+    "sim_quantized_cosine_pairs",
+    "text_bm25_topk_indexed",
+    "text_bm25_topk_pruned",
+    "text_bpe_encode_holdout",
+    "text_contamination",
+    "text_duplicate_spans",
+    "text_novelty_scores",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_span_dedup_incremental",
+    "window_rank",
+    # ---- r9/r10-changed code paths (fixpoint exit; register_views
+    # ---- memo; classifier bucket-count parameterization this round)
     "graph_kcore",
-    "inference_batch_scores",
-    "inference_gbtree_scores",
-    "join_asof_purchases",
-    "join_bloom_semi_orders_unbounded",
-    "multimodal_feature_extract",
-    "q11_important_stock",
-    "q1_pricing_summary",
-    "q20_promo_part_suppliers",
-    "q21_waiting_orders",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "search_hybrid_rrf",
+    "catalog_list_tables",
+    "sql_api_exists_subquery",
+    "sql_api_priority_window",
+    "sql_api_quartiles",
+    "sql_api_revenue_by_status",
+    "sql_api_top_customers",
+    "text_quality_classifier",
+    "text_quality_classifier_indexed",
+    # ---- backlog: last green in ROUND 7 — alphabetical fill
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_pivot",
+    "dedup_embedding_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_cohort_retention",
+    "events_funnel",
+    "graph_pagerank",
+    "join_full_outer_nation_activity",
+    "join_range_clicks_before_error",
+    "multimodal_audio_fingerprint",
+    "multimodal_near_dup_incremental",
+    "multimodal_near_dup_pairs",
+    "multimodal_video_near_dup",
+    "q10_returned_items",
 )
 
 _loaded = False
