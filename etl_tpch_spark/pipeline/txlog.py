@@ -747,6 +747,13 @@ class TxTable:
             entry = {
                 "op": "append",
                 "files": base_files + new_files,
+                # the tick's OWN files, so O(new) consumers (drift
+                # gates, incremental ticks) read the batch delta
+                # straight from the commit instead of reconstructing
+                # it as a set-difference between snapshot lists —
+                # which silently breaks if a rewrite landed between
+                # two appends (ADVICE r9)
+                "new_files": new_files,
                 "batch_id": batch_id,
             }
             if merge_schema:

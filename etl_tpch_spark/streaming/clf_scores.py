@@ -8,9 +8,9 @@ trained once into a TxTable artifact (K gradient rounds, never
 re-run here); crawl files land in a staging dir, a checkpointed
 stream discovers them, and each micro-batch is scored against STORED
 weights — one feature projection over the new docs
-(QualityClfIndex.score_batch: the codegen fold at the demo B; the
-broadcast-join plan takes over past the measured crossover, SCALING.md
-"Classifier bucket-count scale axis").  Zero training text touched,
+(QualityClfIndex.score_batch: features hashed at the STORED bucket
+count, the codegen fold at the demo B, the mapInArrow kernel past the
+measured crossover — SCALING.md "Classifier bucket-count scale axis").  Zero training text touched,
 zero scored corpus rescanned: the O(new) daily-crawl tick.
 
 Protocol = streaming/ticks.py (shared with the minhash / span / LM /
