@@ -15,6 +15,7 @@ change for 100 TB beyond the path.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,27 +107,42 @@ class Tables:
         ]
 
 
-# register_views memo: (session id → (sf_dir, names)) — temp views
-# survive for the session's lifetime, so re-registering the SAME
-# tables from the SAME sf_dir is 10 parquet-footer reads of pure
-# overhead per call (measured 1.5 s — 141× a DuckDB
+# register_views memo: session → (sf_dir, present table names) —
+# temp views survive for the session's lifetime, so re-registering
+# the SAME tables from the SAME sf_dir is 10 parquet-footer reads of
+# pure overhead per call (measured 1.5 s — 141× a DuckDB
 # information_schema probe).  A different sf_dir (the bench's
 # sf0.001 warmup → sf0.1 timed run) re-registers and re-keys.
-_REGISTERED_VIEWS: dict[int, tuple[str, tuple[str, ...]]] = {}
+#
+# The key is the SESSION OBJECT held weakly (ADVICE r9): a raw
+# id(spark) key can be REUSED by CPython after the session is
+# garbage-collected, silently serving a dead session's memo hit to a
+# new session that has no views; the weak entry dies with its
+# session, which also bounds the memo's size.  The value folds the
+# names that actually EXISTED, so a table file appearing later under
+# the same sf_dir re-registers instead of being skipped forever
+# (os.path.exists probes are microseconds — the footer reads were
+# the cost being memoized).
+_REGISTERED_VIEWS: "weakref.WeakKeyDictionary[SparkSession, tuple[str, tuple[str, ...]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view so `spark.sql` queries see the
     same names the DuckDB oracle pre-registers (SURVEY.md §5).  Goes
     through load_table for the events nanos-timestamp handling.
-    Idempotent per (session, sf_dir): repeat calls are a dict probe."""
-    key = (sf_dir, tuple(names))
-    if _REGISTERED_VIEWS.get(id(spark)) == key:
+    Idempotent per (session, sf_dir, present tables): repeat calls are
+    a dict probe plus existence checks."""
+    present = tuple(
+        n for n in names if os.path.exists(table_path(sf_dir, n))
+    )
+    key = (sf_dir, present)
+    if _REGISTERED_VIEWS.get(spark) == key:
         return
-    for name in names:
-        if os.path.exists(table_path(sf_dir, name)):
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED_VIEWS[id(spark)] = key
+    for name in present:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED_VIEWS[spark] = key
 
 
 def artifact_store(kind: str, identity: str, stamp: str) -> tuple[str, bool]:
