@@ -260,14 +260,27 @@ def main() -> None:
         else None
     )
 
-    total = round(sum(timings.values()), 4)
+    # A failed timed query stays visible in `queries` as null, and the
+    # totals are withheld (null) whenever one exists: a total over a
+    # smaller query set looks like a speedup to any tooling that reads
+    # the JSON line before (or without) checking the exit code, so a
+    # partial total must never be emitted where a full one is expected
+    # (ADVICE r9).
+    timed_failed = any(a["stage"] == "timed" for a in anomalies)
+    emitted_queries: dict[str, float | None] = dict(timings)
+    for a in anomalies:
+        if a["stage"] == "timed":
+            emitted_queries[a["query"]] = None
+    total = (
+        None if timed_failed else round(sum(timings.values()), 4)
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": emitted_queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration": {
                     "spark_probe_pre_sec": spark_probe_pre,
@@ -279,7 +292,9 @@ def main() -> None:
                     "drift": round(drift, 4),
                     "duckdb_drift": duckdb_drift,
                 },
-                "value_drift_normalized": round(total / drift, 4),
+                "value_drift_normalized": (
+                    None if total is None else round(total / drift, 4)
+                ),
                 "anomalies": anomalies,
             }
         )

@@ -85,8 +85,13 @@ def test_forced_query_exception_sets_anomaly_and_rc(
     assert doc["anomalies"][0]["stage"] == "timed"
     assert "forced test error" in doc["anomalies"][0]["error"]
     # the healthy query still reports — one bad query doesn't erase
-    # the round's other measurements
-    assert set(doc["queries"]) == {"q18_large_orders"}
+    # the round's other measurements — but the FAILED query stays
+    # visible as null and the totals are withheld, so a partial total
+    # can never be read as a speedup by rc-blind tooling (ADVICE r9)
+    assert doc["queries"]["q18_large_orders"] > 0
+    assert doc["queries"]["text_stats"] is None
+    assert doc["value"] is None
+    assert doc["value_drift_normalized"] is None
 
 
 def test_unknown_requested_query_aborts(monkeypatch, capsys, spark):
