@@ -224,16 +224,26 @@ _SQL_QPAIRS = f"""
     """
 
 
-@query("sim_quantized_cosine_pairs", oracle=_SQL_QPAIRS)
+@query(
+    "sim_quantized_cosine_pairs",
+    oracle=_SQL_QPAIRS,
+    tags=("baseline-only",),
+)
 def quantized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine pairs, ALL-PAIRS form (similarity/ann.py):
     integer dot products are exact, so the quantized scores are
     bit-deterministic with NO fold-order discipline needed.
     Quantization uses floor(x+0.5), identical across engines, keeping
     even the compressed index hash-checkable.  This is the recall
-    BASELINE twin — the O(n²/k) product path is
-    sim_quantized_cosine_pairs_cells (same split as sim_cosine_pairs
-    vs _cells)."""
+    BASELINE twin — the O(n²/k) product paths are
+    sim_quantized_cosine_pairs_cells (cell-scoped) and _blocked (the
+    int8 GEMM kernel; same split as sim_cosine_pairs vs _cells).
+
+    Tagged ``baseline-only`` (VERDICT r9 #8): its ~19 s sf0.1 wall is
+    the DOCUMENTED cost of the exact all-pairs recall yardstick, not a
+    regression surface, so the full-registry perf sweep skips it by
+    default (correctness runs — the driver window, the sf0.01 oracle
+    diff — still execute it like any other row)."""
     t = Tables(spark, sf_dir)
     return quantized_cosine_pairs(t.embeddings, PAIR_THRESHOLD)
 

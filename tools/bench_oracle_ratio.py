@@ -61,6 +61,14 @@ def main() -> None:
         "a number here",
     )
     ap.add_argument(
+        "--include-baselines",
+        action="store_true",
+        help="with --all, also time queries tagged `baseline-only` "
+        "(documented-slow recall yardsticks whose product twins carry "
+        "the perf gate — skipped from sweeps by default, VERDICT r9 "
+        "#8; correctness harnesses always run them).",
+    )
+    ap.add_argument(
         "--sink",
         choices=("count", "noop"),
         default="count",
@@ -107,6 +115,22 @@ def main() -> None:
         ]
     elif args.all:
         names = [n for n, q in qs.items() if q.oracle]
+        if not args.include_baselines:
+            # `baseline-only` rows are documented-slow recall
+            # yardsticks (e.g. the exact all-pairs quantized-cosine
+            # baseline, ~19 s at sf0.1), not regression surfaces —
+            # their product twins carry the perf gate.  Never drop
+            # silently: name what was skipped.
+            skipped = [
+                n for n in names if "baseline-only" in qs[n].tags
+            ]
+            if skipped:
+                names = [n for n in names if n not in set(skipped)]
+                print(
+                    "skipping baseline-only rows (re-include with "
+                    f"--include-baselines): {skipped}",
+                    file=sys.stderr,
+                )
     else:
         names = [n for n in HEADLINE if n in qs and qs[n].oracle]
 
