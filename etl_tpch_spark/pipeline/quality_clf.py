@@ -608,11 +608,11 @@ class QualityClfIndex:
         appends = [
             v
             for v in scores_t.versions()
-            if scores_t._read_entry(v)["op"] == "append"
+            if scores_t.commit_entry(v)["op"] == "append"
         ]
         if len(appends) < 2:
             return False
-        latest = scores_t._read_entry(appends[-1])
+        latest = scores_t.commit_entry(appends[-1])
         if "new_files" in latest:
             # append commits record the tick's OWN files — the O(new)
             # side reads straight off the entry, immune to rewrites
@@ -626,7 +626,7 @@ class QualityClfIndex:
             # the "delta" would be the whole rewritten history and
             # the gate would silently never fire; answer a
             # conservative False instead (ADVICE r9).
-            prev_files = set(scores_t._read_entry(appends[-2])["files"])
+            prev_files = set(scores_t.commit_entry(appends[-2])["files"])
             latest_files = latest["files"]
             if not prev_files <= set(latest_files):
                 return False

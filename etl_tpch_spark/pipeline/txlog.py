@@ -422,6 +422,15 @@ class TxTable:
                 self._entry_cache[v] = json.load(f)
         return self._entry_cache[v]
 
+    def commit_entry(self, v: int) -> dict:
+        """Read-only copy of version ``v``'s commit entry — the public
+        surface for O(new) consumers (drift gates, incremental ticks,
+        index maintenance) that need ``op`` / ``files`` /
+        ``new_files`` / ``batch_id`` without reparsing the log or
+        touching internals.  A copy, so a caller cannot corrupt the
+        entry cache."""
+        return dict(self._read_entry(v))
+
     def snapshot_files(self, version: int | None = None) -> list[str]:
         v = self.latest_version() if version is None else version
         if v is None:

@@ -348,7 +348,7 @@ class IVFIndex:
         the newest ``overwrite`` (build/rebuild); no Spark job."""
         n = 0
         for v in reversed(self.cells_t.versions()):
-            op = self.cells_t._read_entry(v)["op"]
+            op = self.cells_t.commit_entry(v)["op"]
             if op == "overwrite":
                 break
             if op == "append":

@@ -766,7 +766,7 @@ class IVFPQIndex:
         log walk, no Spark job)."""
         n = 0
         for v in reversed(self.codes_t.versions()):
-            op = self.codes_t._read_entry(v)["op"]
+            op = self.codes_t.commit_entry(v)["op"]
             if op == "overwrite":
                 break
             if op == "append":
