@@ -120,6 +120,21 @@ _QUERY_MODULES = (
 # tests/test_registry_window.py now pins that staleness invariant
 # against the CORRECTNESS_r* history itself, so future rotations are
 # forced by a red test instead of judge bookkeeping (VERDICT r9 #6).
+#
+# QUEUED ROUND-11 WINDOW CORE (the invariant test will go red at r12
+# if these 25 rows — last green in r7, the only ones a green r10
+# leaves older than r8 — miss the r11 window): q12_priority_shipping,
+# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+# q16_brand_type_counts, q17_small_quantity_orders,
+# q19_disjunctive_filter, q22_sales_opportunity, q4_order_priority,
+# q5_local_supplier_volume, q6_forecast_revenue, q7_volume_shipping,
+# q8_market_share, scalar_conditional_functions,
+# scalar_string_functions, setop_intersect, setop_union_distinct,
+# sim_ann_topk_ivf, sim_cosine_pairs_cells, sim_kmeans_clusters,
+# sim_quantized_cosine_pairs_cells, text_bigram_lm,
+# text_bigram_lm_indexed, text_lm_quality_filter,
+# window_running_total — plus whatever r11 itself changes, rest by
+# oldest certification (r8 alphabetical).
 DRIVER_WINDOW = (
     # ---- never-certified first (VERDICT r9 #1 / missing #2)
     "text_quality_classifier_join",
