@@ -1,15 +1,20 @@
-"""Classifier quality evidence across training rounds (VERDICT r8 #8).
+"""Classifier quality evidence across training rounds AND bucket
+counts (VERDICT r8 #8; B axis added in round 10 alongside the
+B-parameterized artifact).
 
-The demo trains K = CLF_ROUNDS = 4 batch-gradient rounds.  This tool
-evidences that choice: train at K ∈ {4, 8, 16} on a given SF, score
-the corpus with each weight vector, and report precision / recall of
-the keep gate (score_q >= 0) against the in-domain label, plus the
-class-mean separation margin.  Results → SCALING.md "Classifier
-quality at the keep floor"; the sf0.1 separation/precision floors are
-pinned by tests/test_quality_clf.py::test_separation_and_gate_quality_sf01.
+The demo trains K = CLF_ROUNDS = 4 rounds at B = CLF_BUCKETS = 1024.
+This tool evidences both knobs: train at each (K, B) on a given SF,
+score the corpus with each weight vector AT ITS OWN B, and report
+precision / recall of the keep gate (score_q >= 0) against the
+in-domain label, plus the class-mean separation margin.  Results →
+SCALING.md "Classifier quality at the keep floor" (K axis, round 9)
+and "Classifier gate quality along the bucket axis" (B axis, round
+10); the sf0.1 separation/precision floors are pinned by
+tests/test_quality_clf.py::test_separation_and_gate_quality_sf01.
 
 Usage: python tools/bench_clf_quality.py [--sf-dir DIR] [--ks 4,8,16]
-Prints one JSON line per K.
+                                         [--bs 1024,65536]
+Prints one JSON line per (K, B).
 """
 
 from __future__ import annotations
@@ -38,11 +43,13 @@ from etl_tpch_spark.pipeline.quality_clf import (  # noqa: E402
 from etl_tpch_spark.session import get_spark  # noqa: E402
 
 
-def gate_quality(spark, docs, w) -> dict:
+def gate_quality(spark, docs, w, n_buckets=None) -> dict:
     """precision/recall of keep = (score_q >= 0) vs the in-domain
     label, plus per-class mean margins — one aggregate over the
-    scored corpus."""
-    scored = score_with_weights(doc_features(docs), w).join(
+    scored corpus.  Features hash at the model's own bucket count
+    (len(w) - 1), exactly as the persisted artifact scores."""
+    n_buckets = len(w) - 1 if n_buckets is None else n_buckets
+    scored = score_with_weights(doc_features(docs, n_buckets), w).join(
         docs.select(
             "doc_id",
             (F.col("source") == CLF_REF_SOURCE).alias("is_pos"),
@@ -75,20 +82,34 @@ def main() -> None:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     ap.add_argument("--ks", default="4,8,16")
+    ap.add_argument("--bs", default=None, help="bucket counts (default: CLF_BUCKETS)")
     args = ap.parse_args()
+
+    from etl_tpch_spark.pipeline.quality_clf import CLF_BUCKETS
 
     spark = get_spark("etl_tpch_spark-bench-clf-quality")
     docs = Tables(spark, args.sf_dir).documents
-    feat_lab = training_frame(docs)
-    n_pos, n_neg = class_counts(feat_lab)
-
-    for k in [int(x) for x in args.ks.split(",")]:
-        t0 = time.perf_counter()
-        w = train_logreg(spark, feat_lab, n_pos, n_neg, rounds=k)
-        train_s = time.perf_counter() - t0
-        out = {"rounds": k, "train_sec": round(train_s, 2)}
-        out.update(gate_quality(spark, docs, w))
-        print(json.dumps(out), flush=True)
+    bs = (
+        [int(x) for x in args.bs.split(",")]
+        if args.bs
+        else [CLF_BUCKETS]
+    )
+    for b in bs:
+        feat_lab = training_frame(docs, n_buckets=b)
+        n_pos, n_neg = class_counts(feat_lab)
+        for k in [int(x) for x in args.ks.split(",")]:
+            t0 = time.perf_counter()
+            w = train_logreg(
+                spark, feat_lab, n_pos, n_neg, rounds=k, n_buckets=b
+            )
+            train_s = time.perf_counter() - t0
+            out = {
+                "rounds": k,
+                "buckets": b,
+                "train_sec": round(train_s, 2),
+            }
+            out.update(gate_quality(spark, docs, w))
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
