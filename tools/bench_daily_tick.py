@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_tpch_spark.catalog import load_table  # noqa: E402
 from etl_tpch_spark.pipeline.daily import (  # noqa: E402
     crawl_serve_loop,
+    ensure_quality_classifier,
     ensure_reference_lm,
 )
 from etl_tpch_spark.session import get_spark  # noqa: E402
@@ -41,6 +42,10 @@ def main() -> None:
         ensure_reference_lm(
             spark, docs.filter(F.col("doc_id") % 97 == 0), root
         )
+        # round 10: the cadence gained classifier scoring + the drift
+        # gate in r9 — train the gate at setup so the flatness curve
+        # measures the FULL current stage list (clf_enabled=True)
+        ensure_quality_classifier(spark, docs, root)
         crawl = os.path.join(root, "crawlstage")
         evst = os.path.join(root, "eventstage")
 
