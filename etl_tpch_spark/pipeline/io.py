@@ -1,10 +1,11 @@
 """Format-pluggable table I/O: one read/write surface over every file
-format the engine supports (parquet, ORC, JSON-lines, CSV, raw text).
+format the engine supports (parquet, ORC, JSON-lines, CSV, XML, raw
+text).
 
 The reference touches three formats — JSON-lines staging (data.py:
 110-121), Delta/parquet processed tables (preprocess.py:42-44) and
 snappy parquet results (reduce.py:76-78).  A complete engine needs the
-rest of the lake-format long tail behind the same API; all five here are
+rest of the lake-format long tail behind the same API; all six here are
 native Spark DataSource V1/V2 readers, so predicate pushdown / column
 pruning / input-split parallelism come for free where the format allows
 (columnar formats prune columns and push filters; row formats at least
@@ -28,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "orc", "json", "csv", "text")
+FORMATS = ("parquet", "orc", "json", "csv", "xml", "text")
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
@@ -46,6 +47,16 @@ _RW_OPTIONS: dict[str, dict[str, str]] = {
         "escape": '"',
     },
     "json": {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT},
+    # XML is a first-class built-in source in Spark 4 (the spark-xml
+    # package folded into core) — same row-format rules as JSON/CSV:
+    # explicit schema on read, pinned rowTag + timestamp precision so
+    # write→read round-trips losslessly (entity-escaping is the
+    # source's own job; verified on delimiter-hostile text columns).
+    "xml": {
+        "rowTag": "row",
+        "timestampFormat": _TS_FMT,
+        "timestampNTZFormat": _TS_FMT,
+    },
 }
 
 
@@ -90,7 +101,7 @@ def read_table(
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; have {FORMATS}")
-    if fmt in ("json", "csv") and schema is None:
+    if fmt in ("json", "csv", "xml") and schema is None:
         raise ValueError(f"{fmt} reads require an explicit schema")
     reader = spark.read.format(fmt)
     for k, v in _RW_OPTIONS.get(fmt, {}).items():

@@ -122,8 +122,9 @@ _QUERY_MODULES = (
 # forced by a red test instead of judge bookkeeping (VERDICT r9 #6).
 #
 # QUEUED ROUND-11 WINDOW CORE (the invariant test will go red at r12
-# if these 25 rows — last green in r7, the only ones a green r10
+# if these 26 rows — last green in r7, the only ones a green r10
 # leaves older than r8 — miss the r11 window): q12_priority_shipping,
+# q10_returned_items (displaced by the round-10 VARIANT row),
 # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 # q16_brand_type_counts, q17_small_quantity_orders,
 # q19_disjunctive_filter, q22_sales_opportunity, q4_order_priority,
@@ -136,9 +137,11 @@ _QUERY_MODULES = (
 # window_running_total — plus whatever r11 itself changes, rest by
 # oldest certification (r8 alphabetical).
 DRIVER_WINDOW = (
-    # ---- never-certified first (VERDICT r9 #1 / missing #2)
+    # ---- never-certified first (VERDICT r9 #1 / missing #2; the
+    # ---- round-10 VARIANT addition joins the front per convention)
     "text_quality_classifier_join",
     "sim_quantized_cosine_pairs_blocked",
+    "events_variant_extract",
     # ---- backlog: last green in ROUND 6 (the queued 19-query remainder)
     "search_hybrid_rrf_indexed",
     "sim_ann_topk_ivf_indexed",
@@ -190,7 +193,6 @@ DRIVER_WINDOW = (
     "multimodal_near_dup_incremental",
     "multimodal_near_dup_pairs",
     "multimodal_video_near_dup",
-    "q10_returned_items",
 )
 
 _loaded = False

@@ -23,7 +23,7 @@ def _sorted_rows(df, key):
     return [tuple(r) for r in df.orderBy(key).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_roundtrip_lineitem(spark, sf_dir, tmp_path, fmt):
     src = load_table(spark, sf_dir, "lineitem").limit(500)
     path = str(tmp_path / f"lineitem_{fmt}")
@@ -33,7 +33,7 @@ def test_roundtrip_lineitem(spark, sf_dir, tmp_path, fmt):
     assert _sorted_rows(got, "l_orderkey") == _sorted_rows(src, "l_orderkey")
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
+@pytest.mark.parametrize("fmt", ["json", "csv", "xml"])
 def test_roundtrip_documents_delimiters(spark, sf_dir, tmp_path, fmt):
     # text column contains spaces (and would contain commas/quotes in a
     # real corpus) — row formats must quote/escape losslessly
@@ -46,12 +46,13 @@ def test_roundtrip_documents_delimiters(spark, sf_dir, tmp_path, fmt):
     assert _sorted_rows(got, "doc_id") == _sorted_rows(src, "doc_id")
 
 
-def test_roundtrip_events_timestamps(spark, sf_dir, tmp_path):
-    # micro-precision event times must survive the CSV round-trip
+@pytest.mark.parametrize("fmt", ["csv", "xml"])
+def test_roundtrip_events_timestamps(spark, sf_dir, tmp_path, fmt):
+    # micro-precision event times must survive the row-format round-trip
     src = load_table(spark, sf_dir, "events").limit(200)
-    path = str(tmp_path / "events_csv")
-    write_table(src, path, "csv")
-    got = read_table(spark, path, "csv", schema=src.schema)
+    path = str(tmp_path / f"events_{fmt}")
+    write_table(src, path, fmt)
+    got = read_table(spark, path, fmt, schema=src.schema)
     assert _sorted_rows(got, "event_id") == _sorted_rows(src, "event_id")
 
 
@@ -91,4 +92,5 @@ def test_schemaless_row_format_rejected(spark, tmp_path):
 
 
 def test_formats_constant_is_exhaustive():
-    assert set(FORMATS) == {"parquet", "orc", "json", "csv", "text"}
+    # xml joined in round 10: a first-class built-in source in Spark 4
+    assert set(FORMATS) == {"parquet", "orc", "json", "csv", "xml", "text"}

@@ -394,6 +394,7 @@ def test_needs_retrain_drift_gate(spark, sf_dir, tmp_path):
         assert idx.needs_retrain(spark, tiny_t, min_rows=1)
 
 
+@pytest.mark.slow  # trains a 64k-bucket model (~16 s); demo-B coverage stays default
 def test_large_b_artifact_round_trip(spark, sf_dir, tmp_path):
     """VERDICT r9 #2: a 64k-bucket index round-trips
     train→persist→cold-load→score.  The STORED bucket count (not the
@@ -432,6 +433,7 @@ def test_large_b_artifact_round_trip(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow  # trains at both bucket counts; demo-B tick coverage stays default
 def test_daily_clf_stage_works_at_both_bucket_counts(
     spark, sf_dir, tmp_path
 ):
