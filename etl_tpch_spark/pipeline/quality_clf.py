@@ -125,12 +125,17 @@ def doc_features(
     ).select("doc_id", F.expr(buckets_expr(n_buckets)).alias("buckets"))
 
 
-def sql_doc_features(docs_rel: str = "documents") -> str:
-    """DuckDB CTE body computing the same (doc_id, b) presence rows."""
+def sql_doc_features(
+    docs_rel: str = "documents", n_buckets: int = CLF_BUCKETS
+) -> str:
+    """DuckDB CTE body computing the same (doc_id, b) presence rows.
+    ``n_buckets`` must match the Spark side's ``buckets_expr`` modulus
+    (ADVICE r10: an oracle check against a non-default-B artifact
+    would otherwise silently hash at the wrong modulus)."""
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"
     h = sql_token_hash("tok")
     return f"""(
-        SELECT DISTINCT doc_id, {h} % {CLF_BUCKETS} AS b
+        SELECT DISTINCT doc_id, {h} % {n_buckets} AS b
         FROM (
             SELECT doc_id, unnest(W) AS tok
             FROM (SELECT doc_id, {toks} AS W FROM {docs_rel})
@@ -141,7 +146,7 @@ def sql_doc_features(docs_rel: str = "documents") -> str:
             FROM (SELECT doc_id, {toks} AS W FROM {docs_rel})
         )
         UNION ALL
-        SELECT doc_id, CAST({CLF_BUCKETS} AS BIGINT) AS b FROM {docs_rel}
+        SELECT doc_id, CAST({n_buckets} AS BIGINT) AS b FROM {docs_rel}
     )"""
 
 

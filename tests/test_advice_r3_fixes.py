@@ -198,7 +198,7 @@ def test_compact_flags_rival_appends_on_evolved_chain(spark, tmp_path):
         v = t.compact(spark, target_files=1)
     finally:
         t._write_data = orig_write
-    entry = t._read_entry(v)
+    entry = t.commit_entry(v)
     # the rival's narrow file rides appended_since → flag must persist
     assert entry.get("merged_schema") is True
     got = t.read(spark)

@@ -354,11 +354,11 @@ def test_clf_drift_gate_retrains_and_recovers(spark, sf_dir, tmp_path):
         v = max(
             v
             for v in clf_scores_t.versions()
-            if clf_scores_t._read_entry(v)["op"] == "append"
+            if clf_scores_t.commit_entry(v)["op"] == "append"
         )
         files = [
             os.path.join(clf_scores_t.path, f)
-            for f in clf_scores_t._read_entry(v)["new_files"]
+            for f in clf_scores_t.commit_entry(v)["new_files"]
         ]
         rate, _ = _keep_rate(spark.read.parquet(*files))
         return rate

@@ -30,6 +30,21 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAX_STALENESS_ROUNDS = 4
 
 
+def _row_green(v) -> bool:
+    """The driver's full three-way green: rows + schema + HASH, no
+    error.  hash_match joined the definition in round 11 (VERDICT r10
+    #2): without it a value-mismatched row would still count as
+    certified for staleness purposes.  History-preserving — every
+    recorded green row r1-r10 already carried hash_match=True."""
+    return (
+        isinstance(v, dict)
+        and v.get("err") is None
+        and bool(v.get("rows_match"))
+        and bool(v.get("schema_match"))
+        and bool(v.get("hash_match"))
+    )
+
+
 def _certification_history() -> tuple[int, dict[str, int]]:
     """(latest recorded round, query -> last green round) from the
     driver's CORRECTNESS_r{N}.json files."""
@@ -41,12 +56,7 @@ def _certification_history() -> tuple[int, dict[str, int]]:
         with open(path) as f:
             rows = json.load(f)
         for name, v in rows.items():
-            if (
-                isinstance(v, dict)
-                and v.get("err") is None
-                and v.get("rows_match")
-                and v.get("schema_match")
-            ):
+            if _row_green(v):
                 last_green[name] = max(last_green.get(name, 0), rnd)
     return latest, last_green
 
@@ -108,12 +118,7 @@ def test_failed_rows_are_requeued_or_superseded():
         with open(path) as f:
             rows = json.load(f)
         for n, v in rows.items():
-            ok = (
-                isinstance(v, dict)
-                and v.get("err") is None
-                and v.get("rows_match")
-                and v.get("schema_match")
-            )
+            ok = _row_green(v)
             if n not in latest_row or rnd > latest_row[n][0]:
                 latest_row[n] = (rnd, ok)
     unhandled = [

@@ -86,7 +86,7 @@ def test_compact_materializes_uniform_schema_and_clears_flag(
     t.append(_wide(spark), merge_schema=True)
     t.compact(spark, target_files=1)
     v = t.latest_version()
-    assert not t._read_entry(v).get("merged_schema")
+    assert not t.commit_entry(v).get("merged_schema")
     got = t.read(spark)
     assert set(got.columns) == {"k", "val", "score"}
     assert {r.k: r.score for r in got.collect()} == {

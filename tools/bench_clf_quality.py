@@ -36,7 +36,7 @@ from etl_tpch_spark.pipeline.quality_clf import (  # noqa: E402
     CLF_REF_SOURCE,
     class_counts,
     doc_features,
-    score_with_weights,
+    score_with_weights_auto,
     train_logreg,
     training_frame,
 )
@@ -49,7 +49,7 @@ def gate_quality(spark, docs, w, n_buckets=None) -> dict:
     scored corpus.  Features hash at the model's own bucket count
     (len(w) - 1), exactly as the persisted artifact scores."""
     n_buckets = len(w) - 1 if n_buckets is None else n_buckets
-    scored = score_with_weights(doc_features(docs, n_buckets), w).join(
+    scored = score_with_weights_auto(doc_features(docs, n_buckets), w).join(
         docs.select(
             "doc_id",
             (F.col("source") == CLF_REF_SOURCE).alias("is_pos"),
