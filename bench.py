@@ -19,18 +19,25 @@ protocol, robust to background load (queries that cache an internal
 relation, e.g. LSH signatures, report their warm-cache cost, which is
 their steady-state cost in a long-lived session).
 
-Box-drift calibration (VERDICT r8 #4): this box's wall clock swings
-±35% across sessions on UNCHANGED code (measured by interleaved
-snapshot-vs-HEAD A/B in rounds 4-8), so cross-round nominal deltas
-bundle box state with code effects.  A fixed probe pair — one Spark
-shuffle-agg and one DuckDB group-agg over constant synthetic ranges,
-no engine code under test — runs before AND after the timed set;
-the JSON carries the probe walls, the anchor each probe was pinned
-at (this box, round 9, warm best-of-N), and the resulting drift
-factor.  `value_drift_normalized` = nominal / drift is the
-cross-round-comparable wall; per-query normalization is the same
-division.  Probe drift measures the box, not the engine: neither
-probe touches registry code or test data.
+Box-drift calibration (VERDICT r8 #4, interleaved r11 per VERDICT r10
+#3): this box's wall clock swings ±35% across sessions on UNCHANGED
+code (measured by interleaved snapshot-vs-HEAD A/B in rounds 4-8), so
+cross-round nominal deltas bundle box state with code effects — and
+BENCH_r10 proved a pre/post probe pair alone can MISS a phase change
+that starts and ends inside the timed region.  A fixed Spark
+shuffle-agg probe (no engine code under test) therefore runs before
+the timed set, after it, AND every SPARK_GRAFT_BENCH_PROBE_EVERY
+(default 5) timed queries; the JSON carries the full `probe_series`
+(position, wall, drift vs the fixed round-9 anchor), the global
+`drift` (min over all probes — unchanged r8 semantics), a
+`drift_band` (max/min probe drift; >1.25x appends a non-fatal
+`calibration` anomaly so a recorded bench self-declares "box moved
+mid-run"), and per-query bracket-normalized walls
+(`queries_drift_normalized`, see bracketing_drift).
+`value_drift_normalized` = sum of the per-query normalized walls.
+Probe drift measures the box, not the engine: the probe touches no
+registry code or test data.  A DuckDB probe pair still brackets the
+run so oracle-ratio artifacts can normalize their denominator.
 
 Error surface (VERDICT r8 #6): a timed-query exception is recorded in
 `anomalies` (query, stage, error) and forces exit code 1 — it can
@@ -117,11 +124,11 @@ SPARK_PROBE_ANCHOR_SEC = 0.277
 DUCKDB_PROBE_ANCHOR_SEC = 0.67
 
 
-def _spark_probe(spark) -> float:
+def _spark_probe(spark, reps: int = 5) -> float:
     """Fixed shuffle-agg over a constant synthetic range (no engine
-    code, no test data): warm best-of-5 wall in seconds."""
+    code, no test data): warm best-of-``reps`` wall in seconds."""
     best = None
-    for _ in range(5):
+    for _ in range(max(1, reps)):
         t0 = time.perf_counter()
         (
             spark.range(0, 60_000_000)
@@ -134,6 +141,37 @@ def _spark_probe(spark) -> float:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 4)
+
+
+def bracketing_drift(n_items: int, probes: list[tuple[int, float]]) -> list[float]:
+    """Per-item drift factors from an interleaved probe series
+    (VERDICT r10 #3 — BENCH_r10's end-only probes missed a mid-run box
+    phase change that moved untouched queries 1.2-1.6x).
+
+    ``probes`` is ``[(pos, drift)]`` where ``pos`` = number of timed
+    items completed before that probe ran (0 = before the first item,
+    ``n_items`` = after the last) and ``drift`` = probe wall / anchor.
+    Item ``i`` (0-based) takes ``min(drift of the nearest probe at
+    pos <= i, drift of the nearest probe at pos >= i+1)`` — the same
+    best-of statistic as the per-query timings and the old global
+    ``min(pre, post)``, applied per bracket: a transient load spike AT
+    a probe point can deflate at most its own bracket's candidates,
+    never inflate a normalized wall (normalized = wall / drift, so
+    picking the SMALLER bracketing drift is the conservative,
+    can't-overclaim-speedup direction), while a genuine phase change
+    between two probes reaches every item on its own side of the
+    boundary.  The full series is emitted in the JSON so any consumer
+    can recompute a different statistic."""
+    if not probes:
+        return [1.0] * n_items
+    by_pos = sorted(probes)
+    factors = []
+    for i in range(n_items):
+        left = [d for p, d in by_pos if p <= i]
+        right = [d for p, d in by_pos if p >= i + 1]
+        cands = ([left[-1]] if left else []) + ([right[0]] if right else [])
+        factors.append(min(cands))
+    return factors
 
 
 def _duckdb_probe() -> float:
@@ -207,12 +245,36 @@ def main() -> None:
                     {"query": name, "stage": "warmup", "error": repr(exc)}
                 )
 
-    spark_probe_pre = _spark_probe(spark)
+    # Interleaved probe series (VERDICT r10 #3): the pre/post pair
+    # alone cannot see a box-phase change that starts and ends inside
+    # the timed region — BENCH_r10 recorded drift 1.21 while untouched
+    # queries moved 1.2-1.6x.  A lighter best-of-3 probe fires every
+    # PROBE_EVERY timed queries (~0.9 s each, outside every timed
+    # region); per-query normalization brackets each query between its
+    # neighboring probes (bracketing_drift above).
+    probe_every = int(
+        os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "5")
+    )
+    probe_series: list[dict] = []
+
+    def _record_probe(pos: int, reps: int) -> float:
+        w = _spark_probe(spark, reps)
+        probe_series.append(
+            {
+                "pos": pos,
+                "wall_sec": w,
+                "drift": round(w / SPARK_PROBE_ANCHOR_SEC, 4),
+                "reps": reps,
+            }
+        )
+        return w
+
+    spark_probe_pre = _record_probe(0, 5)
     duckdb_probe_pre = _duckdb_probe()
 
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
-    for name in names:
+    for idx, name in enumerate(names):
         fn = all_queries[name].fn
         best, n = None, 0
         try:
@@ -231,26 +293,60 @@ def main() -> None:
             anomalies.append(
                 {"query": name, "stage": "timed", "error": repr(exc)}
             )
-            continue
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        else:
+            timings[name] = round(best, 4)
+            print(
+                f"# {name}: {timings[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+        done = idx + 1
+        if probe_every > 0 and done % probe_every == 0 and done < len(names):
+            _record_probe(done, 3)
 
-    spark_probe_post = _spark_probe(spark)
+    spark_probe_post = _record_probe(len(names), 5)
     duckdb_probe_post = _duckdb_probe()
 
     # drift = how slow the BOX is running relative to the anchor
-    # session.  min(pre, post) — the same best-of statistic as the
-    # per-query timings — so a transient load spike at either probe
-    # point can't inflate the factor.  Instrument resolution: two
-    # back-to-back identical bench runs measured probe bests ~25%
-    # apart while the 37-query total moved 1%, so drift is the
-    # instrument for the BROAD ±35% box swings it exists to flag
-    # (uniform inflation on untouched queries), not for single-query
-    # disputes — those still escalate to the interleaved
-    # snapshot-vs-HEAD A/B (SCALING.md round-9 note).  DuckDB probe
-    # reported alongside so oracle-ratio artifacts can normalize
-    # their denominator the same way.
-    drift = min(spark_probe_pre, spark_probe_post) / SPARK_PROBE_ANCHOR_SEC
+    # session.  The global factor keeps its r8 definition — min over
+    # all probes / the fixed anchor, the same best-of statistic as the
+    # per-query timings, so a transient load spike at any single probe
+    # point can't inflate it — while the interleaved series refines
+    # normalization per query (bracketing_drift).  Drift remains the
+    # instrument for the BROAD ±35% box swings (uniform inflation on
+    # untouched queries), not for single-query disputes — those still
+    # escalate to the interleaved snapshot-vs-HEAD A/B (SCALING.md
+    # round-9 note).  DuckDB probe reported alongside so oracle-ratio
+    # artifacts can normalize their denominator the same way.
+    probe_drifts = [p["drift"] for p in probe_series]
+    drift = min(probe_drifts)
+    drift_band = round(max(probe_drifts) / min(probe_drifts), 4)
+    if drift_band > 1.25:
+        # the box measurably changed speed mid-run: the recorded
+        # nominal walls straddle phases, so this artifact self-declares
+        # it (non-fatal — exit code stays driven by timed failures)
+        anomalies.append(
+            {
+                "query": "<calibration>",
+                "stage": "calibration",
+                "error": (
+                    f"box moved mid-run: probe drift spans "
+                    f"{min(probe_drifts):.4f}..{max(probe_drifts):.4f} "
+                    f"(band {drift_band:.2f}x > 1.25x)"
+                ),
+            }
+        )
+    per_query_factor = dict(
+        zip(
+            names,
+            bracketing_drift(
+                len(names), [(p["pos"], p["drift"]) for p in probe_series]
+            ),
+        )
+    )
+    queries_drift_normalized = {
+        name: round(wall / per_query_factor[name], 4)
+        for name, wall in timings.items()
+    }
     duck_vals = [
         v for v in (duckdb_probe_pre, duckdb_probe_post) if v == v
     ]
@@ -291,10 +387,24 @@ def main() -> None:
                     "duckdb_probe_anchor_sec": DUCKDB_PROBE_ANCHOR_SEC,
                     "drift": round(drift, 4),
                     "duckdb_drift": duckdb_drift,
+                    "probe_series": probe_series,
+                    "probe_every": probe_every,
+                    "drift_band": drift_band,
                 },
+                # sum of per-query bracket-normalized walls (r11: the
+                # interleaved series replaces whole-run division by the
+                # global min — identical when the box held one phase,
+                # phase-aware when it didn't); per-query values emitted
+                # so cross-round per-query comparisons need no rework
                 "value_drift_normalized": (
-                    None if total is None else round(total / drift, 4)
+                    None
+                    if total is None
+                    else round(sum(queries_drift_normalized.values()), 4)
                 ),
+                "queries_drift_normalized": {
+                    name: queries_drift_normalized.get(name)
+                    for name in emitted_queries
+                },
                 "anomalies": anomalies,
             }
         )

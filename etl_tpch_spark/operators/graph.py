@@ -168,6 +168,7 @@ def kcore_until_converged(
     src: str = "vec_a",
     dst: str = "vec_b",
     max_rounds: int = 1000,
+    estimated_edge_rows: int | None = None,
 ) -> tuple[DataFrame, int]:
     """k-core peel iterated until NO node is removed — the PRODUCTION
     variant of the bounded peel in queries/graph.py graph_kcore (whose
@@ -178,39 +179,192 @@ def kcore_until_converged(
     per-round node frames are lazily localCheckpoint-ed to keep the
     plan linear in rounds.  Returns ``((vec_id, core_degree), rounds)``
     where rounds counts peel iterations INCLUDING the final no-change
-    confirmation round."""
-    e = edges.select(
-        F.col(src).alias("vec_a"), F.col(dst).alias("vec_b")
-    ).localCheckpoint(eager=False)
-    keep = (
-        e.select(F.col("vec_a").alias("vec_id"))
-        .unionAll(e.select(F.col("vec_b").alias("vec_id")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n_prev = keep.count()
-    deg = None
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        ka = keep.select(F.col("vec_id").alias("a_id"))
-        kb = keep.select(F.col("vec_id").alias("b_id"))
-        er = e.join(ka, e.vec_a == ka.a_id).join(kb, e.vec_b == kb.b_id)
-        deg = (
-            er.select(F.col("vec_a").alias("vec_id"))
-            .unionAll(er.select(F.col("vec_b").alias("vec_id")))
-            .groupBy("vec_id")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+    confirmation round.
+
+    ``estimated_edge_rows`` (a DRIVER-SIDE estimate — e.g. the stored
+    edge artifact's manifest row count, no job) arms the memory
+    pre-flight (VERDICT r10 #5): the peel's edge⋈keep sorts run at a
+    partition count sized so buffers fit the execution pool
+    (peel_shuffle_partitions), or the call raises
+    :class:`KCoreMemoryError` with the DEPLOY.md sizing rule BEFORE
+    any job launches instead of an opaque executor OOM mid-peel."""
+    spark = edges.sparkSession
+    override = kcore_preflight_partitions(spark, estimated_edge_rows)
+    with peel_partitions_scope(spark, override):
+        e = edges.select(
+            F.col(src).alias("vec_a"), F.col(dst).alias("vec_b")
+        ).localCheckpoint(eager=False)
         keep = (
-            deg.filter(F.col("deg") >= k)
-            .select("vec_id")
+            e.select(F.col("vec_a").alias("vec_id"))
+            .unionAll(e.select(F.col("vec_b").alias("vec_id")))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        n_now = keep.count()
-        if n_now == n_prev:
-            break
-        n_prev = n_now
-    out = keep.join(deg, "vec_id").select(
-        "vec_id", F.col("deg").cast("long").alias("core_degree")
-    )
+        n_prev = keep.count()
+        deg = None
+        rounds = 0
+        for rounds in range(1, max_rounds + 1):
+            ka = keep.select(F.col("vec_id").alias("a_id"))
+            kb = keep.select(F.col("vec_id").alias("b_id"))
+            er = e.join(ka, e.vec_a == ka.a_id).join(
+                kb, e.vec_b == kb.b_id
+            )
+            deg = (
+                er.select(F.col("vec_a").alias("vec_id"))
+                .unionAll(er.select(F.col("vec_b").alias("vec_id")))
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            keep = (
+                deg.filter(F.col("deg") >= k)
+                .select("vec_id")
+                .localCheckpoint(eager=False)
+            )
+            n_now = keep.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+        out = keep.join(deg, "vec_id").select(
+            "vec_id", F.col("deg").cast("long").alias("core_degree")
+        )
+        if override is not None:
+            # the final join recomputes deg (one more edge⋈keep pass)
+            # and the caller collects AFTER this scope restores the
+            # session partition count — materialize it here, at the
+            # pre-flighted width, so no sized join ever runs outside
+            # the scope
+            out = out.localCheckpoint(eager=True)
     return out, rounds
+
+
+# ------------------------------------------------ round 11: peel pre-flight
+
+KCORE_EDGE_ROW_BYTES = 48  # bidirectional endpoint pair in the sort
+# buffer: 2 BIGINTs + UnsafeRow/sorter overhead, measured order of
+# magnitude, deliberately pessimistic
+KCORE_SORT_SAFETY = 3  # DEPLOY.md executor-sizing rule: one shuffle
+# partition of the largest join must fit ~x3 in memory (sort-merge
+# buffers)
+KCORE_MAX_SHUFFLE_PARTITIONS = 4096  # beyond this the per-partition
+# scheduling overhead dominates a local peel; a cluster deployment
+# retunes it with the pool
+
+
+class KCoreMemoryError(RuntimeError):
+    """The k-core peel would not fit the execution-memory pool at any
+    sane partition count — raised BEFORE any job launches, with the
+    DEPLOY.md sizing rule in the message (VERDICT r10 #5: the failure
+    used to surface as an opaque executor OOM mid-peel)."""
+
+
+def peel_shuffle_partitions(
+    edge_rows: int,
+    *,
+    heap_bytes: int,
+    cores: int,
+    current_partitions: int,
+) -> int:
+    """DEPLOY.md's executor-sizing rule made executable for the peel's
+    dominant operator (the per-round edge⋈keep sort-merge join): one
+    shuffle partition of the edge side must fit ~KCORE_SORT_SAFETY x
+    in a task's execution-memory share, so the required partition
+    count is  edge_rows * row_bytes * safety / per_task_pool,  where
+    per_task_pool ≈ heap * 0.3 / cores (spark.memory.fraction 0.6,
+    execution half of the unified region under storage pressure —
+    local mode, where driver heap IS the executor pool).
+
+    Returns the partition count the peel should run at (never lower
+    than ``current_partitions``); raises :class:`KCoreMemoryError`
+    when even KCORE_MAX_SHUFFLE_PARTITIONS partitions cannot fit —
+    at that point the operator needs a bigger heap
+    (SPARK_GRAFT_DRIVER_MEM, DEPLOY.md "local mode" table), not more
+    partitions.  Measured calibration: the 256M-edge 100x fixture
+    OOMs mid-peel at 8g/32-partition defaults (SCALING.md round-10
+    note) — this formula asks for ~460 partitions there, and fails
+    fast only past ~2.3B edges at 8g."""
+    import math
+
+    per_task_pool = heap_bytes * 0.3 / max(cores, 1)
+    need = math.ceil(
+        edge_rows * KCORE_EDGE_ROW_BYTES * KCORE_SORT_SAFETY
+        / max(per_task_pool, 1)
+    )
+    if need <= current_partitions:
+        return current_partitions
+    if need > KCORE_MAX_SHUFFLE_PARTITIONS:
+        heap_gib = heap_bytes / (1 << 30)
+        want_gib = math.ceil(
+            edge_rows
+            * KCORE_EDGE_ROW_BYTES
+            * KCORE_SORT_SAFETY
+            * max(cores, 1)
+            / (0.3 * KCORE_MAX_SHUFFLE_PARTITIONS)
+            / (1 << 30)
+        )
+        raise KCoreMemoryError(
+            f"k-core peel pre-flight: ~{edge_rows:,} edges need "
+            f"{need} shuffle partitions to fit sort buffers in a "
+            f"{heap_gib:.1f} GiB heap across {cores} cores, above the "
+            f"{KCORE_MAX_SHUFFLE_PARTITIONS}-partition ceiling.  Raise "
+            f"the pool instead: SPARK_GRAFT_DRIVER_MEM={want_gib}g "
+            "(DEPLOY.md, 'local mode' sizing rule: one shuffle "
+            "partition of the largest join must fit ~3x in memory)."
+        )
+    return need
+
+
+def _session_pool(spark) -> tuple[int, int, int]:
+    """(heap_bytes, cores, current shuffle partitions) of the live
+    session — driver-side conf reads only, no job."""
+    mem = spark.conf.get("spark.driver.memory", "8g").strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if mem and mem[-1] in units:
+        heap = int(float(mem[:-1]) * units[mem[-1]])
+    else:
+        heap = int(mem) if mem.isdigit() else 8 << 30
+    cores = spark.sparkContext.defaultParallelism
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return heap, cores, parts
+
+
+class peel_partitions_scope:
+    """Context manager applying a pre-flighted shuffle-partition count
+    for the peel's jobs and restoring the session value after — the
+    peel is the rare operator whose join width is set by a DATA
+    estimate (the stored edge artifact's manifest stats) rather than
+    the session default.  AQE coalesces the extra partitions wherever
+    the estimate was pessimistic, so raising is monotone-safe."""
+
+    def __init__(self, spark, partitions: int | None):
+        self.spark, self.partitions = spark, partitions
+
+    def __enter__(self):
+        if self.partitions is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self.partitions)
+            )
+        return self
+
+    def __exit__(self, *exc):
+        if self.partitions is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def kcore_preflight_partitions(
+    spark, estimated_edge_rows: int | None
+) -> int | None:
+    """Partition count for a peel over ``estimated_edge_rows`` edges
+    (None = no estimate available → no override, today's behavior), or
+    raise :class:`KCoreMemoryError` actionably before any job runs."""
+    if estimated_edge_rows is None:
+        return None
+    heap, cores, parts = _session_pool(spark)
+    need = peel_shuffle_partitions(
+        estimated_edge_rows,
+        heap_bytes=heap,
+        cores=cores,
+        current_partitions=parts,
+    )
+    return None if need == parts else need

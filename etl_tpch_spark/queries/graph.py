@@ -156,6 +156,25 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges_at(spark, sf_dir, PAIR_THRESHOLD)
 
 
+def _edge_rows_estimate(sf_dir: str, threshold: float) -> int | None:
+    """Driver-side edge-count estimate for the memory pre-flight
+    (VERDICT r10 #5): the stored edge artifact's TxTable manifest
+    stats, read without opening a data file or launching a job
+    (txlog.snapshot_rows).  ``None`` when the artifact hasn't been
+    built yet (first session at a fixture) — the at-scale runs the
+    pre-flight protects are exactly the warm, stored-artifact ones."""
+    from ..pipeline.txlog import TxTable
+    from .similarity import _emb_stamp
+
+    root, complete = _edge_store(_emb_stamp(sf_dir), threshold)
+    if not complete:
+        return None
+    try:
+        return TxTable(os.path.join(root, "edges")).snapshot_rows()
+    except Exception:
+        return None
+
+
 @query(
     "graph_degree_distribution",
     oracle=f"""
@@ -344,32 +363,58 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (at the test fixture the peel converges well inside
     the budget — asserted in tests/test_graph_kcore.py).  The count
     rides the per-round checkpoint (eager materialization makes it a
-    cached-size read, not a recompute)."""
+    cached-size read, not a recompute).
+
+    Memory pre-flight (round 11, VERDICT r10 #5): when the stored edge
+    artifact's manifest already knows the edge count (warm sessions —
+    the only ones that reach 100x scale), the peel's shuffle width is
+    sized driver-side BEFORE any job so sort buffers fit the pool, or
+    the query fails fast with the DEPLOY.md heap rule instead of an
+    opaque executor OOM mid-peel (operators/graph.py
+    peel_shuffle_partitions; the 256M-edge calibration point)."""
+    from ..operators.graph import (
+        kcore_preflight_partitions,
+        peel_partitions_scope,
+    )
+
+    override = kcore_preflight_partitions(
+        spark, _edge_rows_estimate(sf_dir, _KCORE_THRESHOLD)
+    )
     e = _edges_at(spark, sf_dir, _KCORE_THRESHOLD)
-    both = e.select(F.col("vec_a").alias("vec_id")).unionAll(
-        e.select(F.col("vec_b").alias("vec_id"))
-    )
-    keep = both.distinct()
-    deg = None
-    prev_n = None
-    for _ in range(_KCORE_ROUNDS):
-        ka = keep.select(F.col("vec_id").alias("a_id"))
-        kb = keep.select(F.col("vec_id").alias("b_id"))
-        er = e.join(ka, e.vec_a == ka.a_id).join(kb, e.vec_b == kb.b_id)
-        deg = (
-            er.select(F.col("vec_a").alias("vec_id"))
-            .unionAll(er.select(F.col("vec_b").alias("vec_id")))
-            .groupBy("vec_id")
-            .agg(F.count(F.lit(1)).alias("deg"))
+    with peel_partitions_scope(spark, override):
+        both = e.select(F.col("vec_a").alias("vec_id")).unionAll(
+            e.select(F.col("vec_b").alias("vec_id"))
         )
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("vec_id")
-        # node frames shrink monotonically; checkpoint keeps the plan
-        # linear in rounds instead of exponential in self-references
-        keep = keep.localCheckpoint(eager=True)
-        n = keep.count()
-        if n == prev_n:  # fixpoint: every further round is an identity
-            break
-        prev_n = n
-    return keep.join(deg, "vec_id").select(
-        "vec_id", F.col("deg").cast("long").alias("core_degree")
-    )
+        keep = both.distinct()
+        deg = None
+        prev_n = None
+        for _ in range(_KCORE_ROUNDS):
+            ka = keep.select(F.col("vec_id").alias("a_id"))
+            kb = keep.select(F.col("vec_id").alias("b_id"))
+            er = e.join(ka, e.vec_a == ka.a_id).join(
+                kb, e.vec_b == kb.b_id
+            )
+            deg = (
+                er.select(F.col("vec_a").alias("vec_id"))
+                .unionAll(er.select(F.col("vec_b").alias("vec_id")))
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            keep = deg.filter(F.col("deg") >= _KCORE_K).select("vec_id")
+            # node frames shrink monotonically; checkpoint keeps the
+            # plan linear in rounds instead of exponential in
+            # self-references
+            keep = keep.localCheckpoint(eager=True)
+            n = keep.count()
+            if n == prev_n:  # fixpoint: further rounds are identities
+                break
+            prev_n = n
+        out = keep.join(deg, "vec_id").select(
+            "vec_id", F.col("deg").cast("long").alias("core_degree")
+        )
+        if override is not None:
+            # the caller's action runs after this scope restores the
+            # session width; deg's final recompute (one more edge⋈keep
+            # join) must execute at the pre-flighted width
+            out = out.localCheckpoint(eager=True)
+    return out
