@@ -146,38 +146,59 @@ def main() -> None:
     rows = []
     for name in names:
         q = qs[name]
-        run_spark(q.fn)  # warm spark
+        # Warm until the wall stabilizes, up to 3 passes (VERDICT r10
+        # #7): the persisted-index queries pay a scratch-index build +
+        # probe-cache fill on their first calls, and ONE warm pass
+        # before a --repeat 1 timing left that cost inside the timed
+        # row (search_hybrid_rrf_indexed read 8 s in a sweep vs 2.3 s
+        # in the fully-warmed bench).  The first-call wall is kept and
+        # REPORTED as cold_s whenever it exceeds 2x the warm best —
+        # the build cost stays visible instead of silently hidden
+        # (the no-silent-caps convention), but the ratio reflects
+        # query cost, matching the bench's warm-run protocol.
+        warm_walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_spark(q.fn)
+            warm_walls.append(time.perf_counter() - t0)
+            if len(warm_walls) >= 2 and warm_walls[-2] < 2 * warm_walls[-1]:
+                break
         s = _best_of(lambda: run_spark(q.fn), args.repeat)
+        cold = warm_walls[0] if warm_walls[0] > 2 * s else None
+        cold_txt = f"  (cold first call {cold:.3f}s)" if cold else ""
         if name in SPARK_ONLY_AT_SCALE:
-            rows.append((name, s, None, None))
+            rows.append((name, s, cold, None, None))
             print(
                 f"{name:32s} spark {s:7.3f}s  duckdb     n/a  "
-                f"(oracle intractable at this sf)",
+                f"(oracle intractable at this sf){cold_txt}",
                 file=sys.stderr,
             )
             continue
         con.execute(q.oracle).fetchall()  # warm duckdb
         d = _best_of(lambda: con.execute(q.oracle).fetchall(), args.repeat)
-        rows.append((name, s, d, s / d if d > 0 else float("inf")))
+        rows.append((name, s, cold, d, s / d if d > 0 else float("inf")))
         print(
             f"{name:32s} spark {s:7.3f}s  duckdb {d:7.3f}s  "
-            f"ratio {s / d:6.2f}x",
+            f"ratio {s / d:6.2f}x{cold_txt}",
             file=sys.stderr,
         )
 
-    ratioed = [r for r in rows if r[2] is not None]
+    ratioed = [r for r in rows if r[3] is not None]
     total_s = sum(r[1] for r in ratioed)
-    total_d = sum(r[2] for r in ratioed)
-    print("\n| query | spark s | duckdb s | spark/duckdb |")
-    print("|---|---|---|---|")
-    for name, s, d, r in rows:
+    total_d = sum(r[3] for r in ratioed)
+    print("\n| query | spark s | cold s | duckdb s | spark/duckdb |")
+    print("|---|---|---|---|---|")
+    for name, s, cold, d, r in rows:
+        cold_cell = f"{cold:.3f}" if cold else ""
         if d is None:
-            print(f"| {name} | {s:.3f} | n/a | n/a |")
+            print(f"| {name} | {s:.3f} | {cold_cell} | n/a | n/a |")
         else:
-            print(f"| {name} | {s:.3f} | {d:.3f} | {r:.2f}x |")
+            print(
+                f"| {name} | {s:.3f} | {cold_cell} | {d:.3f} | {r:.2f}x |"
+            )
     print(
         f"| **total ({len(ratioed)} ratioed queries)** | **{total_s:.2f}** | "
-        f"**{total_d:.2f}** | **{total_s / total_d:.2f}x** |"
+        f" | **{total_d:.2f}** | **{total_s / total_d:.2f}x** |"
     )
     print(
         json.dumps(
