@@ -111,6 +111,11 @@ HEADLINE = [
     # round 8: the in-engine quality classifier's production shape
     # (stored-weights scoring; the trainer demo is oracle-gated)
     "text_quality_classifier_indexed",
+    # round 11: the semi-structured tier gets a headline row (the
+    # VARIANT path crossed below the oracle at 100x — SCALING.md
+    # round-11; cross-round totals compare on common queries, so a
+    # new name extends the series without breaking it)
+    "events_variant_extract",
 ]
 
 # Calibration anchors: warm best-of-3 probe walls measured INSIDE a

@@ -565,19 +565,41 @@ def events_variant_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted path — once the payload is stored parsed, an extracted
     path is a first-class grouping column, the shape schema-fluid
     event lakes use for ad-hoc rollups without a pinned struct.  The
-    plan is scan → project(variant_get) → hash-agg: linear, one
-    shuffle on the (tiny) group key, no JSON text ever read at query
-    time.  k ≥ 0 in the fixture, where Spark's DIV (truncate) and
-    DuckDB's // (floor) agree; the oracle runs the same extraction
+    plan is scan → project(variant_get) → two-level hash-agg (pair
+    counts, then the decile rollup over the ~|deciles × types| pair
+    frame — negligible second exchange): linear, no JSON text read at
+    query time.  k ≥ 0 in the fixture, where Spark's DIV (truncate)
+    and DuckDB's // (floor) agree; the oracle runs the same extraction
     from the raw JSON — storage format must not change semantics."""
     v = spark.read.parquet(_variant_events_path(spark, sf_dir))
+    return variant_decile_rollup(variant_decile_type_counts(v))
+
+
+def variant_decile_type_counts(v_events: DataFrame) -> DataFrame:
+    """(k_decile, event_type, n) over a frame carrying a binary
+    VARIANT column ``v`` — the SINGLE-aggregation form, the one shape
+    a streaming plan can run statefully (distinct aggregates are not
+    supported on streams; the decile rollup below folds the distinct
+    into a count over this frame's groups).  Frame-in/frame-out like
+    streaming/windows.py: applied to a batch read it is a group-by,
+    applied to readStream it is the stateful VARIANT ingestion path
+    (tests/test_variant_store.py pins stream ≡ batch)."""
     k = F.expr("variant_get(v, '$.k', 'bigint')")
     return (
-        v.select(F.col("event_type"), k.alias("k"))
+        v_events.select(F.col("event_type"), k.alias("k"))
         .where(F.col("k").isNotNull())
-        .groupBy(F.expr("k DIV 10").alias("k_decile"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("event_type").alias("n_types"),
-        )
+        .groupBy(F.expr("k DIV 10").alias("k_decile"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def variant_decile_rollup(pair_counts: DataFrame) -> DataFrame:
+    """Fold (k_decile, event_type, n) pair counts into the decile
+    rollup (n, n_types): count DISTINCT event_type ≡ count of the
+    pair frame's groups — exact, and expressible as a plain second
+    aggregation over a tiny frame on both the batch and the drained
+    streaming side."""
+    return pair_counts.groupBy("k_decile").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
     )

@@ -67,3 +67,42 @@ def test_query_matches_fresh_json_parse(spark, sf_dir):
         .sort("k_decile")
     )
     assert stored.collect() == fresh.collect()
+
+
+def test_variant_stream_equals_batch(spark, sf_dir, tmp_path):
+    """VARIANT functions under Structured Streaming: parse_json +
+    variant_get run in a stateful streaming aggregation (the
+    single-agg pair-count form — distinct aggs are unsupported on
+    streams), drained with availableNow; the SAME decile-rollup code
+    then folds the drained table, and the result must equal the
+    stored-artifact batch query bit-for-bit."""
+    import os
+
+    from etl_tpch_spark.queries.events import (
+        variant_decile_rollup,
+        variant_decile_type_counts,
+    )
+    from etl_tpch_spark.streaming.windows import run_to_memory_sink
+
+    # stage the events parquet as a stream-readable dir (single file
+    # fixtures stream fine via file source + schema)
+    from etl_tpch_spark.catalog import Tables
+    from etl_tpch_spark.schemas import TESTDATA
+
+    events_dir = os.path.join(str(tmp_path), "events")
+    Tables(spark, sf_dir).events.write.parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema(TESTDATA["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+        .select("event_type", F.parse_json(F.col("props")).alias("v"))
+    )
+    drained = run_to_memory_sink(
+        variant_decile_type_counts(stream),
+        "variant_pairs",
+        checkpoint_dir=str(tmp_path),
+    )
+    got = variant_decile_rollup(drained).sort("k_decile").collect()
+    want = events_variant_stored(spark, sf_dir).sort("k_decile").collect()
+    assert got == want
