@@ -1,0 +1,162 @@
+"""Delta-log export (pipeline/delta_export.py): a TxTable's retained
+history mirrored as a spec-compliant ``_delta_log`` (delta.io
+PROTOCOL.md), validated with an INDEPENDENT minimal replayer plus
+structural spec checks — the write-side interop for the reference's
+real Delta tables (preprocess.py:41-76) that the missing delta-spark
+jars have blocked for 12 rounds (DEPLOY.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_tpch_spark.catalog import load_table
+from etl_tpch_spark.pipeline.delta_export import (
+    export_delta_log,
+    read_delta_log,
+)
+from etl_tpch_spark.pipeline.txlog import TxTable
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _build_history(spark, orders, path) -> TxTable:
+    """append → append → overwrite → delete → compact: every snapshot
+    shape the exporter must diff (grow, replace, shrink, rewrite)."""
+    t = TxTable(str(path))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.overwrite(orders.limit(500))
+    t.delete(
+        spark, orders.limit(500).select("o_orderkey").limit(100), "o_orderkey"
+    )
+    t.append(orders.limit(50))  # second file, so compact really rewrites
+    t.compact(spark)
+    return t
+
+
+def test_export_matches_txlog_snapshots(spark, orders, tmp_path):
+    t = _build_history(spark, orders, tmp_path / "t")
+    n = export_delta_log(t)
+    assert n == len(t.versions())
+    replay = read_delta_log(t.path)
+    assert [r["version"] for r in replay] == list(range(n))
+    for r, v in zip(replay, t.versions()):
+        # the independent replayer reconstructs EXACTLY the TxTable
+        # snapshot at every version — file set and manifest row count
+        assert r["files"] == sorted(t.snapshot_files(v))
+        assert r["num_records"] == t.snapshot_rows(v)
+    ops = [r["operation"] for r in replay]
+    assert ops == [
+        "APPEND",
+        "APPEND",
+        "OVERWRITE",
+        "DELETE",
+        "APPEND",
+        "COMPACT",
+    ]
+    # schema travels: column names from metaData.schemaString
+    assert replay[-1]["schema_fields"] == [
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+
+
+def test_spec_structure_of_version_zero(spark, orders, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders.limit(100))
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log")
+    fname = "0" * 20 + ".json"
+    assert sorted(os.listdir(log)) == [fname]  # zero-padded 20 chars
+    actions = [
+        json.loads(line) for line in open(os.path.join(log, fname))
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    # protocol first, then metaData, adds, commitInfo last
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert kinds[-1] == "commitInfo"
+    assert set(kinds[2:-1]) == {"add"}
+    proto = actions[0]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = actions[1]["metaData"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == []
+    json.loads(meta["schemaString"])  # valid schema JSON
+    for a in actions[2:-1]:
+        add = a["add"]
+        assert add["size"] > 0 and add["modificationTime"] > 0
+        assert add["partitionValues"] == {} and add["dataChange"] is True
+        stats = json.loads(add["stats"])
+        assert stats["numRecords"] > 0
+        assert "o_orderkey" in stats["minValues"]
+        assert (
+            stats["minValues"]["o_orderkey"]
+            <= stats["maxValues"]["o_orderkey"]
+        )
+
+
+def test_incremental_export_appends_only_new_versions(
+    spark, orders, tmp_path
+):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders.limit(100))
+    assert export_delta_log(t) == 1
+    log = os.path.join(t.path, "_delta_log")
+    v0 = os.path.join(log, "0" * 20 + ".json")
+    before = (os.stat(v0).st_mtime_ns, open(v0).read())
+    assert export_delta_log(t) == 0  # up to date: no-op
+    t.append(orders.limit(50))
+    assert export_delta_log(t) == 1  # only the new commit
+    after = (os.stat(v0).st_mtime_ns, open(v0).read())
+    assert after == before  # published versions are immutable
+    assert len(os.listdir(log)) == 2
+
+
+def test_vacuumed_history_exports_from_retained_base(
+    spark, orders, tmp_path
+):
+    """VACUUM before any export: the earliest retained snapshot becomes
+    Delta version 0's full add set (the same truncation Delta's own
+    retention applies) and later diffs follow."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.overwrite(orders.limit(200))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1).limit(100))
+    t.vacuum(keep_versions=2, min_age_s=0.0)
+    retained = t.versions()
+    n = export_delta_log(t)
+    assert n == len(retained)
+    replay = read_delta_log(t.path)
+    for r, v in zip(replay, retained):
+        assert r["files"] == sorted(t.snapshot_files(v))
+        assert r["num_records"] == t.snapshot_rows(v)
+
+
+def test_exported_table_readable_as_plain_parquet_snapshot(
+    spark, orders, tmp_path
+):
+    """The replayer's live-file set IS the current table: reading
+    exactly those parquet files reproduces TxTable.read — what a real
+    Delta reader would materialize from the exported log."""
+    t = _build_history(spark, orders, tmp_path / "t")
+    export_delta_log(t)
+    live = read_delta_log(t.path)[-1]["files"]
+    via_delta = spark.read.parquet(
+        *[os.path.join(t.path, f) for f in live]
+    )
+    expect = t.read(spark)
+    assert via_delta.count() == expect.count()
+    assert sorted(map(tuple, via_delta.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
