@@ -136,6 +136,7 @@ def crawl_day_tick(
     retain_versions: int | None = 30,
     export: bool = False,
     n_shards: int = 8,
+    delta_export: bool = False,
 ) -> dict[str, Any]:
     """Run one integrated daily tick; returns a stage → outcome summary
     including per-stage wall seconds (the flatness evidence)."""
@@ -288,31 +289,49 @@ def crawl_day_tick(
     # entries' batch ids forward, so whole-day replays after vacuum
     # still no-op (pinned in tests/test_daily_tick.py).  Guarded by
     # version count so no-tick days stay O(1) driver-side.
+    stores = [
+        corpus,
+        spans_t,
+        scores_t,
+        minhash_idx.table,
+        span_idx.table,
+        lm_idx.table,
+        search_idx.postings,
+        search_idx.doclens,
+        ivf.cells_t,
+        ivf.cent_t,
+        clf_idx.table,
+        clf_scores_t,
+        # folded per-day registers accrete generations like any
+        # other store; versions() is [] when no event stream ever
+        # ran, so the skip-guards below make this a no-op then
+        TxTable(os.path.join(root_dir, "hll_index")),
+    ]
     if retain_versions is not None:
         n_freed = 0
-        stores = [
-            corpus,
-            spans_t,
-            scores_t,
-            minhash_idx.table,
-            span_idx.table,
-            lm_idx.table,
-            search_idx.postings,
-            search_idx.doclens,
-            ivf.cells_t,
-            ivf.cent_t,
-            clf_idx.table,
-            clf_scores_t,
-            # folded per-day registers accrete generations like any
-            # other store; versions() is [] when no event stream ever
-            # ran, so the skip-guard below makes this a no-op then
-            TxTable(os.path.join(root_dir, "hll_index")),
-        ]
         for t in stores:
             if len(t.versions()) > retain_versions:
                 n_freed += len(t.vacuum(keep_versions=retain_versions))
         if n_freed:
             out["vacuumed_files"] = n_freed
+
+    # Delta-log mirroring (round 11): every store the tick maintains
+    # can expose a real `_delta_log` beside its data files, so any
+    # Delta reader follows the lake the cadence maintains.  Per tick
+    # the export is O(new commits) — same incremental discipline as
+    # every other maintenance stage — and it runs AFTER vacuum so a
+    # truncated history exports its retained base, never files a
+    # rival just deleted.
+    if delta_export:
+        from .delta_export import export_delta_log
+
+        exported = {
+            os.path.relpath(t.path, root_dir): n
+            for t in stores
+            if t.versions() and (n := export_delta_log(t))
+        }
+        if exported:
+            out["delta_export"] = exported
     out["maintenance_s"] = round(time.monotonic() - t0, 3)
 
     if export and corpus.latest_version() is not None:

@@ -135,6 +135,28 @@ _QUERY_MODULES = (
 # floor moves to r8 (25 r8 rows remain, queued for r12 with the 48 r9
 # rows behind them — the steady ~3.5-round cycle the invariant test
 # enforces).
+#
+# QUEUED ROUND-12 WINDOW CORE (the invariant test goes red at r13 if
+# the 25 remaining r8 rows miss the r12 window): sample_uniform_topk,
+# scalar_datetime_functions, serving_top_orders_display, setop_except,
+# sim_ann_topk_bruteforce, sim_ann_topk_lsh, sim_contrastive_negatives,
+# sim_cosine_pairs, sim_cosine_pairs_blocked, text_bm25_topk,
+# text_chunking, text_fingerprint, text_lang_id, text_quality_score,
+# text_span_dedup_clean, text_span_dedup_stats, text_stats,
+# text_term_sketch_topk, text_token_counts, text_top_terms_per_lang,
+# topk_per_segment_window, ts_locf_hourly, ts_moving_window_range,
+# udtf_tokenize_positions, window_lag_lead — plus whatever r12 itself
+# changes, rest from the 48-row r9 set (oldest certification,
+# alphabetical fill: agg_argmax, agg_hll_distinct_customers,
+# agg_mode_per_group, agg_rollup, agg_salted_flag_totals,
+# agg_unpivot_metrics, corpus_curation, curation_model_filter,
+# dedup_cluster_stats, dedup_incremental, events_map_type,
+# events_markov_transitions, events_session_window,
+# flagship_all_segments_union, flagship_unshipped_orders,
+# inference_batch_scores, inference_gbtree_scores, join_asof_purchases,
+# join_bloom_semi_orders_unbounded, multimodal_byte_histogram,
+# multimodal_decode_lengths, multimodal_feature_extract,
+# multimodal_frame_sample, multimodal_resize, profile_orders_columns).
 DRIVER_WINDOW = (
     # ---- never-certified first (round-11 addition)
     "events_variant_stored",

@@ -160,3 +160,42 @@ def test_exported_table_readable_as_plain_parquet_snapshot(
     assert sorted(map(tuple, via_delta.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+@pytest.mark.slow  # runs a full daily tick (the cadence composition)
+def test_daily_tick_mirrors_delta_logs(spark, sf_dir, tmp_path):
+    """delta_export=True in the daily cadence: after one tick, every
+    store the tick maintains carries a `_delta_log` whose replayed
+    LATEST snapshot equals the store's own — the lake stays openable
+    by real Delta readers continuously, O(new commits) per tick."""
+    from etl_tpch_spark.catalog import load_table
+    from etl_tpch_spark.pipeline.daily import (
+        crawl_day_tick,
+        ensure_reference_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "lake")
+    ensure_reference_lm(spark, docs.filter(F.col("doc_id") % 3 == 0), root)
+    crawl = os.path.join(root, "crawlstage")
+    docs.select("doc_id", "text", "lang", "source").coalesce(1).write.mode(
+        "overwrite"
+    ).json(os.path.join(crawl, "day1.json"))
+
+    out = crawl_day_tick(
+        spark, crawl, root, quality_floor=0.0, delta_export=True
+    )
+    assert out["delta_export"]  # at least the corpus stores exported
+    for name in out["delta_export"]:
+        t = TxTable(os.path.join(root, name))
+        replay = read_delta_log(t.path)
+        assert replay[-1]["files"] == sorted(t.snapshot_files())
+        # second tick with nothing new: export is incremental (what's
+        # already mirrored is never rewritten)
+    out2 = crawl_day_tick(
+        spark, crawl, root, quality_floor=0.0, delta_export=True
+    )
+    # the replayed day no-ops every store, so no NEW delta versions
+    # beyond any maintenance commits the tick itself made
+    for name, n in out2.get("delta_export", {}).items():
+        assert n >= 1  # maintenance-only commits, never a re-mirror
