@@ -39,18 +39,26 @@ NGRAM = 3
 _DEFAULT_SIG_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 
-def word_shingles(text: F.Column, n: int = NGRAM) -> F.Column:
-    """Distinct word n-gram shingle array (empty if < n tokens).
+def word_shingles_from_tokens(toks: F.Column, n: int = NGRAM) -> F.Column:
+    """Distinct word n-gram shingle array from a TOKEN ARRAY column
+    (empty if < n tokens).
 
     Built from n shifted ``slice``s of the token array folded with
-    ``zip_with`` string concat — each slice evaluates the tokenizer
-    once.  The textbook form (``transform(sequence(...), i ->
-    concat(element_at(toks, i), ...))``) re-evaluates the *entire*
-    split+filter token expression on every ``element_at`` call (no
-    common-subexpression elimination inside interpreted higher-order
-    functions) — measured ~5× slower on sf0.1 documents.  Output
-    strings are identical."""
-    toks = tokens(text)
+    ``zip_with`` string concat — the textbook form
+    (``transform(sequence(...), i -> concat(element_at(toks, i),
+    ...))``) re-evaluates its argument on every ``element_at`` call
+    (no common-subexpression elimination inside interpreted
+    higher-order functions) — measured ~5× slower on sf0.1 documents.
+    Output strings are identical.
+
+    Prefer passing a column REFERENCE to a previously projected token
+    array over an inline ``tokens(text)`` expression: this builder
+    references ``toks`` n+2 times, and an inline argument re-runs the
+    split+filter tokenizer at each reference (measured 21% of the
+    sf0.1 shingle kernel); a reference to an already-projected column
+    is free, and Catalyst's CollapseProject keeps the separate
+    projection because the alias is non-cheap and multiply-referenced
+    (:func:`shingle_sets` is the canonical shape)."""
     n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, n_grams)
     for k in range(1, n):
@@ -62,6 +70,14 @@ def word_shingles(text: F.Column, n: int = NGRAM) -> F.Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: F.Column, n: int = NGRAM) -> F.Column:
+    """Distinct word n-gram shingle array of a TEXT column — the
+    single-expression form (tokenizer inlined; see
+    :func:`word_shingles_from_tokens` for the cheaper two-projection
+    shape when the caller controls the plan)."""
+    return word_shingles_from_tokens(tokens(text), n)
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -78,8 +94,14 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) via an explicit token projection: the
+    tokenizer runs once per row instead of once per shingle-builder
+    reference (n+2 ×) — see word_shingles_from_tokens."""
     return docs.select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        word_shingles_from_tokens(F.col("_toks")).alias("shingles"),
     )
 
 
@@ -150,14 +172,41 @@ def _banded_signatures(
     persisted-index lifecycle (dedup/index.py) is the store-once
     answer where recompute matters.  Shared by the batch and
     incremental pair operators so their candidate/verify semantics can
-    never drift apart."""
-    sh = shingle_sets(docs).filter(F.size("shingles") > 0)
-    sig = sh.select(
+    never drift apart.
+
+    STAGED projections (round 11, measured on the sf0.1 plan):
+    interpreted Projects have no common-subexpression elimination, so
+    the single-expression form paid twice —
+    (a) ``filter(size(shingles) > 0)`` was pushed below every project
+        to the scan with the WHOLE shingle expression inlined into the
+        row-at-a-time Filter (a full extra shingle pass on the
+        narrowest stage); the equivalent pre-shingle form
+        ``size(tokens) >= NGRAM`` (< n tokens ⇔ empty shingle array,
+        by construction of word_shingles_from_tokens) inlines only the
+        tokenizer;
+    (b) ``band_keys(minhash_signature(...))`` re-embedded the entire
+        16-permutation minhash fold into EACH of the 16 element_at
+        extractions — 16× the minhash work per row.
+    Materializing tokens → shingles → signature in separate Projects
+    keeps each computed once: CollapseProject does not inline a
+    non-cheap alias that is referenced more than once.  Output is
+    expression-for-expression identical."""
+    tk = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= NGRAM)
+    sh = tk.select(
+        "doc_id",
+        word_shingles_from_tokens(F.col("_toks")).alias("shingles"),
+    )
+    mh = sh.select(
         "doc_id",
         "shingles",
-        band_keys(
-            minhash_signature(shingle_hashes(F.col("shingles")))
-        ).alias("bands"),
+        minhash_signature(shingle_hashes(F.col("shingles"))).alias(
+            "_sig"
+        ),
+    )
+    sig = mh.select(
+        "doc_id", "shingles", band_keys(F.col("_sig")).alias("bands")
     )
     return sig if storage_level is None else sig.persist(storage_level)
 
@@ -221,9 +270,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # partial aggregation collapses co-located copies before the
     # shuffle, and collect_list carries the members so no second
     # array-keyed join is needed.  bands are a pure function of
-    # shingles, so first() is exact.  Lazy localCheckpoint (the
-    # banded_hamming_pairs convention): the frame feeds the band join,
-    # verification and both expansion sides.
+    # shingles, so first() is exact.  EAGER localCheckpoint: the frame
+    # feeds SIX scan branches of one union action (band join ×2,
+    # verification ×2, both expansion sides), and with a lazy
+    # checkpoint those branches race to materialize the same
+    # un-checkpointed RDD — each concurrently-scheduled stage re-runs
+    # the shingle+minhash+groupBy lineage (block-level dedup only
+    # helps once a block is fully persisted).  Measured at sf0.1:
+    # best-of-3 2.8-3.3 s lazy (scheduling-dependent, bimodal down to
+    # 0.6 s when stages happen to serialize) vs a stable 0.38-0.48 s
+    # eager.  Eager computes the grouped frame exactly once, inside
+    # the caller's timed region.
     groups = (
         sig.groupBy("shingles")
         .agg(
@@ -231,7 +288,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             F.first("bands").alias("bands"),
             F.collect_list("doc_id").alias("ids"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     reps = groups.select("set_id", "shingles", "bands")
     members = groups.select(
@@ -447,11 +504,16 @@ def banded_hamming_pairs(
     The signature frame feeds several branches; without
     materialization Spark recomputes its lineage per branch — for the
     perceptual-hash caller that is a full media decode pass each.
-    Lazy localCheckpoint (the kmeans_fit convention): 2 small columns
-    per row, blocks released by the ContextCleaner once consumed."""
+    EAGER localCheckpoint (round 11): the branches belong to ONE
+    union action, and a lazy checkpoint lets the concurrently
+    scheduled branch stages race to materialize the same RDD — each
+    re-running the signature lineage (the minhash groups frame
+    measured 2.8 s → 0.4 s at sf0.1 from this same fix).  2 small
+    columns per row, blocks released by the ContextCleaner once the
+    frame is unreferenced."""
     sig = sig.select(
         F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     hashes = sig.select(F.col("_sig").alias("h")).distinct()
     banded = hashes.select(
         "h",
@@ -558,7 +620,9 @@ def banded_hamming_pairs_touching(
         "left",
     ).select(
         "_id", "_sig", F.coalesce("_new", F.lit(False)).alias("_new")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # feeds 5 branches of one action —
+    # eager avoids the lazy-checkpoint materialization race (see
+    # banded_hamming_pairs)
 
     def _bands(h_frame):
         return h_frame.select(

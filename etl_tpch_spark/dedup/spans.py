@@ -258,7 +258,9 @@ class SpanIndex:
         # leave the strategy to the optimizer/AQE
         mine = mine_src.join(
             new_ids.select("doc_id"), "doc_id"
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)  # feeds the bloom build and the
+        # join probe within one action — eager avoids the lazy-
+        # checkpoint materialization race (operators/bloom.py)
         other = idx.select(
             F.col("doc_id").alias("o_doc"), F.col("h").alias("h")
         )
@@ -284,7 +286,7 @@ class SpanIndex:
         # gracefully and the exact join still guarantees the result
         m_bits = 1 << 21
         words = bloom_words(mine_h, "h", m_bits=m_bits).localCheckpoint(
-            eager=False
+            eager=True  # k word-lookup broadcasts of one action
         )
         other = bloom_prefilter_wordtable(
             other, "h", words, m_bits=m_bits

@@ -347,7 +347,10 @@ def near_dup_video_pairs(media: DataFrame, min_frames: int = 2) -> DataFrame:
     fh = (
         video_frame_hashes(media)
         .filter(F.col("fhash") != 0)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)  # feeds both sides of one join:
+        # lazy would let the two branch stages race to materialize the
+        # RDD, each re-running the frame-decode lineage (see
+        # dedup/operators.py banded_hamming_pairs)
     )
     a = fh.select(
         F.col("media_id").alias("media_a"), "frame_idx", "fhash"

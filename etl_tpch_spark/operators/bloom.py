@@ -236,11 +236,13 @@ def bloom_semi_join_unbounded(
     keys = build.select(build_key).distinct()
     if m_bits is None:
         m_bits = auto_m_bits_unbounded(keys.count())
-    # lazy localCheckpoint: the build-side aggregation (a real shuffle
-    # at 10M keys) materializes on the first of the k broadcasts and
-    # is reused by the rest, instead of recomputing per join
+    # EAGER localCheckpoint: the word table feeds several broadcast
+    # builds of ONE action — lazy lets those broadcast jobs race to
+    # materialize the same RDD, each re-running the build-side
+    # aggregation (the lazy-checkpoint race measured on the minhash
+    # groups frame, dedup/operators.py); eager computes it once
     words = bloom_words(keys, build_key, m_bits=m_bits, k=k).localCheckpoint(
-        eager=False
+        eager=True
     )
     filtered = bloom_prefilter_wordtable(
         probe, probe_key, words, m_bits=m_bits, k=k

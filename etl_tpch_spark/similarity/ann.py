@@ -314,15 +314,18 @@ def _vector_groups(embeddings: DataFrame) -> DataFrame:
     score every ROW do O(Σg²) work per g-sized copy group.  Hash
     aggregate (map-side combine collapses co-located copies before the
     shuffle); the group key is the raw array — no hash collision can
-    merge distinct vectors.  Lazy localCheckpoint: the frame feeds the
-    kernel input and both expansion sides."""
+    merge distinct vectors.  EAGER localCheckpoint: the frame feeds
+    the kernel input and both expansion sides within one action, and
+    a lazy checkpoint lets those branch stages race to materialize
+    the same RDD, each re-running the groupBy lineage (measured on
+    the minhash groups frame, dedup/operators.py)."""
     return (
         embeddings.groupBy("embedding")
         .agg(
             F.min("vec_id").alias("vec_id"),
             F.collect_list("vec_id").alias("ids"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
