@@ -62,63 +62,41 @@ def evict_superseded(cache: dict, match) -> None:
             pass  # plain values (lists, dicts) have nothing to release
 
 
-# Scan-spread window (round 11, guide §2.5 "input skew: one huge
+# Scan-spread helper (round 11, guide §2.5 "input skew: one huge
 # unsplittable file — repartition immediately after the read").  The
 # bench fixtures are ONE parquet file with ONE row group per table, so
 # every scan is a single map task and all per-row work below the first
-# exchange (tokenize/shingle/minhash/feature kernels) runs on 1 of the
-# N local cores.  A table inside this byte window gets one cheap
-# round-robin exchange to defaultParallelism right after the scan:
-# - below MIN (tiny dims: nation/region/supplier/part) the table is
-#   broadcast fodder and a spread would only tax the broadcast build;
-# - above MAX the exchange stops being "definitionally cheap", and a
-#   table that big has many row groups/files — Spark splits it natively.
-# Scale behavior: at the 100 TB design point every table is far above
-# MAX (and arrives as many files), so the condition never fires and no
-# production shuffle is added — this is a small-scan fixture adapter,
-# parameterized by the session's real core count, not a tuned constant.
-# Pushed filters are unaffected (predicates pass through Repartition
-# down to the scan); sizeInBytes estimates (broadcast decisions)
-# likewise.  Disable with SPARK_GRAFT_SPREAD=0 for A/B measurement.
+# exchange runs on 1 of the N local cores.  ``spread_scan`` adds one
+# round-robin exchange to defaultParallelism when the input has fewer
+# partitions than cores — at the 100 TB design point the input arrives
+# as many splits, the condition never fires, and no production shuffle
+# is added (the width is the session's real core count, not a tuned
+# constant).
 #
-# Only the unstructured-payload tables spread: their consumers run
-# per-row kernels that are expensive by construction (tokenize /
-# shingle / minhash / hyperplane / quantize — interpreted or
-# Python-boundary work), so idle cores are the wall.  The relational
-# tables' map-side operators are whole-stage-codegen arithmetic where
-# the added exchange costs more than the single-task scan
-# (measured: spreading lineitem/orders/events moved q1 0.30→0.57 s,
-# flagship 0.77→1.21 s, events_session_window 0.41→0.64 s, while the
-# documents spread cut dedup_minhash_lsh 2.6→1.4 s).
-SPREAD_MIN_BYTES = 512 * 1024
-SPREAD_MAX_BYTES = 128 * 1024 * 1024
-SPREAD_TABLES = frozenset({"documents", "embeddings"})
-
-
-def _table_bytes_files(path: str) -> tuple[int, int]:
-    """(total bytes, file count) of a parquet file-or-directory."""
-    try:
-        if os.path.isfile(path):
-            return os.path.getsize(path), 1
-        total = n = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    total += os.path.getsize(os.path.join(root, f))
-                    n += 1
-        return total, n
-    except OSError:
-        return 0, 0
-
-
-def spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """Round-robin-repartition a small single-file scan across the
-    session's cores (see SPREAD_MIN/MAX_BYTES above)."""
+# Deliberately NOT applied in load_table: an A/B over the bench showed
+# the blanket form loses — the exchange + 32-task stage overhead
+# outweighs the parallelism except where the PRE-exchange per-row
+# kernel is heavy (measured: documents-spread cut dedup_minhash_lsh
+# 1.44→1.03 s normalized but moved corpus_curation 0.28→0.78 s,
+# text_bm25_topk 0.42→0.72 s; an events/orders/lineitem spread moved
+# q1 0.30→0.57 s, flagship 0.77→1.21 s; an embeddings spread
+# fragmented the Arrow batches of the Python-boundary kernels,
+# sim_ann_topk_pq 0.93→1.47 s).  Operators whose map-side kernel
+# dominates opt in at their own call site.
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a narrow scan across the session's
+    cores.  Call ONLY on exchange-free frames (base scans, unions of
+    scans): ``df.rdd`` on an exchange-bearing plan would execute its
+    query stages just to read the partition count."""
     if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
         return df
-    nbytes, nfiles = _table_bytes_files(path)
+    spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
-    if SPREAD_MIN_BYTES <= nbytes <= SPREAD_MAX_BYTES and nfiles < p:
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 0 < n < p:
         return df.repartition(p)
     return df
 
@@ -138,8 +116,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if name in SPREAD_TABLES:
-        df = spread_small_scan(spark, df, path)
     return df
 
 

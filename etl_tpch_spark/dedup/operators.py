@@ -110,7 +110,11 @@ def jaccard_pairs_brute(docs: DataFrame, threshold: float) -> DataFrame:
     Pairs share ≥1 shingle ⇒ the candidate join never enumerates
     disjoint pairs, but hot shingles still fan out — the LSH variant is
     the scale path; this is the exact baseline."""
-    sh = shingle_sets(docs)
+    from ..catalog import spread_scan
+
+    sh = shingle_sets(spread_scan(docs))  # heavy per-row shingle
+    # kernel on a possibly single-split scan (guide §2.5; measured
+    # 2.77 → 0.93 s at sf0.1)
     sizes = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), "shingles"
     )
@@ -190,8 +194,16 @@ def _banded_signatures(
     Materializing tokens → shingles → signature in separate Projects
     keeps each computed once: CollapseProject does not inline a
     non-cheap alias that is referenced more than once.  Output is
-    expression-for-expression identical."""
-    tk = docs.select(
+    expression-for-expression identical.
+
+    ``spread_scan``: the shingle+minhash kernel is the heaviest
+    per-row map-side work in the engine, and the bench fixtures scan
+    as ONE task — without the spread it runs on 1 of N cores (guide
+    §2.5, one cheap text exchange; a no-op whenever the input already
+    has ≥ cores partitions, i.e. at any real scale)."""
+    from ..catalog import spread_scan
+
+    tk = spread_scan(docs).select(
         "doc_id", tokens(F.col("text")).alias("_toks")
     ).filter(F.size("_toks") >= NGRAM)
     sh = tk.select(
@@ -428,7 +440,9 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     bands ⇒ ≤16 buckets) degenerates the band join toward all-pairs at
     corpus scale; 60 bits with hamming 3 gives 4×15-bit bands = 32k
     buckets — the Manku/Google near-dup configuration."""
-    ex = docs.select(
+    from ..catalog import spread_scan
+
+    ex = spread_scan(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).withColumn("h", token_hash_wide(F.col("tok")))
     votes = ex.groupBy("doc_id").agg(
