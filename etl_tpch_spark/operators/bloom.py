@@ -56,6 +56,14 @@ _BIT_MASKS = [
 ]
 
 
+def _masks_lit() -> Column:
+    """The 64 bit masks as a single ArrayType Literal (one expression
+    node) -- F.array(64 x F.lit) builds a CreateArray with 64 literal
+    children that is copied wholesale into every referencing
+    expression and inflates plan-analysis time."""
+    return F.lit(_BIT_MASKS).cast("array<long>")
+
+
 def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
     """k seeded-xxhash64 bit positions for a key.  Unlike every
     oracle-checked hash in this repo (md5-derived), bloom positions
@@ -78,7 +86,7 @@ def bloom_build(
     as ``m_bits/64`` longs (index ``pos >> 6``, bit ``pos & 63``).
     One shuffle of at most m_bits/64 groups, one tiny collect."""
     n_words = m_bits // 64
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    masks = _masks_lit()
     rows = (
         keys.select(
             F.explode(
@@ -107,8 +115,13 @@ def bloom_might_contain(
     """Membership test as a pure column expression over the literal
     word array — evaluates at the scan, JVM-side, no Python, no UDF."""
     m_bits = len(words) * 64
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    # ONE ArrayType Literal node per reference instead of a
+    # CreateArray with m_bits/64 literal children: the word array is
+    # referenced by all k probe functions, and the CreateArray form
+    # put k x m_bits/64 expression nodes into the filter -- plan
+    # analysis alone cost ~0.7 s per query at m_bits=16384 (round 11)
+    arr = F.lit(list(words)).cast("array<long>")
+    masks = _masks_lit()
     cond = F.lit(True)
     for p in _positions(key, k, m_bits):
         word = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
@@ -146,7 +159,7 @@ def bloom_words(
     aggregation as :func:`bloom_build` WITHOUT the driver collect, so
     m_bits is bounded by broadcast capacity (millions of keys), not by
     the whole-stage-codegen literal budget (~6.5k keys)."""
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    masks = _masks_lit()
     return (
         keys.select(
             F.explode(
@@ -187,7 +200,7 @@ def bloom_prefilter_wordtable(
     form's fixed 65,536-bit ceiling has degraded to FP≈1 (pure
     overhead), and still far smaller than broadcasting the exact key
     set."""
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    masks = _masks_lit()
     out = probe
     for i in range(k):
         p = F.pmod(F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(m_bits))

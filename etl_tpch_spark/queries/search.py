@@ -471,10 +471,17 @@ def search_hybrid_rrf_indexed(
         F.count(F.lit(1)).alias("df")
     )
     probe = probe.join(F.broadcast(dfreq), "term")
+    # one exchange serves the pair aggregation AND the rank window
+    # (guide §2.4): hashpartitioning(query_id) satisfies the groupBy's
+    # ClusteredDistribution(query_id, doc_id) — partition keys are a
+    # subset of the grouping keys — and the window's
+    # ClusteredDistribution(query_id), so the explicit repartition
+    # replaces two ENSURE_REQUIREMENTS exchanges with one
     lex = (
         F.broadcast(q)
         .join(probe, "term")
         .filter(F.col("query_id") != F.col("doc_id"))
+        .repartition("query_id")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(F.expr(f"CAST({LEX_SCALE} div df AS BIGINT)")).alias(

@@ -196,9 +196,20 @@ class IVFIndex:
             .select("query_id", F.col("cent_id").alias("cell"))
         )
         # literal probe-cell filter → parquet scan skips unprobed files
-        # (|Q|·n_probe ids — a driver round-trip of a few dozen longs)
-        probed_cells = sorted(
-            {r.cell for r in q_cells.select("cell").distinct().collect()}
+        # (|Q|·n_probe ids — a driver round-trip of a few dozen longs).
+        # The SAME collect also carries (query_id, cell), so the
+        # scoring plan joins a LITERAL frame instead of re-executing
+        # the quantize+crossJoin+window subtree a second time (round
+        # 11: the subtree appeared once for this collect and once in
+        # the candidate plan — two broadcast builds + a window per
+        # query; values are identical by construction, it is the same
+        # rows that were collected)
+        q_cell_rows = [
+            (r.query_id, r.cell) for r in q_cells.collect()
+        ]
+        probed_cells = sorted({c for _q, c in q_cell_rows})
+        q_cells = spark.createDataFrame(
+            q_cell_rows, "query_id long, cell long"
         )
         cells = self.cells(spark).filter(F.col("cell").isin(probed_cells))
         if where is not None:
