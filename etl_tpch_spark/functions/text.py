@@ -61,7 +61,7 @@ def sql_token_hash_wide(tok: str) -> str:
 
 def stopword_count(toks: Column, words: list[str]) -> Column:
     """How many tokens are in the given stopword list."""
-    arr = F.array(*[F.lit(w) for w in words])
+    arr = F.lit(list(words)).cast("array<string>")
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
 

@@ -77,7 +77,8 @@ def _lc_sql_table(m: int) -> str:
 def _corrected_est_spark(raw, hit, m: int):
     """raw estimate + linear-counting switch as a column expression."""
     v = (F.lit(m) - hit).cast("int")
-    table = F.array(*[F.lit(x) for x in _LC_TABLE[m]])
+    # one ArrayType Literal node, not a 256-child CreateArray
+    table = F.lit(list(_LC_TABLE[m])).cast("array<double>")
     return F.round(
         F.when(
             (raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(table, v)

@@ -210,7 +210,7 @@ def pq_topk(
             scores += luts[:, j, :][:, codes].T  # (batch, n_q)
         return pd.Series(list(scores))
 
-    qid_arr = F.array(*[F.lit(int(i)).cast("long") for i in qids])
+    qid_arr = F.lit([int(i) for i in qids]).cast("array<long>")
     scored = (
         q.withColumn("scores", adc("qv"))
         .select("vec_id", F.posexplode("scores").alias("qi", "pq_d2"))
@@ -405,7 +405,7 @@ def ivfpq_topk(
                     ].sum(axis=1)
         return pd.Series(list(out))
 
-    qid_arr = F.array(*[F.lit(int(i)).cast("long") for i in qids])
+    qid_arr = F.lit([int(i) for i in qids]).cast("array<long>")
     scored = (
         q.withColumn("scores", adc("qv"))
         .select("vec_id", F.posexplode("scores").alias("qi", "pq_d2"))
