@@ -337,6 +337,16 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
+# (application id, documents stamp) → (vocab frame, row count) of the
+# PRODUCTION-trained tokenizer.  Training is deterministic per fixture,
+# so the application queries re-deriving it per call only re-paid the
+# word-count job + driver merge loop — exactly the cost a real
+# pipeline stores as merges.txt and never re-pays (the docstring below
+# already said so; round 11 makes the code match).  Same staleness
+# recipe as every session cache (catalog.table_stamp).
+_VOCAB_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
 def _trained_vocab(
     spark: SparkSession, t: Tables
 ) -> tuple[DataFrame, int]:
@@ -347,8 +357,25 @@ def _trained_vocab(
     trainer — pinned in tests/test_bpe.py), shipped back as a
     vocab-sized literal frame.  The application queries read the
     tokenizer from here — a real pipeline applies a stored merges.txt,
-    it does not re-train per query; the K-round relational trainer
-    stays exercised (and oracle-unrolled) by text_bpe_merges."""
+    it does not re-train per query (the trained frame is
+    session-cached per documents stamp); the K-round relational
+    trainer stays exercised (and oracle-unrolled) by text_bpe_merges."""
+    from ..catalog import evict_superseded, table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        table_stamp(t._sf_dir, "documents"),
+    )
+    hit = _VOCAB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    real = key[1].split("|", 1)[0]
+    evict_superseded(
+        _VOCAB_CACHE,
+        lambda k: k[0] == key[0]
+        and k[1].split("|", 1)[0] == real
+        and k[1] != key[1],
+    )
     wf = (
         t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -364,6 +391,7 @@ def _trained_vocab(
         ],
         "word STRING, freq LONG, T ARRAY<STRING>",
     )
+    _VOCAB_CACHE[key] = (frame, len(wordfreq))
     return frame, len(wordfreq)
 
 
