@@ -101,10 +101,18 @@ def spread_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+# (application id, table name, stamp) → footer-inferred schema.  One
+# bench/oracle process opens the same fixture tables hundreds of times;
+# each open re-read the footer on the driver.  The stamp (realpath +
+# mtime+size) is the standard staleness recipe, so a regenerated
+# fixture re-infers; superseded stamps are evicted on insert.
+_TABLE_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy scan of one table. Schema comes from parquet footers (exact);
-    explicit schemas in `schemas.py` are for JSON/streaming sources where
-    inference would scan data.
+    """Lazy scan of one table. Schema comes from parquet footers (exact,
+    session-cached per fixture stamp); explicit schemas in `schemas.py`
+    are for JSON/streaming sources where inference would scan data.
 
     events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader refuses; we read nanos as long (legacy conf) and
@@ -113,7 +121,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double division: ns epochs exceed 2^53)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, name)
-    df = spark.read.parquet(path)
+    key = (
+        spark.sparkContext.applicationId,
+        name,
+        table_stamp(sf_dir, name),
+    )
+    cached = _TABLE_SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        evict_superseded(
+            _TABLE_SCHEMA_CACHE,
+            lambda k: k[0] == key[0]
+            and k[1] == key[1]
+            and k[2].split("|", 1)[0] == key[2].split("|", 1)[0]
+            and k[2] != key[2],
+        )
+        _TABLE_SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

@@ -81,6 +81,12 @@ class _MergeConflict(Exception):
 # predicate spec for read_where: (col, op, value) conjunctions
 _PRED_OPS = ("=", "<", "<=", ">", ">=")
 
+# (application id, table realpath, version, merged) → resolved snapshot
+# schema.  A committed version's file set — hence its schema — is
+# immutable, so the entry can never go stale; superseded versions of
+# the same table are evicted on insert (TxTable.read).
+_SCHEMA_CACHE: dict[tuple[str, str, int, bool], object] = {}
+
 
 def _enc(v):
     """Normalize a stats/predicate value into its JSON-comparable form.
@@ -1246,7 +1252,14 @@ class TxTable:
     ) -> DataFrame:
         """Snapshot read of ``version`` (default: latest).  A snapshot
         holding schema-evolved files (append(merge_schema=True))
-        unions file schemas; uniform snapshots skip the footer merge."""
+        unions file schemas; uniform snapshots skip the footer merge.
+
+        The resolved schema is session-cached per (application, table
+        path, version): a committed version's file set is immutable,
+        so its schema is too — Delta keeps the schema in the log for
+        exactly this reason.  Repeated snapshot reads (every indexed
+        query re-opens its index tables) then skip the footer-
+        inference job instead of re-launching it per read."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("table has no committed data")
@@ -1260,12 +1273,31 @@ class TxTable:
         files = entry["files"]
         if not files:
             raise ValueError("table has no committed data")
+        merged = bool(entry.get("merged_schema"))
         reader = spark.read
-        if entry.get("merged_schema"):
+        if merged:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
-            *[os.path.join(self.path, f) for f in files]
+        paths = [os.path.join(self.path, f) for f in files]
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.realpath(self.path),
+            v,
+            merged,
         )
+        cached = _SCHEMA_CACHE.get(key)
+        if cached is not None:
+            return reader.schema(cached).parquet(*paths)
+        df = reader.parquet(*paths)
+        # one schema per (app, path): versions of a table supersede
+        # each other, so drop older versions' entries on insert
+        for k in [
+            k
+            for k in _SCHEMA_CACHE
+            if k[0] == key[0] and k[1] == key[1] and k[2] != v
+        ]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[key] = df.schema
+        return df
 
     def diff(
         self,

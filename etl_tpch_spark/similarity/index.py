@@ -291,6 +291,11 @@ class IVFIndex:
         w_hard = W.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("vec_id")
         )
+        # |Q|·k_hard rows feeding TWO branches of the one action (the
+        # union arm and the easy arm's anti-join build side): without
+        # the eager checkpoint the whole candidates→filter→window
+        # subtree plans and EXECUTES twice (plan audit round 11 — the
+        # duplicated subtree was ~half the query's Catalyst + job cost)
         hard = (
             nonpos.withColumn("r_hard", F.row_number().over(w_hard))
             .filter(F.col("r_hard") <= k_hard)
@@ -301,6 +306,7 @@ class IVFIndex:
                 F.lit("hard").alias("stratum"),
                 F.col("r_hard").cast("long").alias("rnk"),
             )
+            .localCheckpoint(eager=True)
         )
         # shared easy pool: smallest-md5 corpus vectors from the stored
         # cells table (carries v_emb/v_norm — no second corpus read)
