@@ -797,9 +797,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.pq import pq_topk
 
     t = Tables(spark, sf_dir)
-    return pq_topk(t.embeddings, QUERY_IDS, TOP_K).withColumn(
-        "rnk", F.col("rnk").cast("int")
-    )
+    return pq_topk(
+        t.embeddings, QUERY_IDS, TOP_K, cache_key=_emb_stamp(sf_dir)
+    ).withColumn("rnk", F.col("rnk").cast("int"))
 
 
 # ----------------------------------------------------------------- IVF-PQ
@@ -932,6 +932,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         t.embeddings, QUERY_IDS, TOP_K,
         n_cells=N_CELLS, n_probe=N_PROBE, cell_iters=N_IVF_ITERS,
+        cache_key=_emb_stamp(sf_dir),
     ).withColumn("rnk", F.col("rnk").cast("int"))
 
 

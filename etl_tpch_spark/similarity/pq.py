@@ -150,6 +150,40 @@ def _train_codebooks(
     return books
 
 
+# (application id, caller cache key, trainer tag + params) → trained
+# codebooks (plain nested lists — no executor storage held).  Training
+# is integer-exact and deterministic per corpus stamp, so a cached
+# book list is bit-identical to a fresh one — the same session-cache
+# convention as kmeans._FIT_CACHE, and the steady-state cost the bench
+# protocol documents (a production PQ index trains once and serves
+# many queries; the persisted lifecycle is IVFPQIndex below).
+_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _cached_books(
+    spark: SparkSession, cache_key: str | None, params: tuple, train
+):
+    if cache_key is None:
+        return train()
+    ck = (spark.sparkContext.applicationId, cache_key) + params
+    hit = _BOOK_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    from ..catalog import evict_superseded
+
+    real = cache_key.split("|", 1)[0]
+    evict_superseded(
+        _BOOK_CACHE,
+        lambda key: key[0] == ck[0]
+        and key[2:] == ck[2:]
+        and key[1].split("|", 1)[0] == real
+        and key[1] != cache_key,
+    )
+    books = train()
+    _BOOK_CACHE[ck] = books
+    return books
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -159,14 +193,21 @@ def pq_topk(
     sub_dim: int = SUB_DIM,
     k_codes: int = K_CODES,
     iters: int = PQ_ITERS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-k nearest corpus vectors per query under the PQ-approximate
     squared-L2 distance (quantized integer space).  Returns
     (query_id, vec_id, pq_d2, rnk) — pq_d2 is the exact integer ADC
-    sum, reproducible on any engine."""
+    sum, reproducible on any engine.  ``cache_key`` (a corpus stamp)
+    session-caches the trained codebooks — kmeans_fit's convention."""
     q = quantize(embeddings).persist()  # training collects + LUT
     # collect + final scoring all read it; unpersisted before return
-    books = _train_codebooks(q, m_sub, sub_dim, k_codes, iters)
+    books = _cached_books(
+        embeddings.sparkSession,
+        cache_key,
+        ("pq", m_sub, sub_dim, k_codes, iters),
+        lambda: _train_codebooks(q, m_sub, sub_dim, k_codes, iters),
+    )
     # per-subspace centroid matrices, sorted by cent_id (the code is
     # the POSITION in this order; the oracle joins on cent_id, which
     # is order-isomorphic)
@@ -304,6 +345,7 @@ def ivfpq_topk(
     sub_dim: int = SUB_DIM,
     k_codes: int = K_CODES,
     pq_iters: int = PQ_ITERS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ — the faiss billion-vector architecture, composed from
     the engine's two trained-and-still-exact parts: integer-Lloyd
@@ -332,7 +374,11 @@ def ivfpq_topk(
 
     q = quantize(embeddings)
     _, cents = kmeans_fit(
-        embeddings, n_cells, cell_iters, materialize=False
+        embeddings,
+        n_cells,
+        cell_iters,
+        materialize=False,
+        cache_key=cache_key,
     )
     cell_ids = np.array([c for c, _cv in cents], dtype="int64")
     cell_mat = np.array([cv for _c, cv in cents], dtype="int64")
@@ -345,15 +391,24 @@ def ivfpq_topk(
             {"cell": cell_ids[best], "rv": list(rv)}
         )
 
-    res = q.withColumn("cr", cell_res("qv")).select(
-        "vec_id",
-        F.col("cr.cell").alias("cell"),
-        F.col("cr.rv").alias("qv"),
-    ).persist()  # read by the init aggregation + every Lloyd round
-    books = _train_codebooks(
-        res.select("vec_id", "qv"), m_sub, sub_dim, k_codes, pq_iters
+    def _train_res_books():
+        res = q.withColumn("cr", cell_res("qv")).select(
+            "vec_id",
+            F.col("cr.cell").alias("cell"),
+            F.col("cr.rv").alias("qv"),
+        ).persist()  # read by the init aggregation + every Lloyd round
+        books = _train_codebooks(
+            res.select("vec_id", "qv"), m_sub, sub_dim, k_codes, pq_iters
+        )
+        res.unpersist()  # scoring recomputes cell+residual map-side
+        return books
+
+    books = _cached_books(
+        embeddings.sparkSession,
+        cache_key,
+        ("ivfpq", n_cells, cell_iters, m_sub, sub_dim, k_codes, pq_iters),
+        _train_res_books,
     )
-    res.unpersist()  # scoring recomputes cell+residual map-side
     book_mats = [
         np.array([cv for (_c, cv) in b], dtype="int64") for b in books
     ]
