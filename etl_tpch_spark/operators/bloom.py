@@ -50,33 +50,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..exprs import json_array_sql
+
 # the 64 single-bit masks as signed longs (bit 63 wraps negative)
 _BIT_MASKS = [
     (1 << b) if b < 63 else -(1 << 63) for b in range(64)
 ]
 
-
-def _masks_lit() -> Column:
-    """The 64 bit masks as a single ArrayType Literal (one expression
-    node) -- F.array(64 x F.lit) builds a CreateArray with 64 literal
-    children that is copied wholesale into every referencing
-    expression and inflates plan-analysis time."""
-    return F.lit(_BIT_MASKS).cast("array<long>")
+# the masks as SQL text: ONE expression node at analysis, folded to a
+# single ArrayType Literal at optimization, zero py4j round-trips when
+# embedded in a larger expr string (round 11 — the F.lit(list) form
+# cost ~2 round-trips per element at construction, ~130 here)
+_MASKS_SQL = json_array_sql(_BIT_MASKS, "long")
 
 
-def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
-    """k seeded-xxhash64 bit positions for a key.  Unlike every
-    oracle-checked hash in this repo (md5-derived), bloom positions
-    never cross engines — the ORACLE runs the plain semi-join and the
-    bloom is internal pruning — so the hot path uses Spark's native
-    non-cryptographic hash: one codegen'd 64-bit mix per probe
-    function instead of an md5 string digest (~5× cheaper per row on
-    the 100 TB probe side, where this filter runs once per fact
-    row)."""
-    return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
-        for i in range(k)
-    ]
+def _pos_sql(key_sql: str, i: int, m_bits: int) -> str:
+    """SQL text of the i-th seeded-xxhash64 bit position for a key.
+    Unlike every oracle-checked hash in this repo (md5-derived), bloom
+    positions never cross engines — the ORACLE runs the plain
+    semi-join and the bloom is internal pruning — so the hot path uses
+    Spark's native non-cryptographic hash: one codegen'd 64-bit mix
+    per probe function instead of an md5 string digest (~5× cheaper
+    per row on the 100 TB probe side, where this filter runs once per
+    fact row)."""
+    return f"pmod(xxhash64({key_sql}, {i}), {m_bits})"
+
+
+def _key_sql(key: Column | str) -> str:
+    """The probe key as SQL text.  Membership expressions are built as
+    one ``F.expr`` string, so the key must arrive as a column NAME
+    (a Column object has no public SQL-text accessor in Spark 4)."""
+    if isinstance(key, str):
+        return f"`{key}`"
+    raise TypeError(
+        "bloom membership takes the key column NAME (str); got Column"
+    )
 
 
 def bloom_build(
@@ -86,18 +94,13 @@ def bloom_build(
     as ``m_bits/64`` longs (index ``pos >> 6``, bit ``pos & 63``).
     One shuffle of at most m_bits/64 groups, one tiny collect."""
     n_words = m_bits // 64
-    masks = _masks_lit()
+    pos_arr = ", ".join(_pos_sql(f"`{key}`", i, m_bits) for i in range(k))
     rows = (
-        keys.select(
-            F.explode(
-                F.array(*_positions(F.col(key), k, m_bits))
-            ).alias("pos")
-        )
-        .select(
-            F.shiftright("pos", 6).alias("w"),
-            F.element_at(
-                masks, (F.col("pos").bitwiseAND(63) + 1).cast("int")
-            ).alias("bit"),
+        keys.selectExpr(f"explode(array({pos_arr})) AS pos")
+        .selectExpr(
+            "shiftright(pos, 6) AS w",
+            f"element_at({_MASKS_SQL}, "
+            "cast((pos & 63) + 1 AS int)) AS bit",
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
@@ -110,26 +113,30 @@ def bloom_build(
 
 
 def bloom_might_contain(
-    key: Column, words: list[int], *, k: int = 4
+    key: Column | str, words: list[int], *, k: int = 4
 ) -> Column:
     """Membership test as a pure column expression over the literal
-    word array — evaluates at the scan, JVM-side, no Python, no UDF."""
+    word array — evaluates at the scan, JVM-side, no Python, no UDF.
+
+    Built as ONE ``F.expr`` string: the word array rides ``from_json``
+    of a constant (one node at analysis — the round-11 CreateArray
+    plan-bloat fix preserved — folded to a single ArrayType Literal at
+    optimization), and the whole k-probe conjunction costs 3 py4j
+    round-trips instead of ~2 per literal element (~4k at
+    m_bits=65536, the dominant construction cost of the bloom demo
+    queries)."""
     m_bits = len(words) * 64
-    # ONE ArrayType Literal node per reference instead of a
-    # CreateArray with m_bits/64 literal children: the word array is
-    # referenced by all k probe functions, and the CreateArray form
-    # put k x m_bits/64 expression nodes into the filter -- plan
-    # analysis alone cost ~0.7 s per query at m_bits=16384 (round 11)
-    arr = F.lit(list(words)).cast("array<long>")
-    masks = _masks_lit()
-    cond = F.lit(True)
-    for p in _positions(key, k, m_bits):
-        word = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
-        mask = F.element_at(
-            masks, (p.bitwiseAND(63) + 1).cast("int")
+    key_s = _key_sql(key)
+    arr_sql = json_array_sql(list(words), "long")
+    conds = []
+    for i in range(k):
+        p = _pos_sql(key_s, i, m_bits)
+        conds.append(
+            f"(element_at({arr_sql}, cast(shiftright({p}, 6) + 1 AS int))"
+            f" & element_at({_MASKS_SQL}, cast(({p} & 63) + 1 AS int)))"
+            " != 0"
         )
-        cond = cond & (word.bitwiseAND(mask) != 0)
-    return cond
+    return F.expr("(" + ") AND (".join(conds) + ")")
 
 
 def auto_m_bits(n_keys: int) -> int:
@@ -159,18 +166,13 @@ def bloom_words(
     aggregation as :func:`bloom_build` WITHOUT the driver collect, so
     m_bits is bounded by broadcast capacity (millions of keys), not by
     the whole-stage-codegen literal budget (~6.5k keys)."""
-    masks = _masks_lit()
+    pos_arr = ", ".join(_pos_sql(f"`{key}`", i, m_bits) for i in range(k))
     return (
-        keys.select(
-            F.explode(
-                F.array(*_positions(F.col(key), k, m_bits))
-            ).alias("pos")
-        )
-        .select(
-            F.shiftright("pos", 6).alias("w"),
-            F.element_at(
-                masks, (F.col("pos").bitwiseAND(63) + 1).cast("int")
-            ).alias("bit"),
+        keys.selectExpr(f"explode(array({pos_arr})) AS pos")
+        .selectExpr(
+            "shiftright(pos, 6) AS w",
+            f"element_at({_MASKS_SQL}, "
+            "cast((pos & 63) + 1 AS int)) AS bit",
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
@@ -200,10 +202,9 @@ def bloom_prefilter_wordtable(
     form's fixed 65,536-bit ceiling has degraded to FP≈1 (pure
     overhead), and still far smaller than broadcasting the exact key
     set."""
-    masks = _masks_lit()
     out = probe
     for i in range(k):
-        p = F.pmod(F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(m_bits))
+        p = _pos_sql(f"`{probe_key}`", i, m_bits)
         # per-iteration column names: joining the same word-table plan
         # k times under one alias trips the ambiguous-self-join check
         wcol, bcol = f"_bloom_w{i}", f"_bloom_b{i}"
@@ -213,16 +214,14 @@ def bloom_prefilter_wordtable(
         out = (
             out.join(
                 F.broadcast(wt),
-                F.shiftright(p, 6) == F.col(wcol),
+                F.expr(f"shiftright({p}, 6) = `{wcol}`"),
                 "inner",
             )
             .where(
-                F.col(bcol).bitwiseAND(
-                    F.element_at(
-                        masks, (p.bitwiseAND(63) + 1).cast("int")
-                    )
+                F.expr(
+                    f"(`{bcol}` & element_at({_MASKS_SQL}, "
+                    f"cast(({p} & 63) + 1 AS int))) != 0"
                 )
-                != 0
             )
             .drop(wcol, bcol)
         )
@@ -284,7 +283,7 @@ def bloom_semi_join(
         m_bits = auto_m_bits(keys.count())
     words = bloom_build(keys, build_key, m_bits=m_bits, k=k)
     filtered = probe.where(
-        bloom_might_contain(F.col(probe_key), words, k=k)
+        bloom_might_contain(probe_key, words, k=k)
     )
     return filtered.join(
         F.broadcast(keys),

@@ -70,6 +70,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Client-side call-site capture (Spark 4's DataFrame debugging)
+        # wraps EVERY DataFrame/Column API call in a Python stack walk
+        # plus 3 py4j round-trips (conf.get + PySparkCurrentOrigin.set/
+        # clear).  cProfile of a warm indexed-retrieval rep measured it
+        # at ~17% of wall (97 wrapped calls, 0.92 s of 5.4 s) — pure
+        # error-message enrichment, no effect on plans or results
+        # (guide §4: shrink the Python⇄JVM boundary).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -83,6 +91,14 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings that must hold on a *driver-provided* session for the
     DuckDB-oracle comparison to be stable (timezone above all)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # must land before the first wrapped DataFrame call of the
+        # process: pyspark caches this gate on first use (see get_spark)
+        spark.conf.set(
+            "spark.python.sql.dataFrameDebugging.enabled", "false"
+        )
+    except Exception:
+        pass
     try:  # runtime-settable in all recent Spark versions
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -74,7 +74,7 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     keys = t.customer.select("c_custkey").distinct()
     words = bloom_build(keys, "c_custkey")
     missed = keys.where(
-        ~bloom_might_contain(F.col("c_custkey"), words)
+        ~bloom_might_contain("c_custkey", words)
     ).count()
     assert missed == 0
 
@@ -106,7 +106,7 @@ def test_bloom_prefilter_actually_prunes(spark, sf_dir):
     words = bloom_build(rich.distinct(), "c_custkey")
     total = t.orders.count()
     passed = t.orders.where(
-        bloom_might_contain(F.col("o_custkey"), words)
+        bloom_might_contain("o_custkey", words)
     ).count()
     matched = t.orders.join(
         rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
@@ -197,7 +197,7 @@ def test_unbounded_bloom_prune_rate_at_100k_keys(spark):
     # decay that motivates the word-table path (documented, not fixed)
     capped_words = bloom_build(build, "k", m_bits=65536)
     capped_kept = probe.where(
-        bloom_might_contain(F.col("k"), capped_words)
+        bloom_might_contain("k", capped_words)
     ).count()
     capped_prune = 1 - (capped_kept - matches) / (n_probe - matches)
     assert capped_prune <= 0.10, capped_prune
