@@ -72,6 +72,23 @@ def word_shingles_from_tokens(toks: F.Column, n: int = NGRAM) -> F.Column:
     )
 
 
+def spark_sql_word_shingles_from_tokens(toks: str, n: int = NGRAM) -> str:
+    """Spark-SQL text twin of :func:`word_shingles_from_tokens` — the
+    same shifted-slice zip_with fold through the parser in one py4j
+    round-trip (round 11, guide §4)."""
+    ng = f"greatest(size({toks}) - {n - 1}, 0)"
+    grams = f"slice({toks}, 1, {ng})"
+    for k in range(1, n):
+        grams = (
+            f"zip_with({grams}, slice({toks}, {1 + k}, {ng}), "
+            "(a, b) -> concat_ws(' ', a, b))"
+        )
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct({grams}) "
+        "ELSE cast(array() AS array<string>) END"
+    )
+
+
 def word_shingles(text: F.Column, n: int = NGRAM) -> F.Column:
     """Distinct word n-gram shingle array of a TEXT column — the
     single-expression form (tokenizer inlined; see
@@ -202,23 +219,30 @@ def _banded_signatures(
     §2.5, one cheap text exchange; a no-op whenever the input already
     has ≥ cores partitions, i.e. at any real scale)."""
     from ..catalog import spread_scan
-
-    tk = spread_scan(docs).select(
-        "doc_id", tokens(F.col("text")).alias("_toks")
-    ).filter(F.size("_toks") >= NGRAM)
-    sh = tk.select(
-        "doc_id",
-        word_shingles_from_tokens(F.col("_toks")).alias("shingles"),
+    from ..functions.text import spark_sql_tokens
+    from .hashing import (
+        spark_sql_band_keys,
+        spark_sql_minhash_signature,
+        spark_sql_shingle_hashes,
     )
-    mh = sh.select(
+
+    tk = (
+        spread_scan(docs)
+        .selectExpr("doc_id", f"{spark_sql_tokens('text')} AS _toks")
+        .filter(f"size(_toks) >= {NGRAM}")
+    )
+    sh = tk.selectExpr(
+        "doc_id",
+        f"{spark_sql_word_shingles_from_tokens('_toks')} AS shingles",
+    )
+    mh = sh.selectExpr(
         "doc_id",
         "shingles",
-        minhash_signature(shingle_hashes(F.col("shingles"))).alias(
-            "_sig"
-        ),
+        f"{spark_sql_minhash_signature(spark_sql_shingle_hashes('shingles'))}"
+        " AS _sig",
     )
-    sig = mh.select(
-        "doc_id", "shingles", band_keys(F.col("_sig")).alias("bands")
+    sig = mh.selectExpr(
+        "doc_id", "shingles", f"{spark_sql_band_keys('_sig')} AS bands"
     )
     return sig if storage_level is None else sig.persist(storage_level)
 

@@ -47,6 +47,18 @@ def sql_token_hash(tok: str) -> str:
     return f"CAST('0x' || substr(md5({tok}), 1, 8) AS BIGINT)"
 
 
+def spark_sql_tokens(text: str) -> str:
+    """Spark-SQL text twin of :func:`tokens` — same Catalyst operators
+    via the parser in one py4j round-trip (round 11, guide §4: the
+    node-by-node builder pays ~2 round-trips per expression node)."""
+    return f"filter(split({text}, ' '), x -> x != '')"
+
+
+def spark_sql_token_hash(tok: str) -> str:
+    """Spark-SQL text twin of :func:`token_hash`."""
+    return f"cast(conv(substring(md5({tok}), 1, 8), 16, 10) AS bigint)"
+
+
 def token_hash_wide(tok: Column) -> Column:
     """60-bit md5-derived token hash (15 hex chars — wide enough for a
     Manku-style simhash fingerprint, narrow enough to stay clear of the
