@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..exprs import json_array_lit
+
 HASH_MOD = 1_000_000_007  # prime; keeps fold accumulators < 2^53
 FOLD_MULT = 131
 
@@ -73,7 +75,7 @@ def sql_token_hash_wide(tok: str) -> str:
 
 def stopword_count(toks: Column, words: list[str]) -> Column:
     """How many tokens are in the given stopword list."""
-    arr = F.lit(list(words)).cast("array<string>")
+    arr = json_array_lit(list(words), "string")
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
 

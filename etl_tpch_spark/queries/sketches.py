@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from ..exprs import json_array_lit
 from ..functions.agg import money
 from ..functions.text import sql_token_hash, token_hash
 from ..operators.bloom import bloom_semi_join, bloom_semi_join_unbounded
@@ -77,8 +78,11 @@ def _lc_sql_table(m: int) -> str:
 def _corrected_est_spark(raw, hit, m: int):
     """raw estimate + linear-counting switch as a column expression."""
     v = (F.lit(m) - hit).cast("int")
-    # one ArrayType Literal node, not a 256-child CreateArray
-    table = F.lit(list(_LC_TABLE[m])).cast("array<double>")
+    # one ArrayType Literal node, not a 256-child CreateArray — and
+    # via from_json so construction is 3 py4j round-trips, not ~2 per
+    # element (round 11; values bit-identical: shortest-round-trip
+    # repr → Jackson correctly-rounded parse)
+    table = json_array_lit(_LC_TABLE[m], "double")
     return F.round(
         F.when(
             (raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(table, v)

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from ..exprs import json_array_lit
 from pyspark.sql import types as T
 
 from .kmeans import quantize
@@ -251,7 +253,7 @@ def pq_topk(
             scores += luts[:, j, :][:, codes].T  # (batch, n_q)
         return pd.Series(list(scores))
 
-    qid_arr = F.lit([int(i) for i in qids]).cast("array<long>")
+    qid_arr = json_array_lit([int(i) for i in qids], "long")
     scored = (
         q.withColumn("scores", adc("qv"))
         .select("vec_id", F.posexplode("scores").alias("qi", "pq_d2"))
@@ -460,7 +462,7 @@ def ivfpq_topk(
                     ].sum(axis=1)
         return pd.Series(list(out))
 
-    qid_arr = F.lit([int(i) for i in qids]).cast("array<long>")
+    qid_arr = json_array_lit([int(i) for i in qids], "long")
     scored = (
         q.withColumn("scores", adc("qv"))
         .select("vec_id", F.posexplode("scores").alias("qi", "pq_d2"))
