@@ -30,6 +30,8 @@ from ..dedup.hashing import (
     dot_fold,
     hyperplane_signature,
     hyperplane_signature_udf,
+    spark_sql_as_double_array,
+    spark_sql_dot_fold,
 )
 
 
@@ -38,18 +40,26 @@ from ..dedup.hashing import (
 def _with_norm(df: DataFrame, id_alias: str, emb_alias: str, norm_alias: str):
     """Project (id, double-cast embedding, self-dot norm) — per-vector
     work hoisted out of per-pair scoring; cosine then costs one fold per
-    pair (dot / sqrt(na·nb)), value-identical to cosine_fold."""
-    return df.select(
-        F.col("vec_id").alias(id_alias),
-        _as_double_array(F.col("embedding")).alias(emb_alias),
-    ).withColumn(norm_alias, dot_fold(F.col(emb_alias), F.col(emb_alias)))
+    pair (dot / sqrt(na·nb)), value-identical to cosine_fold.  Built
+    via selectExpr: one parser round-trip per projection instead of
+    per-node py4j construction (round 11, guide §4)."""
+    return df.selectExpr(
+        f"vec_id AS {id_alias}",
+        f"{spark_sql_as_double_array('embedding')} AS {emb_alias}",
+    ).selectExpr(
+        "*",
+        f"{spark_sql_dot_fold(emb_alias, emb_alias)} AS {norm_alias}",
+    )
 
 
 def _pair_cosine(q_emb: str, c_emb: str, q_norm: str, c_norm: str):
-    return F.round(
-        dot_fold(F.col(q_emb), F.col(c_emb))
-        / F.sqrt(F.col(q_norm) * F.col(c_norm)),
-        6,
+    return F.expr(_pair_cosine_sql(q_emb, c_emb, q_norm, c_norm))
+
+
+def _pair_cosine_sql(q_emb: str, c_emb: str, q_norm: str, c_norm: str) -> str:
+    return (
+        f"round({spark_sql_dot_fold(q_emb, c_emb)}"
+        f" / sqrt({q_norm} * {c_norm}), 6)"
     )
 
 def cosine_topk_bruteforce(

@@ -31,8 +31,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..pipeline.txlog import TxTable
-from .ann import _pair_cosine, _with_norm
-from .kmeans import quantize
+from .ann import _pair_cosine, _pair_cosine_sql, _with_norm
+from .kmeans import quantize, spark_sql_d2
 
 
 class IVFIndex:
@@ -173,27 +173,19 @@ class IVFIndex:
         queries = queries.localCheckpoint(eager=False)
         q_quant = quantize(queries)
         cent = self.centroids(spark)
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
         q_cells = (
             F.broadcast(
-                q_quant.select(F.col("vec_id").alias("query_id"), "qv")
+                q_quant.selectExpr("vec_id AS query_id", "qv")
             )
             .crossJoin(F.broadcast(cent))
-            .withColumn("d2", d2)
-            .withColumn(
-                "prn",
-                F.row_number().over(
-                    W.partitionBy("query_id").orderBy("d2", "cent_id")
-                ),
+            .selectExpr("*", f"{spark_sql_d2('qv', 'cv')} AS d2")
+            .selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY d2, cent_id) AS prn",
             )
-            .filter(F.col("prn") <= n_probe)
-            .select("query_id", F.col("cent_id").alias("cell"))
+            .filter(f"prn <= {int(n_probe)}")
+            .selectExpr("query_id", "cent_id AS cell")
         )
         # literal probe-cell filter → parquet scan skips unprobed files
         # (|Q|·n_probe ids — a driver round-trip of a few dozen longs).
@@ -211,7 +203,11 @@ class IVFIndex:
         q_cells = spark.createDataFrame(
             q_cell_rows, "query_id long, cell long"
         )
-        cells = self.cells(spark).filter(F.col("cell").isin(probed_cells))
+        cells = self.cells(spark).filter(
+            "cell IN (" + ", ".join(str(int(c)) for c in probed_cells) + ")"
+            if probed_cells
+            else F.lit(False)
+        )
         if where is not None:
             # FILTERED search: the metadata predicate (over columns
             # copied in at build via metadata_cols) composes with the
@@ -241,12 +237,13 @@ class IVFIndex:
         optional metadata pre-filter Column over ``metadata_cols``
         stored at build time (filtered vector search)."""
         scored = self.candidates(spark, queries, n_probe, where=where)
-        w = W.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("vec_id")
-        )
         return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
+            scored.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY cosine DESC, vec_id) AS rnk",
+            )
+            .filter(f"rnk <= {int(k)}")
             .select("query_id", "vec_id", "cosine", "rnk")
         )
 
@@ -287,24 +284,25 @@ class IVFIndex:
         the full-scan baseline is pinned in tests/test_recall_gates.py.
         """
         scored = self.candidates(spark, queries, n_probe)
-        nonpos = scored.filter(F.col("cosine") < dup_threshold)
-        w_hard = W.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("vec_id")
-        )
+        nonpos = scored.filter(f"cosine < {dup_threshold!r}D")
         # |Q|·k_hard rows feeding TWO branches of the one action (the
         # union arm and the easy arm's anti-join build side): without
         # the eager checkpoint the whole candidates→filter→window
         # subtree plans and EXECUTES twice (plan audit round 11 — the
         # duplicated subtree was ~half the query's Catalyst + job cost)
         hard = (
-            nonpos.withColumn("r_hard", F.row_number().over(w_hard))
-            .filter(F.col("r_hard") <= k_hard)
-            .select(
+            nonpos.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY cosine DESC, vec_id) AS r_hard",
+            )
+            .filter(f"r_hard <= {int(k_hard)}")
+            .selectExpr(
                 "query_id",
                 "vec_id",
                 "cosine",
-                F.lit("hard").alias("stratum"),
-                F.col("r_hard").cast("long").alias("rnk"),
+                "'hard' AS stratum",
+                "cast(r_hard AS bigint) AS rnk",
             )
             .localCheckpoint(eager=True)
         )
@@ -313,45 +311,41 @@ class IVFIndex:
         pool = (
             self.cells(spark)
             .select("vec_id", "v_emb", "v_norm")
-            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .orderBy(F.expr("md5(cast(vec_id AS string))"), "vec_id")
             .limit(pool_size)
         )
         q_emb = _with_norm(queries, "query_id", "q_emb", "q_norm")
         pscored = (
             F.broadcast(q_emb)
             .crossJoin(pool)
-            .filter(F.col("query_id") != F.col("vec_id"))
-            .withColumn(
-                "cosine",
-                _pair_cosine("q_emb", "v_emb", "q_norm", "v_norm"),
+            .filter("query_id != vec_id")
+            .selectExpr(
+                "*",
+                f"{_pair_cosine_sql('q_emb', 'v_emb', 'q_norm', 'v_norm')}"
+                " AS cosine",
             )
             .select("query_id", "vec_id", "cosine")
-            .filter(F.col("cosine") < dup_threshold)
+            .filter(f"cosine < {dup_threshold!r}D")
             .join(
                 hard.select("query_id", "vec_id"),
                 ["query_id", "vec_id"],
                 "left_anti",
             )
         )
-        w_easy = W.partitionBy("query_id").orderBy(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("query_id").cast("string"),
-                    F.col("vec_id").cast("string"),
-                )
-            ),
-            F.col("vec_id"),
-        )
         easy = (
-            pscored.withColumn("r_rand", F.row_number().over(w_easy))
-            .filter(F.col("r_rand") <= k_easy)
-            .select(
+            pscored.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id ORDER BY "
+                "md5(concat_ws(':', cast(query_id AS string), "
+                "cast(vec_id AS string))), vec_id) AS r_rand",
+            )
+            .filter(f"r_rand <= {int(k_easy)}")
+            .selectExpr(
                 "query_id",
                 "vec_id",
                 "cosine",
-                F.lit("easy").alias("stratum"),
-                F.col("r_rand").cast("long").alias("rnk"),
+                "'easy' AS stratum",
+                "cast(r_rand AS bigint) AS rnk",
             )
         )
         return hard.unionAll(easy).orderBy("query_id", "stratum", "rnk")

@@ -44,37 +44,42 @@ SCALE = 1_000_000
 EMB_DIM = 64
 
 
+SPARK_SQL_QUANTIZE = (
+    f"transform(embedding, x -> cast(floor((cast(x AS double) + "
+    f"{OFFSET!r}D) * {SCALE} + 0.5D) AS bigint))"
+)
+
+
+def spark_sql_d2(a: str, b: str) -> str:
+    """Spark-SQL text of the integer squared-L2 fold (round 11: one
+    parser round-trip instead of per-node py4j construction)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 AS bigint), (acc, x) -> acc + x)"
+    )
+
+
 def quantize(embeddings: DataFrame) -> DataFrame:
     """(vec_id, qv: array<long>) — offset-positive 1e-6-quantized."""
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(
-            (x.cast("double") + F.lit(OFFSET)) * SCALE + F.lit(0.5)
-        ).cast("long"),
+    return embeddings.selectExpr(
+        "vec_id", f"{SPARK_SQL_QUANTIZE} AS qv"
     )
-    return embeddings.select("vec_id", qv.alias("qv"))
 
 
 def _assign(q: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest centroid per vector (squared-L2 in integer space; ties
     break to the lowest centroid id).  Centroids broadcast — the
     corpus never shuffles."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "cent_id")
     return (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "qv", F.col("cent_id").alias("cluster"), "d2"
+        .selectExpr("*", f"{spark_sql_d2('qv', 'cv')} AS d2")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY d2, cent_id) AS rn",
         )
+        .filter("rn = 1")
+        .selectExpr("vec_id", "qv", "cent_id AS cluster", "d2")
     )
 
 
