@@ -153,12 +153,13 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lex_w")
         )
     )
-    w_s = W.partitionBy("query_id").orderBy(
-        F.col("lex_w").desc(), F.col("doc_id")
-    )
     sparse = (
-        lex.withColumn("sparse_rank", F.row_number().over(w_s))
-        .filter(F.col("sparse_rank") <= N_SPARSE)
+        lex.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY lex_w DESC, doc_id) AS sparse_rank",
+        )
+        .filter(f"sparse_rank <= {N_SPARSE}")
         .select("query_id", "doc_id", "sparse_rank")
     )
     dense = cosine_topk_bruteforce(t.embeddings, QUERY_IDS, N_DENSE).select(
@@ -167,27 +168,27 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("dense_rank"),
     )
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
-    rrf = F.coalesce(
-        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + sparse_rank) AS BIGINT)"),
-        F.lit(0).cast("long"),
-    ) + F.coalesce(
-        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + dense_rank) AS BIGINT)"),
-        F.lit(0).cast("long"),
-    )
-    w_f = W.partitionBy("query_id").orderBy(
-        F.col("rrf_micro").desc(), F.col("doc_id")
-    )
     return (
-        fused.withColumn("rrf_micro", rrf)
-        .withColumn("rnk", F.row_number().over(w_f))
-        .filter(F.col("rnk") <= TOP)
-        .select(
+        fused.selectExpr(
+            "*",
+            f"(coalesce(CAST({RRF_SCALE} div ({RRF_K} + sparse_rank)"
+            " AS BIGINT), cast(0 AS bigint))"
+            f" + coalesce(CAST({RRF_SCALE} div ({RRF_K} + dense_rank)"
+            " AS BIGINT), cast(0 AS bigint))) AS rrf_micro",
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY rrf_micro DESC, doc_id) AS rnk",
+        )
+        .filter(f"rnk <= {TOP}")
+        .selectExpr(
             "query_id",
             "doc_id",
-            F.col("sparse_rank").cast("long").alias("sparse_rank"),
-            F.col("dense_rank").cast("long").alias("dense_rank"),
+            "cast(sparse_rank AS bigint) AS sparse_rank",
+            "cast(dense_rank AS bigint) AS dense_rank",
             "rrf_micro",
-            F.col("rnk").cast("long").alias("rnk"),
+            "cast(rnk AS bigint) AS rnk",
         )
         .orderBy("query_id", "rnk")
     )
@@ -489,12 +490,13 @@ def search_hybrid_rrf_indexed(
             )
         )
     )
-    w_s = W.partitionBy("query_id").orderBy(
-        F.col("lex_w").desc(), F.col("doc_id")
-    )
     sparse = (
-        lex.withColumn("sparse_rank", F.row_number().over(w_s))
-        .filter(F.col("sparse_rank") <= N_SPARSE)
+        lex.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY lex_w DESC, doc_id) AS sparse_rank",
+        )
+        .filter(f"sparse_rank <= {N_SPARSE}")
         .select("query_id", "doc_id", "sparse_rank")
     )
     queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
@@ -506,27 +508,27 @@ def search_hybrid_rrf_indexed(
         F.col("rnk").alias("dense_rank"),
     )
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
-    rrf = F.coalesce(
-        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + sparse_rank) AS BIGINT)"),
-        F.lit(0).cast("long"),
-    ) + F.coalesce(
-        F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + dense_rank) AS BIGINT)"),
-        F.lit(0).cast("long"),
-    )
-    w_f = W.partitionBy("query_id").orderBy(
-        F.col("rrf_micro").desc(), F.col("doc_id")
-    )
     return (
-        fused.withColumn("rrf_micro", rrf)
-        .withColumn("rnk", F.row_number().over(w_f))
-        .filter(F.col("rnk") <= TOP)
-        .select(
+        fused.selectExpr(
+            "*",
+            f"(coalesce(CAST({RRF_SCALE} div ({RRF_K} + sparse_rank)"
+            " AS BIGINT), cast(0 AS bigint))"
+            f" + coalesce(CAST({RRF_SCALE} div ({RRF_K} + dense_rank)"
+            " AS BIGINT), cast(0 AS bigint))) AS rrf_micro",
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY rrf_micro DESC, doc_id) AS rnk",
+        )
+        .filter(f"rnk <= {TOP}")
+        .selectExpr(
             "query_id",
             "doc_id",
-            F.col("sparse_rank").cast("long").alias("sparse_rank"),
-            F.col("dense_rank").cast("long").alias("dense_rank"),
+            "cast(sparse_rank AS bigint) AS sparse_rank",
+            "cast(dense_rank AS bigint) AS dense_rank",
             "rrf_micro",
-            F.col("rnk").cast("long").alias("rnk"),
+            "cast(rnk AS bigint) AS rnk",
         )
         .orderBy("query_id", "rnk")
     )
