@@ -114,11 +114,13 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles) via an explicit token projection: the
     tokenizer runs once per row instead of once per shingle-builder
     reference (n+2 ×) — see word_shingles_from_tokens."""
-    return docs.select(
-        "doc_id", tokens(F.col("text")).alias("_toks")
-    ).select(
+    from ..functions.text import spark_sql_tokens
+
+    return docs.selectExpr(
+        "doc_id", f"{spark_sql_tokens('text')} AS _toks"
+    ).selectExpr(
         "doc_id",
-        word_shingles_from_tokens(F.col("_toks")).alias("shingles"),
+        f"{spark_sql_word_shingles_from_tokens('_toks')} AS shingles",
     )
 
 
