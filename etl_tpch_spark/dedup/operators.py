@@ -467,24 +467,32 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     corpus scale; 60 bits with hamming 3 gives 4×15-bit bands = 32k
     buckets — the Manku/Google near-dup configuration."""
     from ..catalog import spread_scan
+    from ..functions.text import spark_sql_token_hash_wide, spark_sql_tokens
 
-    ex = spread_scan(docs).select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).withColumn("h", token_hash_wide(F.col("tok")))
+    ex = spread_scan(docs).selectExpr(
+        "doc_id", f"explode({spark_sql_tokens('text')}) AS tok"
+    ).selectExpr(
+        "*", f"{spark_sql_token_hash_wide('tok')} AS h"
+    )
+    # per-bit vote aggregations and the signature assembly as expr
+    # strings (round 11): the node-built form paid ~15 py4j
+    # round-trips per bit x 60 bits at construction
     votes = ex.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(bits)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return votes.select("doc_id", sim.alias("simhash"))
+    sim = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return votes.selectExpr(
+        "doc_id", f"cast(0 AS bigint) + {sim} AS simhash"
+    )
 
 
 def simhash_band_cols(sig: F.Column, max_hamming: int, bits: int = SIMHASH_BITS):

@@ -73,6 +73,11 @@ def sql_token_hash_wide(tok: str) -> str:
     return f"CAST('0x' || substr(md5({tok}), 1, 15) AS BIGINT)"
 
 
+def spark_sql_token_hash_wide(tok: str) -> str:
+    """Spark-SQL text twin of :func:`token_hash_wide` (round 11)."""
+    return f"cast(conv(substring(md5({tok}), 1, 15), 16, 10) AS bigint)"
+
+
 def stopword_count(toks: Column, words: list[str]) -> Column:
     """How many tokens are in the given stopword list."""
     arr = json_array_lit(list(words), "string")
