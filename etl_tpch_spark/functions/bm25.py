@@ -72,42 +72,38 @@ def bm25_topk(
     )
     if df is None:
         df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # one parser round-trip per projection/aggregate instead of
+    # per-node py4j construction (round 11; same operators/trees —
+    # the conditional-max pivot and fixed s0+s1+… sum order that the
+    # cross-engine exactness contract requires are unchanged)
+    from ..exprs import sql_str
+
     w = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
-        .select(
+        .selectExpr(
             "doc_id",
             "term",
-            (
-                F.sqrt(
-                    (F.col("n") - F.col("df") + F.expr("CAST(0.5 AS DOUBLE)"))
-                    / (F.col("df") + F.expr("CAST(0.5 AS DOUBLE)"))
-                )
-                * (F.col("tf") * F.expr(K1P1))
-                / (
-                    F.col("tf")
-                    + F.expr(K1)
-                    * (
-                        F.expr(ONE_MINUS_B)
-                        + F.expr(B) * F.col("dl") / F.col("avgdl")
-                    )
-                )
-            ).alias("w"),
+            f"sqrt((n - df + CAST(0.5 AS DOUBLE))"
+            f" / (df + CAST(0.5 AS DOUBLE)))"
+            f" * (tf * {K1P1})"
+            f" / (tf + {K1} * ({ONE_MINUS_B} + {B} * dl / avgdl)) AS w",
         )
     )
     pivoted = w.groupBy("doc_id").agg(
         *[
-            F.max(F.when(F.col("term") == term, F.col("w"))).alias(f"s{i}")
+            F.expr(
+                f"max(CASE WHEN term = {sql_str(term)} THEN w END) AS s{i}"
+            )
             for i, term in enumerate(terms)
         ]
     )
-    zero = F.expr("CAST(0 AS DOUBLE)")
-    total = F.coalesce(F.col("s0"), zero)
-    for i in range(1, len(terms)):
-        total = total + F.coalesce(F.col(f"s{i}"), zero)
+    total = " + ".join(
+        f"coalesce(s{i}, CAST(0 AS DOUBLE))" for i in range(len(terms))
+    )
     return (
-        pivoted.select("doc_id", F.round(total, 4).alias("bm25"))
+        pivoted.selectExpr("doc_id", f"round({total}, 4) AS bm25")
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(topk)
     )
