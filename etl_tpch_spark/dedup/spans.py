@@ -72,48 +72,49 @@ def window_hashes(docs: DataFrame) -> DataFrame:
     # input already hash-partitioned by doc_id pays one redundant
     # compact-row exchange.  Acceptable: every caller scans parquet
     # (never pre-partitioned), and the exchange it saves is 5× larger.
+    from ..functions.text import spark_sql_tokens
+
+    def rot(x: str, a: str) -> str:
+        return f"(shiftleft({x}, {a}) | shiftrightunsigned({x}, 64 - ({a})))"
+
     d = (
-        docs.select("doc_id", tokens(F.col("text")).alias("W"))
-        .filter(F.size("W") >= SPAN_W)
+        docs.selectExpr("doc_id", f"{spark_sql_tokens('text')} AS W")
+        .filter(f"size(W) >= {SPAN_W}")
         .repartition("doc_id")
     )
-    toks = d.select("doc_id", F.posexplode("W").alias("pos", "tok"))
+    toks = d.selectExpr("doc_id", "posexplode(W) AS (pos, tok)")
     # per-token lane hashes, pre-rotated so a window's hash is a pure
-    # xor range: g_p = rot(th_p, 7*(SPAN_W-1-p) mod 64)
-    pre = F.pmod(F.lit(7) * (F.lit(SPAN_W - 1) - F.col("pos")), F.lit(64))
-    g = toks.select(
+    # xor range: g_p = rot(th_p, 7*(SPAN_W-1-p) mod 64).  All built as
+    # expr strings of the same operators (round 11 construction diet).
+    pre = f"pmod(7 * ({SPAN_W - 1} - pos), 64)"
+    g = toks.selectExpr(
         "doc_id",
         "pos",
-        _rot(F.xxhash64("tok"), pre).alias("g1"),
-        _rot(F.xxhash64("tok", F.lit(0x9E3779B9)), pre).alias("g2"),
+        f"{rot('xxhash64(tok)', pre)} AS g1",
+        f"{rot(f'xxhash64(tok, {0x9E3779B9})', pre)} AS g2",
     )
-    wd = W.partitionBy("doc_id").orderBy("pos")
-    run = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
-    pref = g.withColumn(
-        "P",
-        F.struct(
-            F.expr("bit_xor(g1)").over(run).alias("p1"),
-            F.expr("bit_xor(g2)").over(run).alias("p2"),
-        ),
-    )
-    post = F.pmod(F.lit(7) * F.col("pos"), F.lit(64))
-    w = (
-        pref.withColumn("Pend", F.lead("P", SPAN_W - 1).over(wd))
-        .withColumn("Pprev", F.lag("P", 1).over(wd))
-        .filter(F.col("Pend").isNotNull())
-    )
-    lane = lambda i: _rot(  # noqa: E731
-        F.when(
-            F.col("Pprev").isNull(), F.col(f"Pend.p{i}")
-        ).otherwise(
-            F.col(f"Pend.p{i}").bitwiseXOR(F.col(f"Pprev.p{i}"))
-        ),
+    wd = "PARTITION BY doc_id ORDER BY pos"
+    run = f"{wd} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    pref = g.selectExpr(
+        "*",
+        f"bit_xor(g1) OVER ({run}) AS _p1",
+        f"bit_xor(g2) OVER ({run}) AS _p2",
+    ).selectExpr("doc_id", "pos", "struct(_p1 AS p1, _p2 AS p2) AS P")
+    post = "pmod(7 * pos, 64)"
+    w = pref.selectExpr(
+        "*",
+        f"lead(P, {SPAN_W - 1}) OVER ({wd}) AS Pend",
+        f"lag(P, 1) OVER ({wd}) AS Pprev",
+    ).filter("Pend IS NOT NULL")
+    lane = lambda i: rot(  # noqa: E731
+        f"CASE WHEN Pprev IS NULL THEN Pend.p{i} "
+        f"ELSE Pend.p{i} ^ Pprev.p{i} END",
         post,
     )
-    return w.select(
+    return w.selectExpr(
         "doc_id",
         "pos",
-        F.struct(lane(1).alias("h1"), lane(2).alias("h2")).alias("h"),
+        f"struct({lane(1)} AS h1, {lane(2)} AS h2) AS h",
     )
 
 
@@ -126,20 +127,16 @@ def merge_islands(hits: DataFrame) -> DataFrame:
     starts a new island — making the result intervals disjoint AND
     non-abutting (maximality), which is what lets consumers sum their
     lengths as an exact union size."""
-    from pyspark.sql import Window as W
-
-    wlag = W.partitionBy("doc_id").orderBy("pos")
-    flg = hits.withColumn(
-        "new_isl",
-        F.when(
-            F.col("pos") - F.lag("pos").over(wlag) > SPAN_W, 1
-        ).otherwise(0),
+    wd = "PARTITION BY doc_id ORDER BY pos"
+    flg = hits.selectExpr(
+        "*",
+        f"CASE WHEN pos - lag(pos) OVER ({wd}) > {SPAN_W} "
+        "THEN 1 ELSE 0 END AS new_isl",
     )
-    isl = flg.withColumn(
-        "isl",
-        F.sum("new_isl").over(
-            wlag.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    isl = flg.selectExpr(
+        "*",
+        f"sum(new_isl) OVER ({wd} ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS isl",
     )
     return (
         isl.groupBy("doc_id", "isl")
@@ -148,14 +145,12 @@ def merge_islands(hits: DataFrame) -> DataFrame:
             (F.max("pos") + SPAN_W - 1).alias("span_end"),
             F.count(F.lit(1)).alias("n_windows"),
         )
-        .select(
+        .selectExpr(
             "doc_id",
-            F.col("span_start").cast("long").alias("span_start"),
-            F.col("span_end").cast("long").alias("span_end"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("n_tokens"),
-            F.col("n_windows").cast("long").alias("n_windows"),
+            "cast(span_start AS bigint) AS span_start",
+            "cast(span_end AS bigint) AS span_end",
+            "cast(span_end - span_start + 1 AS bigint) AS n_tokens",
+            "cast(n_windows AS bigint) AS n_windows",
         )
     )
 
