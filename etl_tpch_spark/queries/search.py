@@ -500,8 +500,16 @@ def search_hybrid_rrf_indexed(
         .select("query_id", "doc_id", "sparse_rank")
     )
     queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
+    from ..catalog import table_stamp
+
     dense = idx_ann.topk(
-        spark, queries_df, N_DENSE, n_probe=N_PROBE
+        spark,
+        queries_df,
+        N_DENSE,
+        n_probe=N_PROBE,
+        cache_token=(
+            table_stamp(sf_dir, "embeddings"), tuple(QUERY_IDS)
+        ),
     ).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),

@@ -563,7 +563,17 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     idx = _ivf_index_for(spark, sf_dir)
     queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
-    return idx.topk(spark, queries_df, TOP_K, n_probe=N_PROBE)
+    from ..catalog import table_stamp
+
+    return idx.topk(
+        spark,
+        queries_df,
+        TOP_K,
+        n_probe=N_PROBE,
+        cache_token=(
+            table_stamp(sf_dir, "embeddings"), tuple(QUERY_IDS)
+        ),
+    )
 
 
 @query("sim_cosine_pairs_cells", oracle=cell_pairs_sql(PAIR_THRESHOLD))
@@ -1279,6 +1289,8 @@ def contrastive_negs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     idx = _ivf_index_for(spark, sf_dir)
     queries_df = t.embeddings.filter(F.col("vec_id").isin(QUERY_IDS))
+    from ..catalog import table_stamp
+
     return idx.negatives(
         spark,
         queries_df,
@@ -1287,4 +1299,7 @@ def contrastive_negs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_easy=NEG_K_EASY,
         n_probe=N_PROBE,
         pool_size=NEG_POOL,
+        cache_token=(
+            table_stamp(sf_dir, "embeddings"), tuple(QUERY_IDS)
+        ),
     )
