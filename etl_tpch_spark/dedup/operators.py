@@ -255,22 +255,18 @@ def _verify_jaccard(
     """Exact Jaccard verification of (doc_a, doc_b) candidates against
     the signature frame's shingle sets — the shared second stage of
     every LSH pair operator."""
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sig.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
+    sb = sig.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared")
-                * 1.0
-                / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
-                6,
-            ),
+        .selectExpr("*", "size(array_intersect(sh_a, sh_b)) AS shared")
+        .selectExpr(
+            "*",
+            "round(shared * 1.0D / "
+            "(size(sh_a) + size(sh_b) - shared), 6) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {threshold!r}D")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -329,63 +325,47 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     reps = groups.select("set_id", "shingles", "bands")
-    members = groups.select(
-        "set_id", F.explode("ids").alias("doc_id")
-    )
-    banded = reps.select("set_id", F.explode("bands").alias("band"))
+    members = groups.selectExpr("set_id", "explode(ids) AS doc_id")
+    banded = reps.selectExpr("set_id", "explode(bands) AS band")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band")
-        .filter(F.col("x.set_id") < F.col("y.set_id"))
-        .select(
-            F.col("x.set_id").alias("doc_a"),
-            F.col("y.set_id").alias("doc_b"),
-        )
+        .filter("x.set_id < y.set_id")
+        .selectExpr("x.set_id AS doc_a", "y.set_id AS doc_b")
         .distinct()
     )
     vset = _verify_jaccard(
         cand,
-        reps.select(F.col("set_id").alias("doc_id"), "shingles"),
+        reps.selectExpr("set_id AS doc_id", "shingles"),
         threshold,
-    ).select(
-        F.col("doc_a").alias("set_a"),
-        F.col("doc_b").alias("set_b"),
-        "jaccard",
-    )
+    ).selectExpr("doc_a AS set_a", "doc_b AS set_b", "jaccard")
     # cross-group expansion: the verified set-pair frame is band-
     # bucket-bounded and usually tiny — AQE broadcasts it at runtime
     # from its actual size (no hint: a forced broadcast could OOM the
     # driver at adversarial scales)
     cross = (
-        members.select(
-            F.col("set_id").alias("set_a"), F.col("doc_id").alias("id_x")
-        )
+        members.selectExpr("set_id AS set_a", "doc_id AS id_x")
         .join(vset, "set_a")
         .join(
-            members.select(
-                F.col("set_id").alias("set_b"),
-                F.col("doc_id").alias("id_y"),
-            ),
+            members.selectExpr("set_id AS set_b", "doc_id AS id_y"),
             "set_b",
         )
-        .select(
-            F.least("id_x", "id_y").alias("doc_a"),
-            F.greatest("id_x", "id_y").alias("doc_b"),
+        .selectExpr(
+            "least(id_x, id_y) AS doc_a",
+            "greatest(id_x, id_y) AS doc_b",
             "jaccard",
         )
     )
     if threshold > 1.0:  # identical sets cannot pass; cross is empty too
         return cross
     within = (
-        members.select("set_id", F.col("doc_id").alias("doc_a"))
+        members.selectExpr("set_id", "doc_id AS doc_a")
         .join(
-            members.select("set_id", F.col("doc_id").alias("doc_b")),
+            members.selectExpr("set_id", "doc_id AS doc_b"),
             "set_id",
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", F.round(F.lit(1.0), 6).alias("jaccard")
-        )
+        .filter("doc_a < doc_b")
+        .selectExpr("doc_a", "doc_b", "round(1.0D, 6) AS jaccard")
     )
     return cross.unionByName(within)
 
@@ -436,15 +416,15 @@ def candidates_touching(sig: DataFrame, new_ids: DataFrame) -> DataFrame:
     (left-semi on doc_id), equi-join them against ALL bands.  Shared by
     the stateless incremental operator above and the persisted-index
     path (dedup/index.py) — one implementation, one semantics."""
-    bands = sig.select("doc_id", F.explode("bands").alias("band"))
+    bands = sig.selectExpr("doc_id", "explode(bands) AS band")
     new_bands = bands.join(new_ids, "doc_id", "left_semi")
     return (
         new_bands.alias("x")
         .join(bands.alias("y"), "band")
-        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
-        .select(
-            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
-            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        .filter("x.doc_id != y.doc_id")
+        .selectExpr(
+            "least(x.doc_id, y.doc_id) AS doc_a",
+            "greatest(x.doc_id, y.doc_id) AS doc_b",
         )
         .distinct()
     )
@@ -515,6 +495,27 @@ def simhash_band_cols(sig: F.Column, max_hamming: int, bits: int = SIMHASH_BITS)
     return cols
 
 
+def simhash_band_explode_sql(
+    sig_expr: str, max_hamming: int, bits: int = SIMHASH_BITS
+) -> str:
+    """Parser twin of :func:`simhash_band_cols` wrapped in the
+    (band_idx, band_val) tag structs and exploded — ONE expression
+    string instead of ~10 builder round-trips per band (round 11,
+    guide §4).  Same band widths/offsets/values as the Column form."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    parts, offset = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        parts.append(
+            f"named_struct('band_idx', {i}, "
+            f"'band_val', shiftright({sig_expr}, {offset}) & {mask})"
+        )
+        offset += width
+    return f"explode(array({', '.join(parts)})) AS band"
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     max_hamming: int,
@@ -559,42 +560,24 @@ def banded_hamming_pairs(
     measured 2.8 s → 0.4 s at sf0.1 from this same fix).  2 small
     columns per row, blocks released by the ContextCleaner once the
     frame is unreferenced."""
-    sig = sig.select(
-        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    sig = sig.selectExpr(
+        f"{id_col} AS _id", f"{sig_col} AS _sig"
     ).localCheckpoint(eager=True)
-    hashes = sig.select(F.col("_sig").alias("h")).distinct()
-    banded = hashes.select(
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        c.alias("band_val"),
-                    )
-                    for i, c in enumerate(
-                        simhash_band_cols(F.col("h"), max_hamming, bits)
-                    )
-                ]
-            )
-        ).alias("band"),
-    ).select("h", "band.band_idx", "band.band_val")
-    a = banded.select(
-        F.col("h").alias("ha"), "band_idx", "band_val"
-    )
-    b = banded.select(
-        F.col("h").alias("hb"), "band_idx", "band_val"
-    )
+    hashes = sig.selectExpr("_sig AS h").distinct()
+    banded = hashes.selectExpr(
+        "h", simhash_band_explode_sql("h", max_hamming, bits)
+    ).selectExpr("h", "band.band_idx", "band.band_val")
+    a = banded.selectExpr("h AS ha", "band_idx", "band_val")
+    b = banded.selectExpr("h AS hb", "band_idx", "band_val")
     hash_pairs = (
         a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("ha") < F.col("hb"))
+        .filter("ha < hb")
         .select("ha", "hb")
         .distinct()  # a hash pair may agree on several bands
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        .selectExpr(
+            "ha", "hb", "CAST(bit_count(ha ^ hb) AS int) AS hamming"
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(f"hamming <= {int(max_hamming)}")
     )
     # cross-group: each unordered hash pair contributes |ga|·|gb| id
     # pairs, each exactly once (ha < hb fixes the pair's orientation;
@@ -603,27 +586,22 @@ def banded_hamming_pairs(
     # joins to broadcasts at runtime from its ACTUAL size (no hint:
     # at adversarial scales a forced broadcast could OOM the driver).
     cross = (
-        sig.select(F.col("_id").alias("id_x"), F.col("_sig").alias("ha"))
+        sig.selectExpr("_id AS id_x", "_sig AS ha")
         .join(hash_pairs, "ha")
-        .join(
-            sig.select(
-                F.col("_id").alias("id_y"), F.col("_sig").alias("hb")
-            ),
-            "hb",
-        )
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
+        .join(sig.selectExpr("_id AS id_y", "_sig AS hb"), "hb")
+        .selectExpr(
+            "least(id_x, id_y) AS id_a",
+            "greatest(id_x, id_y) AS id_b",
             "hamming",
         )
     )
     # within-group: identical hashes, Hamming 0
-    x = sig.select("_sig", F.col("_id").alias("id_a"))
-    y = sig.select("_sig", F.col("_id").alias("id_b"))
+    x = sig.selectExpr("_sig", "_id AS id_a")
+    y = sig.selectExpr("_sig", "_id AS id_b")
     within = (
         x.join(y, "_sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+        .filter("id_a < id_b")
+        .selectExpr("id_a", "id_b", "CAST(0 AS int) AS hamming")
     )
     return cross.unionByName(within)
 
@@ -658,44 +636,25 @@ def banded_hamming_pairs_touching(
     Exact recall by pigeonhole: every qualifying pair has a new side
     whose hash IS in the new-hash set.  Returns (id_a, id_b,
     hamming)."""
-    flagged = sig.select(
-        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    flagged = sig.selectExpr(
+        f"{id_col} AS _id", f"{sig_col} AS _sig"
     ).join(
-        new_ids.select(
-            F.col(id_col).alias("_id"), F.lit(True).alias("_new")
-        ),
+        new_ids.selectExpr(f"{id_col} AS _id", "true AS _new"),
         "_id",
         "left",
-    ).select(
-        "_id", "_sig", F.coalesce("_new", F.lit(False)).alias("_new")
+    ).selectExpr(
+        "_id", "_sig", "coalesce(_new, false) AS _new"
     ).localCheckpoint(eager=True)  # feeds 5 branches of one action —
     # eager avoids the lazy-checkpoint materialization race (see
     # banded_hamming_pairs)
 
     def _bands(h_frame):
-        return h_frame.select(
-            "h",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            c.alias("band_val"),
-                        )
-                        for i, c in enumerate(
-                            simhash_band_cols(
-                                F.col("h"), max_hamming, bits
-                            )
-                        )
-                    ]
-                )
-            ).alias("band"),
-        ).select("h", "band.band_idx", "band.band_val")
+        return h_frame.selectExpr(
+            "h", simhash_band_explode_sql("h", max_hamming, bits)
+        ).selectExpr("h", "band.band_idx", "band.band_val")
 
-    new_hashes = (
-        flagged.filter("_new").select(F.col("_sig").alias("h")).distinct()
-    )
-    all_hashes = flagged.select(F.col("_sig").alias("h")).distinct()
+    new_hashes = flagged.filter("_new").selectExpr("_sig AS h").distinct()
+    all_hashes = flagged.selectExpr("_sig AS h").distinct()
     hash_pairs = (
         _bands(new_hashes)
         .withColumnRenamed("h", "hx")
@@ -703,57 +662,42 @@ def banded_hamming_pairs_touching(
             _bands(all_hashes).withColumnRenamed("h", "hy"),
             ["band_idx", "band_val"],
         )
-        .filter(F.col("hx") != F.col("hy"))
-        .select(
-            F.least("hx", "hy").alias("ha"),
-            F.greatest("hx", "hy").alias("hb"),
-        )
+        .filter("hx != hy")
+        .selectExpr("least(hx, hy) AS ha", "greatest(hx, hy) AS hb")
         .distinct()  # band multi-hits + both-hashes-new double counting
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        .selectExpr(
+            "ha", "hb", "CAST(bit_count(ha ^ hb) AS int) AS hamming"
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(f"hamming <= {int(max_hamming)}")
     )
     # cross-group expansion; an unordered hash pair appears once, so
     # no id-level distinct — only the per-pair newness filter
     cross = (
-        flagged.select(
-            F.col("_id").alias("id_x"),
-            F.col("_sig").alias("ha"),
-            F.col("_new").alias("nx"),
-        )
+        flagged.selectExpr("_id AS id_x", "_sig AS ha", "_new AS nx")
         .join(hash_pairs, "ha")
         .join(
-            flagged.select(
-                F.col("_id").alias("id_y"),
-                F.col("_sig").alias("hb"),
-                F.col("_new").alias("ny"),
-            ),
+            flagged.selectExpr("_id AS id_y", "_sig AS hb", "_new AS ny"),
             "hb",
         )
-        .filter(F.col("nx") | F.col("ny"))
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
+        .filter("nx OR ny")
+        .selectExpr(
+            "least(id_x, id_y) AS id_a",
+            "greatest(id_x, id_y) AS id_b",
             "hamming",
         )
     )
     # within-group: identical hash, at least one new id (Hamming 0)
-    x = flagged.select("_sig", F.col("_id").alias("id_a"), "_new")
-    y = flagged.select("_sig", F.col("_id").alias("id_b"))
+    x = flagged.selectExpr("_sig", "_id AS id_a", "_new")
+    y = flagged.selectExpr("_sig", "_id AS id_b")
     within = (
         x.filter("_new")
         .join(y, "_sig")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+        .filter("id_a != id_b")
+        .selectExpr(
+            "least(id_a, id_b) AS id_a", "greatest(id_a, id_b) AS id_b"
         )
         .distinct()  # (new, new) same-hash pairs arrive twice
-        .select(
-            "id_a", "id_b", F.lit(0).cast("int").alias("hamming")
-        )
+        .selectExpr("id_a", "id_b", "CAST(0 AS int) AS hamming")
     )
     return cross.unionByName(within)
 

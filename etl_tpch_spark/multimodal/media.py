@@ -137,11 +137,8 @@ def synthetic_media(
         .withColumn("kind", kinds)
         .withColumn("content", make(F.col("id"), F.col("kind"), F.lit(seed)))
     )
-    return df.select(
-        F.col("id").alias("media_id"),
-        "kind",
-        "content",
-        _meta_from_content_expr(),
+    return df.selectExpr(
+        "id AS media_id", "kind", "content", _meta_from_content_sql()
     )
 
 
@@ -152,16 +149,14 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import Tables
 
     docs = Tables(spark, sf_dir).documents
-    content = F.concat(
-        # header: magic, kind=audio(1), h=0, w=0, c=0, sr=16000, nf=0
-        F.lit(_MAGIC + struct.pack("<BHHBIH", 1, 0, 0, 0, 16000, 0)),
-        F.encode(F.col("text"), "utf-8"),
-    ).cast("binary")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("audio").alias("kind"),
-        content.alias("content"),
-        _meta_from_content_expr(),
+    # header: magic, kind=audio(1), h=0, w=0, c=0, sr=16000, nf=0
+    hdr = (_MAGIC + struct.pack("<BHHBIH", 1, 0, 0, 0, 16000, 0)).hex()
+    return docs.selectExpr(
+        "doc_id AS media_id",
+        "'audio' AS kind",
+        f"CAST(concat(X'{hdr}', encode(text, 'utf-8')) AS binary)"
+        " AS content",
+        _meta_from_content_sql(),
     )
 
 
@@ -179,15 +174,15 @@ def image_media_from_documents(
 
     docs = Tables(spark, sf_dir).documents
     npix = height * width
-    content = F.concat(
-        F.lit(_MAGIC + struct.pack("<BHHBIH", 0, height, width, 1, 0, 0)),
-        F.encode(F.rpad(F.substring("text", 1, npix), npix, " "), "utf-8"),
-    ).cast("binary")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        content.alias("content"),
-        _meta_from_content_expr(),
+    hdr = (
+        _MAGIC + struct.pack("<BHHBIH", 0, height, width, 1, 0, 0)
+    ).hex()
+    return docs.selectExpr(
+        "doc_id AS media_id",
+        "'image' AS kind",
+        f"CAST(concat(X'{hdr}', encode(rpad(substring(text, 1, "
+        f"{npix}), {npix}, ' '), 'utf-8')) AS binary) AS content",
+        _meta_from_content_sql(),
     )
 
 
@@ -207,43 +202,38 @@ def video_media_from_documents(
 
     docs = Tables(spark, sf_dir).documents
     nbytes = n_frames * height * width
-    content = F.concat(
-        F.lit(
-            _MAGIC
-            + struct.pack("<BHHBIH", 2, height, width, 1, 0, n_frames)
-        ),
-        F.encode(
-            F.rpad(F.substring("text", 1, nbytes), nbytes, " "), "utf-8"
-        ),
-    ).cast("binary")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        content.alias("content"),
-        _meta_from_content_expr(),
+    hdr = (
+        _MAGIC + struct.pack("<BHHBIH", 2, height, width, 1, 0, n_frames)
+    ).hex()
+    return docs.selectExpr(
+        "doc_id AS media_id",
+        "'video' AS kind",
+        f"CAST(concat(X'{hdr}', encode(rpad(substring(text, 1, "
+        f"{nbytes}), {nbytes}, ' '), 'utf-8')) AS binary) AS content",
+        _meta_from_content_sql(),
     )
 
 
-def _meta_from_content_expr():
+def _meta_from_content_sql() -> str:
     """Metadata struct parsed JVM-side from the binary header — no
     Python roundtrip for the fields the planner might filter on
-    (little-endian byte slicing with built-in functions only)."""
-    def _le(offset: int, nbytes: int):
-        b = [
-            F.conv(F.hex(F.substring("content", offset + i, 1)), 16, 10)
-            .cast("int") * (256 ** i)
-            for i in range(nbytes)
-        ]
-        out = b[0]
-        for x in b[1:]:
-            out = out + x
-        return out
+    (little-endian byte slicing with built-in functions only).  One
+    parser expression string (round 11, guide §4): the node-built form
+    paid ~8 py4j round-trips per header byte."""
 
-    return F.struct(
-        _le(6, 2).alias("height"),
-        _le(8, 2).alias("width"),
-        _le(10, 1).alias("channels"),
-        _le(11, 4).alias("sample_rate"),
-        _le(15, 2).alias("n_frames"),
-        F.lit("rawm").alias("format"),
-    ).alias("meta")
+    def _le(offset: int, nbytes: int) -> str:
+        return " + ".join(
+            f"CAST(conv(hex(substring(content, {offset + i}, 1)), "
+            f"16, 10) AS int) * {256 ** i}"
+            for i in range(nbytes)
+        )
+
+    return (
+        "named_struct("
+        f"'height', {_le(6, 2)}, "
+        f"'width', {_le(8, 2)}, "
+        f"'channels', {_le(10, 1)}, "
+        f"'sample_rate', {_le(11, 4)}, "
+        f"'n_frames', {_le(15, 2)}, "
+        "'format', 'rawm') AS meta"
+    )

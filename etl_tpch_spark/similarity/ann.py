@@ -351,50 +351,62 @@ def _expand_rep_pairs(
     Each unordered member pair appears exactly once: a vector belongs
     to one group, an unordered rep pair appears once, and
     least/greatest restores id order.  The rep-pair frame is
-    output-bounded; AQE broadcasts it at its actual runtime size."""
-    members = groups.select(
-        F.col("vec_id").alias("_rep"), F.explode("ids").alias("_id")
+    output-bounded; AQE broadcasts it at its actual runtime size.
+    Projections ride selectExpr (round 11, guide §4 — parser-built
+    construction)."""
+    members = groups.selectExpr(
+        "vec_id AS _rep", "explode(ids) AS _id"
     )
     return (
-        members.select(
-            F.col("_rep").alias(a_col), F.col("_id").alias("_ida")
-        )
+        members.selectExpr(f"_rep AS {a_col}", "_id AS _ida")
         .join(rep_pairs, a_col)
         .join(
-            members.select(
-                F.col("_rep").alias(b_col), F.col("_id").alias("_idb")
-            ),
+            members.selectExpr(f"_rep AS {b_col}", "_id AS _idb"),
             b_col,
         )
-        .select(
-            F.least("_ida", "_idb").alias(a_col),
-            F.greatest("_ida", "_idb").alias(b_col),
+        .selectExpr(
+            f"least(_ida, _idb) AS {a_col}",
+            f"greatest(_ida, _idb) AS {b_col}",
             val_col,
         )
     )
 
 
 def _within_group_pairs(
-    groups: DataFrame, self_val: F.Column, threshold: float, val_name: str
+    groups: DataFrame,
+    self_val_sql: str,
+    threshold: float,
+    val_name: str,
 ) -> DataFrame:
-    """All id pairs inside each copy group, valued by ``self_val`` —
-    the group vector paired with itself, computed with the SAME
-    expression sequence the pair kernel applies (so a zero-norm vector
-    yields NaN here exactly as it does there, and is dropped by the
-    same ``>= threshold`` comparison)."""
-    m = groups.filter(F.size("ids") > 1).select(
-        self_val.alias(val_name), F.explode("ids").alias("_ida"), "ids"
+    """All id pairs inside each copy group, valued by ``self_val_sql``
+    (a Spark-SQL expression string) — the group vector paired with
+    itself, computed with the SAME expression sequence the pair kernel
+    applies (so a zero-norm vector yields NaN here exactly as it does
+    there, and is dropped by the same ``>= threshold`` comparison).
+    SQL-text form (round 11): one parser round-trip per projection."""
+    m = groups.filter("size(ids) > 1").selectExpr(
+        f"{self_val_sql} AS {val_name}", "explode(ids) AS _ida", "ids"
     )
     return (
-        m.select(val_name, "_ida", F.explode("ids").alias("_idb"))
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(F.col(val_name) >= threshold)
-        .select(
-            F.col("_ida").alias("vec_a"),
-            F.col("_idb").alias("vec_b"),
-            val_name,
-        )
+        m.selectExpr(val_name, "_ida", "explode(ids) AS _idb")
+        .filter("_ida < _idb")
+        .filter(f"{val_name} >= {threshold!r}D")
+        .selectExpr("_ida AS vec_a", "_idb AS vec_b", val_name)
     )
+
+
+def _block_explode_sql(n_blocks: int) -> str:
+    """``explode(array_distinct(array(...)))`` over the unordered
+    block-pair keys of a row's block ``b`` — the replication step of
+    the block-decomposed pair kernels, as ONE parser expression
+    instead of ``n_blocks`` struct/least/greatest builder calls
+    (round 11, guide §4).  Field names/values match the F.struct form
+    exactly (p, q)."""
+    structs = ", ".join(
+        f"named_struct('p', least(b, {o}), 'q', greatest(b, {o}))"
+        for o in range(int(n_blocks))
+    )
+    return f"explode(array_distinct(array({structs}))) AS pk"
 
 
 def cosine_pairs_threshold_blocked(
@@ -456,21 +468,14 @@ def cosine_pairs_threshold_blocked(
             }
         )
 
-    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
-    tagged = embeddings.select("vec_id", "embedding", b.alias("b"))
-    # replicate each vector into every unordered block pair it joins
-    pairs_keys = F.array(
-        *[
-            F.struct(
-                F.least(F.col("b"), F.lit(o)).alias("p"),
-                F.greatest(F.col("b"), F.lit(o)).alias("q"),
-            )
-            for o in range(n_blocks)
-        ]
+    tagged = embeddings.selectExpr(
+        "vec_id",
+        "embedding",
+        f"pmod(xxhash64(vec_id), {int(n_blocks)}) AS b",
     )
-    exploded = tagged.select(
-        "vec_id", "embedding", "b",
-        F.explode(F.array_distinct(pairs_keys)).alias("pk"),
+    # replicate each vector into every unordered block pair it joins
+    exploded = tagged.selectExpr(
+        "vec_id", "embedding", "b", _block_explode_sql(n_blocks)
     )
     return exploded.groupBy("pk.p", "pk.q").applyInPandas(
         score_block, dim_schema
@@ -564,22 +569,15 @@ def cosine_pairs_threshold_cells(
         groups.select("vec_id", "embedding") if dedup_vectors
         else embeddings
     )
-    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
-    tagged = src.join(cells, "vec_id").select(
-        "cluster", "vec_id", "embedding", b.alias("b")
+    tagged = src.join(cells, "vec_id").selectExpr(
+        "cluster",
+        "vec_id",
+        "embedding",
+        f"pmod(xxhash64(vec_id), {int(n_blocks)}) AS b",
     )
-    pairs_keys = F.array(
-        *[
-            F.struct(
-                F.least(F.col("b"), F.lit(o)).alias("p"),
-                F.greatest(F.col("b"), F.lit(o)).alias("q"),
-            )
-            for o in range(n_blocks)
-        ]
-    )
-    exploded = tagged.select(
+    exploded = tagged.selectExpr(
         "cluster", "vec_id", "embedding", "b",
-        F.explode(F.array_distinct(pairs_keys)).alias("pk"),
+        _block_explode_sql(n_blocks),
     )
     scored = exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
         score_block, out_schema
@@ -587,15 +585,16 @@ def cosine_pairs_threshold_cells(
     if not dedup_vectors:
         return scored
     cross = _expand_rep_pairs(scored, groups, val_col="cosine")
-    demb = _as_double_array(F.col("embedding"))
-    nrm = F.aggregate(
-        demb, F.lit(0.0), lambda acc, x: acc + x * x
+    nrm = (
+        f"aggregate({spark_sql_as_double_array('embedding')}, 0.0D, "
+        "(acc, x) -> acc + x * x)"
     )
     # nrm > 0 guard: a zero vector NaN-drops inside the kernel; here
     # (ANSI mode) the 0/0 would throw instead, so gate the division —
     # null is filtered by the same >= threshold comparison
-    self_cos = F.when(
-        nrm > 0, F.round(nrm / F.sqrt(nrm * nrm), 6)
+    self_cos = (
+        f"CASE WHEN {nrm} > 0 "
+        f"THEN round({nrm} / sqrt({nrm} * {nrm}), 6) END"
     )
     within = _within_group_pairs(groups, self_cos, threshold, "cosine")
     return cross.unionByName(within)
@@ -849,25 +848,17 @@ def quantized_cosine_pairs_cells(
         groups.select("vec_id", "embedding") if dedup_vectors
         else embeddings
     )
-    raw = src.select(
-        "vec_id", _as_double_array(F.col("embedding")).alias("v")
+    raw = src.selectExpr(
+        "vec_id", f"{spark_sql_as_double_array('embedding')} AS v"
     )
-    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
-    tagged = raw.join(cells, "vec_id").select(
-        "cluster", "vec_id", "v", b.alias("b")
+    tagged = raw.join(cells, "vec_id").selectExpr(
+        "cluster",
+        "vec_id",
+        "v",
+        f"pmod(xxhash64(vec_id), {int(n_blocks)}) AS b",
     )
-    pairs_keys = F.array(
-        *[
-            F.struct(
-                F.least(F.col("b"), F.lit(o)).alias("p"),
-                F.greatest(F.col("b"), F.lit(o)).alias("q"),
-            )
-            for o in range(n_blocks)
-        ]
-    )
-    exploded = tagged.select(
-        "cluster", "vec_id", "v", "b",
-        F.explode(F.array_distinct(pairs_keys)).alias("pk"),
+    exploded = tagged.selectExpr(
+        "cluster", "vec_id", "v", "b", _block_explode_sql(n_blocks)
     )
     scored = exploded.groupBy("cluster", "pk.p", "pk.q").applyInPandas(
         score_block, out_schema
@@ -875,9 +866,10 @@ def quantized_cosine_pairs_cells(
     if not dedup_vectors:
         return scored
     cross = _expand_rep_pairs(scored, groups, val_col="qcosine")
-    demb = _as_double_array(F.col("embedding"))
-    self_q = F.when(
-        F.array_max(F.transform(demb, F.abs)) > 0, F.lit(1.0)
+    self_q = (
+        "CASE WHEN array_max(transform("
+        f"{spark_sql_as_double_array('embedding')}, x -> abs(x))) > 0 "
+        "THEN 1.0D END"
     )
     within = _within_group_pairs(groups, self_q, threshold, "qcosine")
     return cross.unionByName(within)
