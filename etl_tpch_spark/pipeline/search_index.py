@@ -173,9 +173,16 @@ class SearchIndex:
                     [], "doc_id LONG, term STRING, tf LONG"
                 )
         else:
+            # IN-list as one parser expression: a 300-term hybrid
+            # probe paid ~130 py4j round-trips building isin literal
+            # nodes (round 11, guide §4)
+            from ..exprs import sql_str
+
             probed = spark.read.parquet(
                 *[os.path.join(self.postings.path, f) for f in files]
-            ).filter(F.col("term").isin(*terms))
+            ).filter(
+                "term IN (" + ", ".join(sql_str(t) for t in terms) + ")"
+            )
         # one row per (doc, term) in normal operation; MAX (not sum)
         # makes the probe idempotent under the one duplicate-arrival
         # mode the exactly-once ids cannot close — a wiped checkpoint

@@ -35,10 +35,11 @@ from .ann import _pair_cosine, _pair_cosine_sql, _with_norm
 from .kmeans import quantize, spark_sql_d2
 
 # (application id, index path, centroids version, query-set token,
-# n_probe) → collected probe-routing rows [(query_id, cell)] — see
+# n_probe) → (collected probe-routing rows [(query_id, cell)], the
+# literal DataFrame built from them) — see
 # IVFIndex.candidates(cache_token=...); |Q|·n_probe longs per entry,
 # superseded versions/tokens evicted on insert.
-_PROBE_CACHE: dict[tuple, list] = {}
+_PROBE_CACHE: dict[tuple, tuple] = {}
 
 
 class IVFIndex:
@@ -189,6 +190,7 @@ class IVFIndex:
         centroids version is in the key)."""
         queries = queries.localCheckpoint(eager=False)
         ck = None
+        hit = None
         if cache_token is not None:
             ck = (
                 spark.sparkContext.applicationId,
@@ -199,7 +201,11 @@ class IVFIndex:
             )
             hit = _PROBE_CACHE.get(ck)
             if hit is not None:
-                q_cell_rows = hit
+                # rows AND the literal frame built from them (round 11:
+                # re-creating the local relation per query cost ~35
+                # round-trips; the plan object is session-local and
+                # immutable, so reuse is free)
+                q_cell_rows, q_cells = hit
             else:
                 from ..catalog import evict_superseded
 
@@ -207,8 +213,7 @@ class IVFIndex:
                     _PROBE_CACHE,
                     lambda k: k[:2] == ck[:2] and k != ck,
                 )
-        q_cells_plan = None
-        if ck is None or ck not in _PROBE_CACHE:
+        if hit is None:
             q_quant = quantize(queries)
             cent = self.centroids(spark)
             q_cells_plan = (
@@ -238,12 +243,12 @@ class IVFIndex:
             q_cell_rows = [
                 (r.query_id, r.cell) for r in q_cells_plan.collect()
             ]
+            q_cells = spark.createDataFrame(
+                q_cell_rows, "query_id long, cell long"
+            )
             if ck is not None:
-                _PROBE_CACHE[ck] = q_cell_rows
+                _PROBE_CACHE[ck] = (q_cell_rows, q_cells)
         probed_cells = sorted({c for _q, c in q_cell_rows})
-        q_cells = spark.createDataFrame(
-            q_cell_rows, "query_id long, cell long"
-        )
         cells = self.cells(spark).filter(
             "cell IN (" + ", ".join(str(int(c)) for c in probed_cells) + ")"
             if probed_cells
