@@ -66,6 +66,14 @@ def bm25_topk(
         return tf.select(
             F.col("doc_id"), F.lit(0.0).alias("bm25")
         ).limit(0)
+    # NOTE: two branches read ``dl`` (the corpus-stats scalar and the
+    # weights join) and, when ``df`` is derived here, two read ``tf``
+    # (df and the weights join) — a caller whose tf/dl lineage is
+    # expensive to recompute should materialize before calling (the
+    # corpus-derived text_bm25_topk does; measured −20% there).  Not
+    # checkpointed HERE: the indexed path's probe scans are cheap,
+    # its plan stays auditable (tests pin that search() reads index
+    # files only), and a serving tier keeps its latency shape.
     st = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

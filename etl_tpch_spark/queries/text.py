@@ -954,14 +954,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
     )
+    # bm25_topk reads dl twice (corpus stats + weights join) and tf
+    # twice (df + weights); un-materialized, each branch re-runs the
+    # tokenize — four full passes per query (round 11, guide §5).
+    # EAGER localCheckpoint (branches of one action race a lazy one):
+    # two tokenize passes total, frames are 16 bytes/doc and the query
+    # terms' postings.  Values unchanged — same lineage, computed once.
     dl = d.select(
         "doc_id", F.size("toks").cast("long").alias("dl")
-    )
+    ).localCheckpoint(eager=True)
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     return bm25_topk(tf, dl, _BM25_TERMS, _BM25_TOPK)
 
