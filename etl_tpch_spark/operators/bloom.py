@@ -245,7 +245,13 @@ def bloom_semi_join_unbounded(
     key set outgrows broadcast, and the bloom's job is exactly to
     shrink the probe side feeding that shuffled semi-join (AQE may
     still choose to broadcast when the build turns out small)."""
-    keys = build.select(build_key).distinct()
+    # EAGER localCheckpoint: the distinct key set feeds THREE actions
+    # (the m_bits count, the word-table build, the final exact
+    # semi-join) — un-materialized, each re-ran the build-side scan +
+    # distinct exchange (round 11, guide §5; 8 bytes/key of storage)
+    keys = (
+        build.select(build_key).distinct().localCheckpoint(eager=True)
+    )
     if m_bits is None:
         m_bits = auto_m_bits_unbounded(keys.count())
     # EAGER localCheckpoint: the word table feeds several broadcast
@@ -278,7 +284,12 @@ def bloom_semi_join(
     removes rows early; the exact semi-join kills false positives.
     ``m_bits=None`` sizes the filter from the build-key count
     (:func:`auto_m_bits`)."""
-    keys = build.select(build_key).distinct()
+    # same three-consumer shape as the unbounded form: count, literal
+    # bloom build (collect), broadcast exact semi-join — materialize
+    # the key set once (round 11, guide §5)
+    keys = (
+        build.select(build_key).distinct().localCheckpoint(eager=True)
+    )
     if m_bits is None:
         m_bits = auto_m_bits(keys.count())
     words = bloom_build(keys, build_key, m_bits=m_bits, k=k)
