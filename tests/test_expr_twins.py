@@ -119,6 +119,118 @@ def test_minhash_pipeline_twin_equals_column_form(spark, docs):
     assert a == b
 
 
+def test_simhash_band_explode_sql_twin(spark):
+    """simhash_band_explode_sql (third-session conversion) must emit
+    the same (band_idx, band_val) rows as the F.struct wrapping of
+    simhash_band_cols it replaced — per signature, per band."""
+    from etl_tpch_spark.dedup.operators import (
+        SIMHASH_BITS,
+        simhash_band_cols,
+        simhash_band_explode_sql,
+    )
+
+    sigs = spark.range(200).selectExpr(
+        "xxhash64(id) & 1152921504606846975 AS h"  # 60-bit positive
+    )
+    for max_hamming in (1, 3):
+        old = sigs.select(
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            c.alias("band_val"),
+                        )
+                        for i, c in enumerate(
+                            simhash_band_cols(
+                                F.col("h"), max_hamming, SIMHASH_BITS
+                            )
+                        )
+                    ]
+                )
+            ).alias("band"),
+        ).select("h", "band.band_idx", "band.band_val")
+        new = sigs.selectExpr(
+            "h", simhash_band_explode_sql("h", max_hamming, SIMHASH_BITS)
+        ).selectExpr("h", "band.band_idx", "band.band_val")
+        assert sorted(map(tuple, old.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+
+
+def test_block_explode_sql_twin(spark):
+    """_block_explode_sql must replicate the F.struct/least/greatest
+    block-pair-key explode of the cells/blocked pair kernels."""
+    from etl_tpch_spark.similarity.ann import _block_explode_sql
+
+    n_blocks = 4
+    base = spark.range(100).selectExpr(
+        "id AS vec_id", f"pmod(xxhash64(id), {n_blocks}) AS b"
+    )
+    pairs_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(o)).alias("p"),
+                F.greatest(F.col("b"), F.lit(o)).alias("q"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    old = base.select(
+        "vec_id", F.explode(F.array_distinct(pairs_keys)).alias("pk")
+    ).select("vec_id", "pk.p", "pk.q")
+    new = base.selectExpr(
+        "vec_id", _block_explode_sql(n_blocks)
+    ).selectExpr("vec_id", "pk.p", "pk.q")
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_media_meta_sql_twin(spark, sf_dir):
+    """_meta_from_content_sql must parse the binary header to the same
+    struct the node-built little-endian form produced, across all
+    three media kinds."""
+    from etl_tpch_spark.multimodal.media import (
+        image_media_from_documents,
+        media_from_documents,
+        video_media_from_documents,
+    )
+
+    def _le(offset: int, nbytes: int):
+        b = [
+            F.conv(F.hex(F.substring("content", offset + i, 1)), 16, 10)
+            .cast("int") * (256 ** i)
+            for i in range(nbytes)
+        ]
+        out = b[0]
+        for x in b[1:]:
+            out = out + x
+        return out
+
+    old_meta = F.struct(
+        _le(6, 2).alias("height"),
+        _le(8, 2).alias("width"),
+        _le(10, 1).alias("channels"),
+        _le(11, 4).alias("sample_rate"),
+        _le(15, 2).alias("n_frames"),
+        F.lit("rawm").alias("format"),
+    ).alias("meta")
+    for builder in (
+        image_media_from_documents,
+        media_from_documents,
+        video_media_from_documents,
+    ):
+        media = builder(spark, sf_dir)
+        redone = media.select("media_id", "content").select(
+            "media_id", old_meta
+        )
+        a = {r["media_id"]: r["meta"] for r in media.select("media_id", "meta").collect()}
+        b = {r["media_id"]: r["meta"] for r in redone.collect()}
+        assert a == b
+
+
 def test_dot_fold_and_quantize_twins(spark, sf_dir):
     """spark_sql_dot_fold / SPARK_SQL_QUANTIZE vs the Column forms on
     the embeddings fixture (sequential fold ⇒ order-sensitive, so
