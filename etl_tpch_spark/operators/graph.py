@@ -44,7 +44,7 @@ def pagerank(
     bi, deg, n_nodes, ranks = _pr_setup(pairs, src, dst)
     for _ in range(iterations):
         ranks = _pr_round(bi, deg, n_nodes, ranks)
-    return ranks.select("node", F.col("pr").alias("pr_scaled"))
+    return ranks.selectExpr("node", "pr AS pr_scaled")
 
 
 def _pr_setup(pairs: DataFrame, src: str, dst: str):
@@ -59,21 +59,21 @@ def _pr_setup(pairs: DataFrame, src: str, dst: str):
     (warm edges).  Both changes are value-invariant (same integer
     arithmetic, partitioning never affects integer sums)."""
     bi = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.selectExpr(f"{src} AS s", f"{dst} AS d")
+        .union(pairs.selectExpr(f"{dst} AS s", f"{src} AS d"))
         .repartition("s")
         .localCheckpoint(eager=False)  # feeds every round
     )
     deg = (
         bi.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.expr("count(1) AS deg"))
         .withColumnRenamed("s", "node")
     )
     n_nodes = deg.count()
-    ranks = deg.select(
+    ranks = deg.selectExpr(
         "node",
         "deg",
-        F.lit(SCALE // max(n_nodes, 1)).cast("long").alias("pr"),
+        f"CAST({SCALE // max(n_nodes, 1)} AS long) AS pr",
     )
     return bi, deg, n_nodes, ranks
 
@@ -85,23 +85,16 @@ def _pr_round(
     the until-converged forms, so the two are the same computation."""
     contrib = (
         bi.join(ranks, bi["s"] == ranks["node"])
-        .select(
-            F.col("d").alias("cnode"),
-            F.expr("pr div deg").alias("share"),
-        )
+        .selectExpr("d AS cnode", "pr div deg AS share")
         .groupBy("cnode")
-        .agg(F.sum("share").alias("contrib"))
+        .agg(F.expr("sum(share) AS contrib"))
     )
     base = (15 * SCALE) // (100 * max(n_nodes, 1))
-    return deg.join(contrib, deg["node"] == contrib["cnode"]).select(
+    return deg.join(contrib, deg["node"] == contrib["cnode"]).selectExpr(
         "node",
         "deg",
-        (
-            F.lit(base)
-            + F.expr(f"({DAMP_NUM} * contrib) div {DAMP_DEN}")
-        )
-        .cast("long")
-        .alias("pr"),
+        f"CAST({base} + (({DAMP_NUM} * contrib) div {DAMP_DEN}) "
+        "AS long) AS pr",
     )
 
 
