@@ -51,15 +51,16 @@ def evict_superseded(cache: dict, match) -> None:
     stamp or version), so a regenerated fixture or a ticked index
     releases the replaced persisted DataFrames instead of pinning one
     generation of executor storage per rebuild for the application
-    lifetime.  Values may be DataFrames or tuples whose first element
-    is one."""
+    lifetime.  Values may be DataFrames or tuples holding one in ANY
+    position (ADVICE r11: _PROBE_CACHE stores (rows, frame) — the old
+    first-element convention silently unpersisted the rows list)."""
     for k in [k for k in cache if match(k)]:
         v = cache.pop(k)
-        df = v[0] if isinstance(v, tuple) else v
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # plain values (lists, dicts) have nothing to release
+        for item in v if isinstance(v, tuple) else (v,):
+            try:
+                item.unpersist()
+            except Exception:
+                pass  # plain values (lists, dicts) have nothing to release
 
 
 # Scan-spread helper (round 11, guide §2.5 "input skew: one huge

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..exprs import sql_double, sql_ident
 from ..functions.text import token_hash, token_hash_wide, tokens
 from .hashing import band_keys, minhash_signature, shingle_hashes
 
@@ -266,7 +267,7 @@ def _verify_jaccard(
             "round(shared * 1.0D / "
             "(size(sh_a) + size(sh_b) - shared), 6) AS jaccard",
         )
-        .filter(f"jaccard >= {threshold!r}D")
+        .filter(f"jaccard >= {sql_double(threshold)}")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -561,7 +562,7 @@ def banded_hamming_pairs(
     columns per row, blocks released by the ContextCleaner once the
     frame is unreferenced."""
     sig = sig.selectExpr(
-        f"{id_col} AS _id", f"{sig_col} AS _sig"
+        f"{sql_ident(id_col)} AS _id", f"{sql_ident(sig_col)} AS _sig"
     ).localCheckpoint(eager=True)
     hashes = sig.selectExpr("_sig AS h").distinct()
     banded = hashes.selectExpr(
@@ -637,9 +638,9 @@ def banded_hamming_pairs_touching(
     whose hash IS in the new-hash set.  Returns (id_a, id_b,
     hamming)."""
     flagged = sig.selectExpr(
-        f"{id_col} AS _id", f"{sig_col} AS _sig"
+        f"{sql_ident(id_col)} AS _id", f"{sql_ident(sig_col)} AS _sig"
     ).join(
-        new_ids.selectExpr(f"{id_col} AS _id", "true AS _new"),
+        new_ids.selectExpr(f"{sql_ident(id_col)} AS _id", "true AS _new"),
         "_id",
         "left",
     ).selectExpr(

@@ -37,6 +37,28 @@ def sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def sql_ident(name: str) -> str:
+    """A backtick-quoted SQL identifier: a column name that is a SQL
+    keyword or contains spaces/dots parses as the NAME it is instead
+    of failing or resolving differently than the ``F.col`` form the
+    parser-twin builders replaced (ADVICE r11)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_double(x) -> str:
+    """A SQL double literal from any real number, validated HERE: a
+    non-finite float or a non-castable argument raises a clear Python
+    error instead of a JVM parse error mid-plan (ADVICE r11 — ``repr``
+    of inf/nan is not a valid Spark literal).  Finite floats/ints
+    round-trip exactly (shortest-round-trip decimal + D suffix)."""
+    import math
+
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"not a finite double literal: {x!r}")
+    return f"{v!r}D"
+
+
 def json_array_sql(values: Iterable, element_type: str) -> str:
     """SQL text of a constant ``array<element_type>`` literal carried
     through ``from_json`` (one node at analysis, folded to a Literal at

@@ -58,9 +58,11 @@ def _pr_setup(pairs: DataFrame, src: str, dst: str):
     plan.  Measured together: 1.23 → 0.92 s for 3 rounds at sf0.1
     (warm edges).  Both changes are value-invariant (same integer
     arithmetic, partitioning never affects integer sums)."""
+    from ..exprs import sql_ident
+
     bi = (
-        pairs.selectExpr(f"{src} AS s", f"{dst} AS d")
-        .union(pairs.selectExpr(f"{dst} AS s", f"{src} AS d"))
+        pairs.selectExpr(f"{sql_ident(src)} AS s", f"{sql_ident(dst)} AS d")
+        .union(pairs.selectExpr(f"{sql_ident(dst)} AS s", f"{sql_ident(src)} AS d"))
         .repartition("s")
         .localCheckpoint(eager=False)  # feeds every round
     )

@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..exprs import sql_double, sql_ident
 from ..dedup.hashing import (
     _as_double_array,
     cosine_fold,
@@ -358,15 +359,15 @@ def _expand_rep_pairs(
         "vec_id AS _rep", "explode(ids) AS _id"
     )
     return (
-        members.selectExpr(f"_rep AS {a_col}", "_id AS _ida")
+        members.selectExpr(f"_rep AS {sql_ident(a_col)}", "_id AS _ida")
         .join(rep_pairs, a_col)
         .join(
-            members.selectExpr(f"_rep AS {b_col}", "_id AS _idb"),
+            members.selectExpr(f"_rep AS {sql_ident(b_col)}", "_id AS _idb"),
             b_col,
         )
         .selectExpr(
-            f"least(_ida, _idb) AS {a_col}",
-            f"greatest(_ida, _idb) AS {b_col}",
+            f"least(_ida, _idb) AS {sql_ident(a_col)}",
+            f"greatest(_ida, _idb) AS {sql_ident(b_col)}",
             val_col,
         )
     )
@@ -390,7 +391,7 @@ def _within_group_pairs(
     return (
         m.selectExpr(val_name, "_ida", "explode(ids) AS _idb")
         .filter("_ida < _idb")
-        .filter(f"{val_name} >= {threshold!r}D")
+        .filter(f"{val_name} >= {sql_double(threshold)}")
         .selectExpr("_ida AS vec_a", "_idb AS vec_b", val_name)
     )
 

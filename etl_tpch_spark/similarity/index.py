@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..exprs import sql_double
 from ..pipeline.txlog import TxTable
 from .ann import _pair_cosine, _pair_cosine_sql, _with_norm
 from .kmeans import quantize, spark_sql_d2
@@ -204,8 +205,17 @@ class IVFIndex:
                 # rows AND the literal frame built from them (round 11:
                 # re-creating the local relation per query cost ~35
                 # round-trips; the plan object is session-local and
-                # immutable, so reuse is free)
+                # immutable, so reuse is free).  The frame is bound to
+                # the session that built it — a hit from a DIFFERENT
+                # session of the same application (spark.newSession)
+                # rebuilds the local relation from the cached rows
+                # (ADVICE r11)
                 q_cell_rows, q_cells = hit
+                if q_cells.sparkSession is not spark:
+                    q_cells = spark.createDataFrame(
+                        q_cell_rows, "query_id long, cell long"
+                    )
+                    _PROBE_CACHE[ck] = (q_cell_rows, q_cells)
             else:
                 from ..catalog import evict_superseded
 
@@ -336,7 +346,7 @@ class IVFIndex:
         scored = self.candidates(
             spark, queries, n_probe, cache_token=cache_token
         )
-        nonpos = scored.filter(f"cosine < {dup_threshold!r}D")
+        nonpos = scored.filter(f"cosine < {sql_double(dup_threshold)}")
         # |Q|·k_hard rows feeding TWO branches of the one action (the
         # union arm and the easy arm's anti-join build side): without
         # the eager checkpoint the whole candidates→filter→window
@@ -377,7 +387,7 @@ class IVFIndex:
                 " AS cosine",
             )
             .select("query_id", "vec_id", "cosine")
-            .filter(f"cosine < {dup_threshold!r}D")
+            .filter(f"cosine < {sql_double(dup_threshold)}")
             .join(
                 hard.select("query_id", "vec_id"),
                 ["query_id", "vec_id"],

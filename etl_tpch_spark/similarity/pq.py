@@ -689,8 +689,14 @@ class IVFPQIndex:
             return hit
         from ..catalog import evict_superseded
 
+        # evict only entries whose stored VERSIONS differ — an entry at
+        # the same versions with a different m_sub/sub_dim fallback is
+        # live (the stored meta overrides the fallback, so it is the
+        # same geometry), and evicting it would thrash alternating
+        # callers (ADVICE r11)
         evict_superseded(
-            _GEOM_CACHE, lambda k: k[:2] == key[:2] and k != key
+            _GEOM_CACHE,
+            lambda k: k[:2] == key[:2] and k[2:4] != key[2:4],
         )
         meta_p = os.path.join(self.path, "meta.json")
         if os.path.exists(meta_p):
