@@ -333,7 +333,10 @@ def train_logreg_driver(
 
 
 def weights_frame(spark: SparkSession, w: list[int]) -> DataFrame:
-    return spark.createDataFrame(list(enumerate(w)), "b long, w long")
+    from ..exprs import values_frame
+
+    # LocalRelation (zero-task broadcast builds — round 12)
+    return values_frame(spark, list(enumerate(w)), "b long, w long")
 
 
 def score_with_weights(feat: DataFrame, w: list[int]) -> DataFrame:

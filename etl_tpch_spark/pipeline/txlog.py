@@ -1245,7 +1245,9 @@ class TxTable:
             "version LONG, op STRING, n_files LONG, files_added LONG, "
             "files_removed LONG, n_rows LONG, batch_id STRING"
         )
-        return spark.createDataFrame(rows, schema)
+        from ..exprs import values_frame
+
+        return values_frame(spark, rows, schema)
 
     def read(
         self, spark: SparkSession, version: int | None = None

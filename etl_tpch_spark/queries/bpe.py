@@ -325,16 +325,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora) and the queries that ride it (text_bpe_token_counts,
     text_bpe_segment, text_bpe_encode_holdout)."""
     merges, _ = _train(Tables(spark, sf_dir))
-    schema = T.StructType(
-        [
-            T.StructField("merge_rank", T.LongType()),
-            T.StructField("lhs", T.StringType()),
-            T.StructField("rhs", T.StringType()),
-            T.StructField("merged", T.StringType()),
-            T.StructField("pair_count", T.LongType()),
-        ]
+    from ..exprs import values_frame
+
+    return values_frame(
+        spark,
+        merges,
+        "merge_rank LONG, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count LONG",
     )
-    return spark.createDataFrame(merges, schema)
 
 
 # (application id, documents stamp) → (vocab frame, row count) of the
@@ -384,7 +382,10 @@ def _trained_vocab(
     )
     wordfreq = [(r["word"], r["freq"]) for r in wf]
     _, vocab = train_bpe_driver(wordfreq, _BPE_K, with_vocab=True)
-    frame = spark.createDataFrame(
+    from ..exprs import values_frame
+
+    frame = values_frame(
+        spark,
         [
             (w, f, syms)
             for (w, f), (syms, _) in zip(wordfreq, vocab)

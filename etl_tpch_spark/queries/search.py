@@ -457,7 +457,14 @@ def search_hybrid_rrf_indexed(
     # hundred (query_id, term) rows as a literal frame — the query
     # side never re-enters the plan
     q_rows = _query_term_rows(spark, sf_dir)
-    q = spark.createDataFrame(
+    from ..exprs import values_frame
+
+    # VALUES-backed LocalRelation: the broadcast build collects it
+    # driver-side with zero tasks — createDataFrame parallelizes the
+    # ~300 rows into a defaultParallelism-partition RDD whose every
+    # broadcast build cost a full 32-task stage (round 12, guide §4)
+    q = values_frame(
+        spark,
         [(r.query_id, r.term) for r in q_rows],
         "query_id LONG, term STRING",
     )

@@ -115,8 +115,10 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in spark.catalog.listTables()
         if t.isTemporary and t.name in TABLE_NAMES
     )
-    return spark.createDataFrame(
-        [(n,) for n in names], "table_name string"
+    from ..exprs import values_frame
+
+    return values_frame(
+        spark, [(n,) for n in names], "table_name string"
     )
 
 

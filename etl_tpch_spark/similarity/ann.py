@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..exprs import sql_double, sql_ident
+from ..exprs import sql_double, sql_ident, values_frame
 from ..dedup.hashing import (
     _as_double_array,
     cosine_fold,
@@ -212,8 +212,9 @@ def cosine_topk_ivf(
         assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
     )
     spark = embeddings.sparkSession
-    cent = spark.createDataFrame(
-        cent_rows, "cent_id long, cv array<long>"
+    # K-row LocalRelation (zero-task broadcast builds — round 12)
+    cent = values_frame(
+        spark, cent_rows, "cent_id long, cv array<long>"
     )
     # each query ranks the trained centroids by integer L2 (the SAME
     # metric training used — ties to lowest cent_id) and probes n_probe;
@@ -1006,8 +1007,8 @@ def mmr_select(
     ]
     for r in range(2, k + 1):
         sel_ids = [(p.query_id, p.vec_id) for p in picks]
-        sel_df = spark.createDataFrame(
-            sel_ids, "query_id long, vec_id long"
+        sel_df = values_frame(
+            spark, sel_ids, "query_id long, vec_id long"
         )
         sel_emb = pool.join(sel_df, ["query_id", "vec_id"]).select(
             "query_id",
@@ -1033,8 +1034,10 @@ def mmr_select(
             .filter(F.col("rn") == 1)
             .collect()
         )
-    return spark.createDataFrame(
-        picks, "query_id long, vec_id long, rel double, rnk long"
+    return values_frame(
+        spark,
+        [(p.query_id, p.vec_id, p.rel, p.rnk) for p in picks],
+        "query_id long, vec_id long, rel double, rnk long",
     ).orderBy("query_id", "rnk")
 
 

@@ -212,8 +212,10 @@ class IVFIndex:
                 # (ADVICE r11)
                 q_cell_rows, q_cells = hit
                 if q_cells.sparkSession is not spark:
-                    q_cells = spark.createDataFrame(
-                        q_cell_rows, "query_id long, cell long"
+                    from ..exprs import values_frame
+
+                    q_cells = values_frame(
+                        spark, q_cell_rows, "query_id long, cell long"
                     )
                     _PROBE_CACHE[ck] = (q_cell_rows, q_cells)
             else:
@@ -253,8 +255,12 @@ class IVFIndex:
             q_cell_rows = [
                 (r.query_id, r.cell) for r in q_cells_plan.collect()
             ]
-            q_cells = spark.createDataFrame(
-                q_cell_rows, "query_id long, cell long"
+            from ..exprs import values_frame
+
+            # LocalRelation, not a parallelized RDD: the |Q|·n_probe
+            # routing rows broadcast with zero tasks (round 12)
+            q_cells = values_frame(
+                spark, q_cell_rows, "query_id long, cell long"
             )
             if ck is not None:
                 _PROBE_CACHE[ck] = (q_cell_rows, q_cells)
