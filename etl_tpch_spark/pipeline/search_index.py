@@ -53,6 +53,16 @@ from ..functions.text import tokens
 from .txlog import TxTable
 
 
+def _canonical(t: TxTable, keys: tuple[str, ...]) -> bool:
+    """True when ``t``'s snapshot head is a canonical compact at
+    ``keys`` (txlog dedup_keys) — i.e. the stored rows are already the
+    read-side dedup's output.  Driver-side: one commit-entry read."""
+    v = t.latest_version()
+    return v is not None and t.commit_entry(v).get("canonical") == list(
+        keys
+    )
+
+
 def _normalize_terms(terms: Sequence[str]) -> list[str]:
     """Raw user terms → the index's token space: whitespace-split,
     empty-dropped, first-occurrence-deduped (a duplicated term must
@@ -127,10 +137,19 @@ class SearchIndex:
         compact doclens to one file.  Probe cost afterwards is one or
         two files per term regardless of how many ingest batches ever
         ran."""
+        # dedup_keys makes the rewrite CANONICAL (txlog round 12): the
+        # stored rows are exactly what probe()/_dl()'s max-dedup
+        # aggregates would produce, the commit entry says so, and
+        # queries against an unticked optimized snapshot skip their
+        # per-query dedup exchange (measured: the hybrid probe's
+        # (doc_id, term) exchange was ~0.45 s of its 1.5 s wall)
         self.postings.compact(
-            spark, target_files, cluster_by=("term", "doc_id")
+            spark,
+            target_files,
+            cluster_by=("term", "doc_id"),
+            dedup_keys=("term", "doc_id"),
         )
-        self.doclens.compact(spark, 1)
+        self.doclens.compact(spark, 1, dedup_keys=("doc_id",))
         # refresh the per-term df snapshot the MaxScore bounds read.
         # O(vocabulary) at maintenance cadence — one groupBy over the
         # freshly clustered postings, one small overwrite
@@ -187,7 +206,16 @@ class SearchIndex:
         # makes the probe idempotent under the one duplicate-arrival
         # mode the exactly-once ids cannot close — a wiped checkpoint
         # over RE-BUNDLED crawl files re-ingests docs under fresh
-        # content ids, and summing would silently double tf
+        # content ids, and summing would silently double tf.  When the
+        # snapshot head is a CANONICAL compact (optimize()'s
+        # dedup_keys rewrite, unticked since), the stored rows already
+        # ARE that aggregate's output, so the per-query dedup exchange
+        # is skipped — value-identical by the commit-entry proof, not
+        # by assumption (guide §2.4: remove shuffles outright)
+        if _canonical(self.postings, ("term", "doc_id")):
+            return probed.select(
+                "doc_id", "term", F.col("tf").cast("long").alias("tf")
+            )
         return probed.groupBy("doc_id", "term").agg(
             F.max("tf").cast("long").alias("tf")
         )
@@ -228,6 +256,11 @@ class SearchIndex:
     def _dl(self, spark: SparkSession) -> DataFrame:
         if self.doclens.latest_version() is None:
             return spark.createDataFrame([], "doc_id LONG, dl LONG")
+        if _canonical(self.doclens, ("doc_id",)):
+            # canonical snapshot (see probe) — scan without the dedup
+            return self.doclens.read(spark).select(
+                "doc_id", F.col("dl").cast("long").alias("dl")
+            )
         return (
             self.doclens.read(spark)
             .groupBy("doc_id")

@@ -1032,6 +1032,7 @@ class TxTable:
         cluster_by: tuple[str, ...] = (),
         zorder_by: tuple[str, str] | None = None,
         zorder_bits: int = 4,
+        dedup_keys: tuple[str, ...] = (),
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         files and commit the swap (reference preprocess.py:70-73).
@@ -1061,7 +1062,22 @@ class TxTable:
         OVERWRITE or COMPACT redefines the table, so this compaction
         ABORTS — committing would resurrect overwritten rows or
         double-count a rival's compacted copy.  The aborted rewrite's
-        files stay unreferenced (vacuum sweeps them)."""
+        files stay unreferenced (vacuum sweeps them).
+
+        ``dedup_keys`` (round 12, guide §6 — write the layout the
+        reads want): additionally collapse duplicate key rows during
+        the rewrite (``max`` of every non-key column — the SAME
+        merge the read-side dedup aggregates apply, e.g.
+        SearchIndex.probe's ``max(tf)``), and mark the commit entry
+        ``canonical: [keys]`` so readers can SKIP their per-query
+        dedup exchange while the snapshot head stays this compact.
+        Duplicates only exist after the one replay mode exactly-once
+        ids cannot close (wiped checkpoint over re-bundled batches),
+        so the rewrite is a row-identical no-op in normal operation —
+        but the mark is what makes skipping provable.  Rival appends
+        carried into the manifest void the mark (their rows are not
+        deduped); any LATER append makes a newer head, so the mark
+        on an old compact stops applying by construction."""
         # Pin ONE snapshot version for the whole read phase: the rewrite
         # input, ``compacted_away``, and the conflict-check range must
         # all refer to the same version.  Reading the head three times
@@ -1073,10 +1089,22 @@ class TxTable:
         if start_v is None:
             return 0
         base = self.snapshot_files(start_v)
-        if len(base) <= target_files and not cluster_by and not zorder_by:
-            return start_v
+        small_enough = len(base) <= target_files
+        if small_enough and not cluster_by and not zorder_by:
+            if not dedup_keys:
+                return start_v
+            # already canonical at these keys → nothing to rewrite
+            if self._read_entry(start_v).get("canonical") == list(
+                dedup_keys
+            ):
+                return start_v
         compacted_away = set(base)
         df = self.read(spark, version=start_v)
+        if dedup_keys:
+            others = [c for c in df.columns if c not in dedup_keys]
+            df = df.groupBy(*dedup_keys).agg(
+                *[F.max(c).alias(c) for c in others]
+            )
         if zorder_by:
             df = _with_zorder_key(df, zorder_by, zorder_bits)
             df = (
@@ -1108,6 +1136,10 @@ class TxTable:
                 f for f in base_files if f not in compacted_away
             ]
             entry = {"op": "compact", "files": new_files + appended_since}
+            if dedup_keys and not appended_since:
+                # carried rival appends are NOT deduped, so the mark
+                # only lands on a clean rewrite
+                entry["canonical"] = list(dedup_keys)
             # rewritten files are uniform (union schema), but rival
             # appends carried verbatim may be narrower: on an evolved
             # chain every rival entry inherits the merged_schema flag,

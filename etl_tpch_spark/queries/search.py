@@ -255,7 +255,9 @@ def _search_index_for(spark: SparkSession, sf_dir: str):
         return idx
 
     return _reused_index(
-        "search-idx", sf_dir, "v1", SearchIndex, build, table="documents"
+        # v2: optimize() writes canonical (deduped) postings/doclens —
+        # bump forces artifacts predating the mark to rebuild once
+        "search-idx", sf_dir, "v2", SearchIndex, build, table="documents"
     )
 
 
