@@ -279,6 +279,14 @@ def main() -> None:
 
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
+    # first-rep walls (VERDICT r11 #4): the best-of-N headline reports
+    # warm steady state; rep 1 additionally carries every within-
+    # process amortization (_QTERM_CACHE/_PROBE_CACHE routing memos,
+    # persisted-frame builds), so emitting it beside the best makes
+    # the warm-protocol amortization a MEASUREMENT instead of a
+    # docstring claim, and bounds any future session cache's cold
+    # cost.  Additions-only: the headline metric is unchanged.
+    first_reps: dict[str, float] = {}
     for idx, name in enumerate(names):
         fn = all_queries[name].fn
         best, n = None, 0
@@ -289,6 +297,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                if name not in first_reps:
+                    first_reps[name] = round(dt, 4)
                 best = dt if best is None else min(best, dt)
         except Exception as exc:
             # a timed-query failure is a FATAL bench anomaly: record it
@@ -408,6 +418,12 @@ def main() -> None:
                 ),
                 "queries_drift_normalized": {
                     name: queries_drift_normalized.get(name)
+                    for name in emitted_queries
+                },
+                # rep-1 walls (see first_reps above): best-of-N minus
+                # this column = what the session caches amortize
+                "queries_first_rep": {
+                    name: first_reps.get(name)
                     for name in emitted_queries
                 },
                 "anomalies": anomalies,

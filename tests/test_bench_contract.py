@@ -91,6 +91,13 @@ def test_bench_json_carries_calibration_and_empty_anomalies(
         doc["value"] / cal["drift"], abs=1e-3
     )
     assert doc["queries_drift_normalized"].keys() == doc["queries"].keys()
+    # r12 (VERDICT r11 #4): rep-1 walls beside the best-of-N — the
+    # warm-protocol amortization as a measurement.  first_rep >= best
+    # by construction (best is a min over reps including rep 1).
+    assert doc["queries_first_rep"].keys() == doc["queries"].keys()
+    for name, best in doc["queries"].items():
+        fr = doc["queries_first_rep"][name]
+        assert fr is not None and fr >= best - 1e-9, (name, fr, best)
 
 
 # ---------------------------------------------------------------- r11:
