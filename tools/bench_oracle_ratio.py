@@ -69,6 +69,16 @@ def main() -> None:
         "#8; correctness harnesses always run them).",
     )
     ap.add_argument(
+        "--out",
+        default=None,
+        help="also write the FULL per-query ratio table as a JSON "
+        "artifact (VERDICT r11 #8: the whole-registry ratio should be "
+        "judge-reproducible from a committed file, the same way "
+        "bench.py's JSON line is).  Carries per-query spark/duckdb "
+        "walls, cold first-call walls, the pre/post box-drift probes "
+        "(bench.py's fixed anchors) and drift-normalized totals.",
+    )
+    ap.add_argument(
         "--sink",
         choices=("count", "noop"),
         default="count",
@@ -98,6 +108,16 @@ def main() -> None:
 
     spark = get_spark("etl_tpch_spark-ratio")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from bench import (
+        DUCKDB_PROBE_ANCHOR_SEC,
+        SPARK_PROBE_ANCHOR_SEC,
+        _duckdb_probe,
+        _spark_probe,
+    )
+
+    probe_pre = _spark_probe(spark)
+    duck_pre = _duckdb_probe()
 
     # Queries whose DUCKDB oracle is intractable at sf0.1 — the
     # documented O(n²) bruteforce baseline whose unrolled
@@ -200,16 +220,65 @@ def main() -> None:
         f"| **total ({len(ratioed)} ratioed queries)** | **{total_s:.2f}** | "
         f" | **{total_d:.2f}** | **{total_s / total_d:.2f}x** |"
     )
-    print(
-        json.dumps(
+    probe_post = _spark_probe(spark)
+    duck_post = _duckdb_probe()
+    drift = round(min(probe_pre, probe_post) / SPARK_PROBE_ANCHOR_SEC, 4)
+    duck_drift = (
+        round(min(duck_pre, duck_post) / DUCKDB_PROBE_ANCHOR_SEC, 4)
+        if duck_pre == duck_pre
+        else None
+    )
+    summary = {
+        "sf_dir": args.sf_dir,
+        "total_spark_s": round(total_s, 3),
+        "total_duckdb_s": round(total_d, 3),
+        "ratio": round(total_s / total_d, 3),
+        "calibration": {
+            "spark_probe_pre_sec": probe_pre,
+            "spark_probe_post_sec": probe_post,
+            "spark_probe_anchor_sec": SPARK_PROBE_ANCHOR_SEC,
+            "duckdb_probe_pre_sec": duck_pre,
+            "duckdb_probe_post_sec": duck_post,
+            "duckdb_probe_anchor_sec": DUCKDB_PROBE_ANCHOR_SEC,
+            "drift": drift,
+            "duckdb_drift": duck_drift,
+        },
+        # drift-normalized totals: both engines' walls divided by
+        # their own probe drift, so the ratio of a run on a slow box
+        # phase stays comparable across sessions
+        "total_spark_s_normalized": round(total_s / drift, 3),
+        "total_duckdb_s_normalized": (
+            round(total_d / duck_drift, 3) if duck_drift else None
+        ),
+        "ratio_normalized": (
+            round((total_s / drift) / (total_d / duck_drift), 3)
+            if duck_drift
+            else None
+        ),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        artifact = dict(summary)
+        artifact.update(
             {
-                "sf_dir": args.sf_dir,
-                "total_spark_s": round(total_s, 3),
-                "total_duckdb_s": round(total_d, 3),
-                "ratio": round(total_s / total_d, 3),
+                "sink": args.sink,
+                "repeat": args.repeat,
+                "n_ratioed": len(ratioed),
+                "n_spark_only": len(rows) - len(ratioed),
+                "per_query": {
+                    name: {
+                        "spark_s": round(s, 4),
+                        "cold_s": round(cold, 4) if cold else None,
+                        "duckdb_s": round(d, 4) if d is not None else None,
+                        "ratio": round(r, 4) if r is not None else None,
+                    }
+                    for name, s, cold, d, r in rows
+                },
             }
         )
-    )
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
